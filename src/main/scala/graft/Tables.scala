@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registers the driver's parquet test tables (TESTDATA.md / FIXTURES.md) as
+  * temp views, plus synthesized `information_schema_*` views so catalog
+  * introspection is queryable as plain SQL (the `list_tables` statement shape
+  * of the reference, see `/root/reference/images/redshift/redshift.yaml:11-42`
+  * which reads `information_schema.columns`).
+  *
+  * Hazard handled here (SURVEY §7.4.1): `events.ts` is parquet
+  * `TIMESTAMP(NANOS)`, which Spark's µs `TimestampType` cannot read directly
+  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate-divide to µs with
+  * `timestamp_micros(ts div 1000)` — identical to DuckDB's
+  * `CAST(ts AS TIMESTAMP)` ns→µs truncation, so oracle comparisons line up.
+  */
+object Tables {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private case class ColumnMeta(
+      schema_name: String,
+      table_name: String,
+      column_name: String,
+      column_position: Int,
+      data_type: String,
+      is_nullable: String,
+      column_default: String)
+
+  private case class TableMeta(schema_name: String, table_name: String)
+
+  private val registered = new ConcurrentHashMap[String, Boolean]()
+
+  /** Idempotent per (session, dir): registers all test tables + info schema. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark) + "|" + dir
+    if (registered.putIfAbsent(key, true) == null) {
+      try doRegister(spark, dir)
+      catch { case e: Throwable => registered.remove(key); throw e }
+    }
+  }
+
+  /** Reads one table, applying per-table normalization (events ns→µs). */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def doRegister(spark: SparkSession, dir: String): Unit = {
+    // Session posture for a large cluster: AQE on (runtime join re-plan,
+    // skew handling, partition coalescing); UTC for oracle parity.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    val dfs: Seq[(String, DataFrame)] = tableNames.map { n =>
+      val df = read(spark, dir, n)
+      df.createOrReplaceTempView(n)
+      n -> df
+    }
+
+    // Synthesized information_schema (driver-side metadata only — no jobs).
+    val cols = for {
+      (t, df) <- dfs
+      (f, i)  <- df.schema.fields.zipWithIndex
+    } yield ColumnMeta("main", t, f.name, i + 1, f.dataType.simpleString,
+      if (f.nullable) "YES" else "NO", null)
+    val tabs = dfs.map { case (t, _) => TableMeta("main", t) }
+    spark.createDataFrame(cols).createOrReplaceTempView("information_schema_columns")
+    spark.createDataFrame(tabs).createOrReplaceTempView("information_schema_tables")
+  }
+}
