@@ -1,0 +1,390 @@
+package graft
+
+/** One verifiable query: `spark` is Spark SQL executed by the engine;
+  * `oracle` is the equivalent DuckDB SQL the driver runs on the same parquet
+  * tables (None → driver records a weaker rows-only check).
+  *
+  * Catalog = SURVEY.md §2.D (Q1–Q40, the reference-derived SQL contract —
+  * statement shapes from /root/reference/images/redshift/redshift.yaml:11-48,
+  * /root/reference/tests/sqlite/sqlite.yaml:7-34 and the per-backend
+  * test_mcp.py smoke queries) plus the [EXT] operators of SURVEY §2.E.
+  *
+  * Cross-engine hazards handled here (SURVEY §7.4):
+  *  - every computed column is aliased IDENTICALLY on both sides (the driver
+  *    sorts columns by name before hashing);
+  *  - result types are pinned with explicit CASTs where engine defaults
+  *    diverge (Spark LENGTH/EXTRACT→INT vs DuckDB→BIGINT; DuckDB SUM(int)→
+  *    HUGEINT; Spark ROW_NUMBER→INT vs DuckDB→BIGINT; FLOOR/CEIL);
+  *  - float aggregates wrapped in ROUND(x,4); ORDER BY is always total
+  *    (unique-key suffix) with explicit NULLS FIRST/LAST;
+  *  - events.ts is parquet ns: our reader truncates to µs exactly like
+  *    DuckDB's scan does, so timestamps line up.
+  */
+final case class QuerySpec(name: String, spark: String, oracle: Option[String])
+
+object Queries {
+
+  private def q(name: String, shared: String): QuerySpec =
+    QuerySpec(name, shared, Some(shared))
+  private def q2(name: String, spark: String, duck: String): QuerySpec =
+    QuerySpec(name, spark, Some(duck))
+
+  val specs: Seq[QuerySpec] = Seq(
+    // ---- B1/B9: projection, alias, literal select (no FROM) ----
+    q("q01_literal", "SELECT 1 AS one, 'test' AS message"),
+
+    // ---- B2: compound predicates (redshift.yaml:25-31 shape) ----
+    q("q02_filter_compound",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |  AND (o_orderstatus = 'F' OR o_totalprice > 100000)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- B3: cast ($1::text idiom) ----
+    q2("q03_cast",
+      "SELECT CAST(o_orderkey AS STRING) AS k FROM orders ORDER BY o_orderkey LIMIT 10",
+      "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders ORDER BY o_orderkey LIMIT 10"),
+
+    // ---- B4: split + array membership (string_to_array/= ANY idiom) ----
+    q2("q04_split_membership",
+      "SELECT c_custkey FROM customer WHERE array_contains(split('BUILDING,AUTOMOBILE', ','), c_mktsegment) ORDER BY c_custkey",
+      "SELECT c_custkey FROM customer WHERE list_contains(string_split('BUILDING,AUTOMOBILE', ','), c_mktsegment) ORDER BY c_custkey"),
+
+    // ---- B5: concat || + LIKE (sqlite.yaml:22 CSV-membership idiom) ----
+    q("q05_concat_like",
+      "SELECT n_name FROM nation WHERE (',' || 'NATION_1,NATION_2' || ',') LIKE ('%,' || n_name || ',%') ORDER BY n_name"),
+
+    // ---- B6: multi-key sort with explicit null ordering ----
+    q("q06_multikey_sort",
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC NULLS LAST, c_custkey LIMIT 100"),
+
+    // ---- B7: COUNT(*) ----
+    q("q07_count_star", "SELECT COUNT(*) AS total FROM lineitem"),
+
+    // ---- B8: projection + LIMIT ----
+    q("q08_proj_limit",
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5"),
+
+    // ---- B10: date functions (deterministic analogue of current_date) ----
+    q("q09_date_functions",
+      """SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL '30' DAY AS DATE) AS due
+        |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin),
+
+    // ---- B14: catalog-as-SQL over synthesized information_schema (A1 shape).
+    // Oracle is the statically-known schema of `orders` as VALUES. ----
+    q2("q10_info_schema",
+      """SELECT table_name, column_name, column_position, data_type
+        |FROM information_schema_columns
+        |WHERE table_name = 'orders' ORDER BY column_position""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  ('orders','o_orderkey',1,'bigint'), ('orders','o_custkey',2,'bigint'),
+        |  ('orders','o_orderstatus',3,'string'), ('orders','o_totalprice',4,'double'),
+        |  ('orders','o_orderdate',5,'timestamp_ntz'), ('orders','o_orderpriority',6,'string'))
+        |AS t(table_name, column_name, column_position, data_type)
+        |ORDER BY column_position""".stripMargin),
+
+    // ---- expression arithmetic ----
+    q("q11_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, charge LIMIT 50""".stripMargin),
+    // ((l_orderkey, l_linenumber) is NOT unique in the fixture — `charge`
+    // completes the total order; remaining ties are identical output rows.)
+
+    // ---- BETWEEN / IN / LIKE / IS NULL ----
+    q("q12_predicates",
+      """SELECT p_partkey FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND p_name LIKE '%a%' AND p_type IS NOT NULL
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---- CASE / COALESCE / NULLIF / GREATEST ----
+    q("q13_case_coalesce",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(c_mktsegment,'BUILDING'), 'OTHER') AS seg,
+        |  GREATEST(c_acctbal, CAST(0 AS DOUBLE)) AS floor0
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin),
+
+    // ---- DISTINCT ----
+    q("q14_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"),
+
+    // ---- inner equi join ----
+    q("q15_join_inner",
+      """SELECT o.o_orderkey, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- outer join + agg ----
+    q("q16_join_outer",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS cnt
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    // ---- semi / anti (EXISTS / NOT EXISTS) ----
+    q("q17_semi",
+      "SELECT c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+    q("q17_anti",
+      "SELECT c_custkey FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+
+    // ---- cross join (tiny dims only) ----
+    q("q18_cross",
+      "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n ORDER BY r.r_name, n.n_name"),
+
+    // ---- theta / non-equi join ----
+    q("q19_theta_join",
+      """SELECT s.s_suppkey, COUNT(*) AS richer_nations
+        |FROM supplier s JOIN nation n
+        |  ON s.s_nationkey <> n.n_nationkey AND s.s_acctbal > CAST(n.n_nationkey AS DOUBLE) * 100
+        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin),
+
+    // ---- multi-way star join (TPC-H Q3 shape) ----
+    q("q20_star_join",
+      """SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin),
+
+    // ---- group-by multi-agg (TPC-H Q1 shape) ----
+    q("q21_tpch_q1",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice),4) AS sum_base, ROUND(AVG(l_discount),4) AS avg_disc, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- COUNT(DISTINCT) ----
+    q("q22_count_distinct", "SELECT COUNT(DISTINCT o_custkey) AS buyers FROM orders"),
+
+    // ---- approx_count_distinct: self-contained 5% bound check (oracle = 1) ----
+    q2("q23_approx_distinct",
+      """SELECT CAST(CASE WHEN ABS(approx_count_distinct(o_custkey, 0.01) - COUNT(DISTINCT o_custkey))
+        |  / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound
+        |FROM orders""".stripMargin,
+      "SELECT CAST(1 AS INT) AS within_bound"),
+
+    // ---- conditional agg ----
+    q("q24_conditional_agg",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- ROLLUP ----
+    q("q25_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin),
+
+    // ---- HAVING ----
+    q("q26_having",
+      "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey"),
+
+    // ---- global agg ----
+    q("q27_global_agg",
+      """SELECT ROUND(MIN(l_extendedprice),4) AS min_price, ROUND(MAX(l_extendedprice),4) AS max_price,
+        |  COUNT(*) AS cnt FROM lineitem""".stripMargin),
+
+    // ---- ranking windows ----
+    q("q28_rank_windows",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS rk
+        |FROM customer ORDER BY c_mktsegment, rn LIMIT 200""".stripMargin),
+
+    // ---- lag / lead ----
+    q("q29_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- running sum (ROWS frame) ----
+    q("q30_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- RANGE frame ----
+    q("q31_range_frame",
+      """SELECT o_orderkey,
+        |  CAST(COUNT(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- top-k per group ----
+    q("q32_topk_group",
+      """SELECT n_nationkey, s_suppkey, s_acctbal, rn FROM (
+        |  SELECT n_nationkey, s_suppkey, s_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey) t
+        |WHERE rn <= 2 ORDER BY n_nationkey, rn""".stripMargin),
+
+    // ---- ORDER BY + LIMIT/OFFSET ----
+    q("q33_limit_offset",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5"),
+
+    // ---- set operations ----
+    q("q34_intersect",
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    q("q34_except",
+      "SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k"),
+    q("q34_union",
+      "SELECT n_nationkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k"),
+
+    // ---- as-of join [EXT] via window (unique (ts,event_id) order for determinism) ----
+    q2("q35_asof_window",
+      """SELECT user_id, ts, value,
+        |  LAST(value) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |FROM events ORDER BY user_id, ts, event_id LIMIT 200""".stripMargin,
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |FROM events ORDER BY user_id, ts, event_id LIMIT 200""".stripMargin),
+
+    // ---- string functions ----
+    q("q36_string_funcs",
+      """SELECT p_partkey, UPPER(p_brand) AS ub, LOWER(p_type) AS lt, CAST(LENGTH(p_name) AS INT) AS ln,
+        |  SUBSTR(p_name, 1, 5) AS pre, REPLACE(p_brand, 'Brand#', 'B') AS b, TRIM(p_name) AS t
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin),
+
+    // ---- date parts / trunc ----
+    q("q37_date_parts",
+      """SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mstart
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- math functions ----
+    q("q38_math",
+      """SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_quantity),4) AS sq,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl, CAST(CEIL(l_discount * 100) AS BIGINT) AS ce,
+        |  ABS(l_quantity - 25) AS ab, CAST(l_partkey % 7 AS INT) AS md
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, fl, ce, ab, md LIMIT 100""".stripMargin),
+
+    // ---- group by expression ----
+    q("q39_group_by_expr",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice),4) AS s
+        |FROM orders GROUP BY y ORDER BY y""".stripMargin),
+
+    // ---- JSON extraction on events.props ----
+    q2("q40_json",
+      "SELECT event_id, get_json_object(props, '$.k') AS k FROM events ORDER BY event_id LIMIT 100",
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events ORDER BY event_id LIMIT 100"),
+
+    // ======== [EXT] LLM-data-pipeline operators (SURVEY §2.E) ========
+
+    // ---- exact dedup: canonical representative per text key ----
+    q("q41_dedup_exact",
+      "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id"),
+
+    // ---- token frequency (tokenize + TF agg) ----
+    q2("q42_token_freq",
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT explode(split(lower(text), ' ')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin),
+
+    // ---- per-document quality scoring (length / token count / density) ----
+    q2("q43_text_quality",
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_char,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LENGTH(text), 4) AS density,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_char,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LENGTH(text), 4) AS density,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- language-ID heuristic (stopword hit; corpus is synthetic so the
+    //      heuristic itself, not accuracy, is what's verified) ----
+    q("q44_lang_id",
+      """SELECT doc_id,
+        |  CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en' ELSE 'other' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- document fingerprinting (content hash) ----
+    q("q45_fingerprint",
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
+
+    // ---- n-gram Jaccard similarity between consecutive docs (char 3-grams).
+    //      Join key is (gram, adjacent id) — equi-join, never all-pairs. ----
+    q2("q46_ngram_jaccard",
+      """WITH ds AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents) x),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+        |ORDER BY i.a_id""".stripMargin,
+      """WITH ds AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i FROM documents) x),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+        |ORDER BY i.a_id""".stripMargin),
+
+    // ---- streaming surface, batch-verifiable: 10-min tumbling window agg.
+    //      (The same aggregation runs as a Structured Streaming query in
+    //      StreamingSpec; here it is verified against DuckDB time_bucket.) ----
+    q2("q47_window_tumbling",
+      """SELECT timestamp_seconds(CAST(FLOOR(unix_micros(ts) / 600000000) AS BIGINT) * 600) AS win_start,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+        |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin),
+
+    // ---- brute-force cosine top-k similarity over embeddings (the exact
+    //      baseline; ranking uses the ROUNDed score + id tiebreak so both
+    //      engines rank identically despite FP summation order). ----
+    q2("q48_cosine_topk",
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    SQRT(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT * FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |    ROUND(aggregate(zip_with(q.embedding, d.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |                    CAST(0 AS DOUBLE), (a, x) -> a + x) / (q.nrm * d.nrm), 4) AS cos_sim
+        |  FROM q JOIN n d ON d.vec_id <> q.vec_id)
+        |SELECT qid, did, cos_sim, rnk FROM (
+        |  SELECT qid, did, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS BIGINT) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) x),
+        |nrm AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS did, SUM(a.v * b.v) AS dot
+        |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT d.qid, d.did, ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        |  FROM dots d JOIN nrm na ON na.vec_id = d.qid JOIN nrm nb ON nb.vec_id = d.did)
+        |SELECT qid, did, cos_sim, rnk FROM (
+        |  SELECT qid, did, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS BIGINT) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
+  )
+
+  val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
+}

@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` holds every implemented operator from SURVEY.md §2: the Q1–Q40
+  * SQL contract (reference shapes cited per-spec in Queries.scala) plus the
+  * [EXT] pipeline operators. SQL-expressible entries carry a DuckDB oracle in
+  * `oracleSql`; DataFrame-coded [EXT] operators (MinHash/LSH, SimHash,
+  * multimodal) are rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (TPC-H-Q3-shaped star join) on sf0.001; rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.register(spark, dir)
+    spark.sql(Queries.byName("q20_star_join").spark)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val sqlQueries = Queries.specs.map { spec =>
+      spec.name -> { (spark: SparkSession, dir: String) =>
+        Tables.register(spark, dir)
+        spark.sql(spec.spark)
+      }
+    }
+    ListMap((sqlQueries ++ pipeline.Ext.queries): _*)
+  }
+
+  /** DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    ListMap(Queries.specs.flatMap(s => s.oracle.map(s.name -> _)): _*)
 }

@@ -34,16 +34,18 @@ object Tables {
 
   private case class TableMeta(schema_name: String, table_name: String)
 
-  private val registered = new ConcurrentHashMap[String, Boolean]()
+  // Keyed on the session object itself (not identityHashCode — hashes can
+  // collide/recycle, and temp views are per-session). Registration happens
+  // INSIDE computeIfAbsent so a concurrent second caller blocks until the
+  // views exist; a throwing registration leaves no entry behind.
+  private val registered = new ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
 
   /** Idempotent per (session, dir): registers all test tables + info schema. */
-  def register(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark) + "|" + dir
-    if (registered.putIfAbsent(key, true) == null) {
-      try doRegister(spark, dir)
-      catch { case e: Throwable => registered.remove(key); throw e }
-    }
-  }
+  def register(spark: SparkSession, dir: String): Unit =
+    registered.computeIfAbsent((spark, dir), { _ =>
+      doRegister(spark, dir)
+      java.lang.Boolean.TRUE
+    })
 
   /** Reads one table, applying per-table normalization (events ns→µs). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {

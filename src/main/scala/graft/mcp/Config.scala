@@ -1,0 +1,126 @@
+package graft.mcp
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.yaml.snakeyaml.Yaml
+
+/** Declarative YAML config (SURVEY §2.A): `sources:` + `tools:` with `${ENV}`
+  * substitution — the schema of /root/reference/images/redshift/redshift.yaml
+  * and /root/reference/tests/sqlite/sqlite.yaml, with Spark-native source
+  * kinds. A source registers DataFrames as temp views; a tool is a named,
+  * typed-parameter SQL statement.
+  *
+  * Source kinds:
+  *  - `parquet` / `csv` / `json`: one file/dir per source, registered under
+  *    `table` (default: source name).
+  *  - `dataset-dir`: a directory of `<table>.parquet` files — every table is
+  *    registered (the driver's testdata layout).
+  * Reference kinds (postgres, sqlite, ...) are not reachable offline; the
+  * loader maps any tool kind ending in `-sql` to parameterized Spark SQL and
+  * `-execute-sql` to the gated passthrough, so reference YAML tool files work
+  * with only their `sources:` block swapped.
+  */
+final case class ParamDef(name: String, typ: String, description: String)
+
+final case class ToolDef(
+    name: String,
+    kind: String,
+    description: String,
+    params: Seq[ParamDef],
+    statement: String) {
+  /** execute-sql tools take the whole statement from the caller (A2/A4). */
+  def isPassthrough: Boolean =
+    kind.endsWith("-execute-sql") || kind == "execute_sql" ||
+      statement.trim == "{{sql}}"
+}
+
+final case class SourceDef(name: String, kind: String, options: Map[String, String])
+
+final case class ToolboxConfig(sources: Seq[SourceDef], tools: Seq[ToolDef]) {
+
+  /** Registers every source's tables as temp views on the session. */
+  def registerSources(spark: SparkSession): Unit = sources.foreach { src =>
+    def path: String = src.options.get("path").filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"source '${src.name}' (kind ${src.kind}) has no 'path' — " +
+          "check that its ${ENV} variables are set"))
+    src.kind match {
+      case "dataset-dir" =>
+        graft.Tables.register(spark, path)
+      case "parquet" | "csv" | "json" =>
+        val reader = spark.read.format(src.kind)
+        val withOpts = src.options.foldLeft(reader) {
+          case (r, (k, v)) if k != "path" && k != "table" => r.option(k, v)
+          case (r, _) => r
+        }
+        val df =
+          if (src.kind == "csv") withOpts.option("header", "true").option("inferSchema", "true")
+            .load(path)
+          else withOpts.load(path)
+        df.createOrReplaceTempView(src.options.getOrElse("table", src.name))
+      case other =>
+        System.err.println(s"[config] ignoring source '${src.name}' of offline-unreachable kind '$other'")
+    }
+  }
+}
+
+object Config {
+
+  private val EnvRef = raw"\$$\{([A-Za-z_][A-Za-z0-9_]*)\}".r
+
+  /** `${VAR}` substitution from the environment (empty if unset) — the
+    * entrypoint behavior of images/redshift/entrypoint.sh:35-65. */
+  def substituteEnv(text: String, env: Map[String, String] = sys.env): String =
+    EnvRef.replaceAllIn(text, m => java.util.regex.Matcher.quoteReplacement(env.getOrElse(m.group(1), "")))
+
+  def loadFile(path: String): ToolboxConfig =
+    parse(substituteEnv(Files.readString(Paths.get(path))))
+
+  def parse(yamlText: String): ToolboxConfig = {
+    val root = Option(new Yaml().load[java.util.Map[String, Object]](yamlText))
+      .getOrElse(new java.util.HashMap[String, Object]())
+
+    def asMap(o: Object): mutable.Map[String, Object] = o match {
+      case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]].asScala
+      case _ => mutable.Map.empty
+    }
+
+    val sources = asMap(root.getOrDefault("sources", null)).map { case (name, v) =>
+      val m = asMap(v)
+      val kind = m.getOrElse("kind", "").toString
+      // YAML `key:` with no value parses to null — treat as absent, so a
+      // missing ${ENV} substitution fails fast below instead of producing a
+      // literal "null" path.
+      val opts = (m - "kind").collect { case (k, ov) if ov != null => k -> ov.toString }.toMap
+      SourceDef(name, kind, opts)
+    }.toSeq
+
+    val tools = asMap(root.getOrDefault("tools", null)).map { case (name, v) =>
+      val m = asMap(v)
+      val params = m.get("parameters") match {
+        case Some(list: java.util.List[_]) =>
+          list.asScala.toSeq.map { p =>
+            val pm = asMap(p.asInstanceOf[Object])
+            ParamDef(
+              pm.getOrElse("name", "").toString,
+              pm.getOrElse("type", "string").toString,
+              pm.getOrElse("description", "").toString)
+          }
+        case _ => Seq.empty
+      }
+      ToolDef(
+        name,
+        m.getOrElse("kind", "spark-sql").toString,
+        m.getOrElse("description", "").toString,
+        params,
+        m.getOrElse("statement", "").toString)
+    }.toSeq
+
+    ToolboxConfig(sources, tools)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.mcp
+
+import java.io.BufferedReader
+
+import org.apache.spark.sql.SparkSession
+
+/** Server entrypoint, flag-compatible with the reference images
+  * (`--stdio`, `--tools-file <yaml>`; SURVEY §3.3):
+  *
+  *   runMain graft.mcp.Main --stdio [--tools-file conf.yaml] [--data-dir DIR]
+  *
+  * `--data-dir` registers a directory of `<table>.parquet` files (the
+  * "prebuilt source" analogue); defaults to SPARK_GRAFT_SF_DIR.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    var toolsFile: Option[String] = None
+    var dataDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_DIR")
+    var stdio = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--stdio" => stdio = true
+        case "--tools-file" => toolsFile = Some(args(i + 1)); i += 1
+        case "--data-dir" => dataDir = Some(args(i + 1)); i += 1
+        case other => System.err.println(s"[main] ignoring unknown arg: $other")
+      }
+      i += 1
+    }
+    if (!stdio) {
+      System.err.println("usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D]")
+      sys.exit(2)
+    }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-mcp")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val config = toolsFile.map(Config.loadFile).getOrElse(ToolboxConfig(Nil, Nil))
+    dataDir.foreach(d => graft.Tables.register(spark, d))
+    config.registerSources(spark)
+
+    val server = new McpServer(spark, config)
+    serve(server, new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
+    spark.stop()
+  }
+
+  /** Newline-delimited JSON-RPC loop; responses flushed per message. */
+  def serve(server: McpServer, in: BufferedReader, out: java.io.PrintStream): Unit = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.trim.nonEmpty) {
+        server.handleLine(line).foreach { resp => out.println(resp); out.flush() }
+      }
+      line = in.readLine()
+    }
+  }
+}

@@ -1,0 +1,174 @@
+package graft.mcp
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.SparkSession
+
+/** MCP server over newline-delimited JSON-RPC 2.0 — the reference's entire
+  * API surface (SURVEY §3.1): `initialize`, `tools/list`, `tools/call`, with
+  * tool results as one JSON object per row in `content:[{type:"text",...}]`
+  * (shape of /root/reference/tests/redshift/example_usage.py:54-65, protocol
+  * flow of /root/reference/tests/postgres/test_mcp.py:50-157).
+  *
+  * Spark is the backend: `execute_sql` runs on `spark.sql` behind the
+  * statement-class gate; `list_tables` is the redshift.yaml:11-42 statement
+  * over the synthesized information_schema views.
+  */
+final class McpServer(
+    spark: SparkSession,
+    config: ToolboxConfig,
+    maxRows: Int = 10000) {
+
+  private val mapper = new ObjectMapper()
+
+  /** Built-in tools, always present (the "prebuilt" behavior — every backend
+    * image provides list_tables + execute_sql, README.md:1716). */
+  private val builtinTools: Seq[ToolDef] = Seq(
+    ToolDef(
+      name = "list_tables",
+      kind = "spark-sql",
+      description = "Lists schema information (schema, table, column, position, type, " +
+        "nullability, default) for all user tables, or only those in the " +
+        "comma-separated list table_names.",
+      params = Seq(ParamDef("table_names", "string",
+        "Optional comma-separated table names; empty lists all tables.")),
+      statement =
+        """SELECT schema_name, table_name, column_name, column_position,
+          |       data_type, is_nullable, column_default
+          |FROM information_schema_columns
+          |WHERE (:table_names IS NULL OR :table_names = ''
+          |       OR array_contains(split(:table_names, ','), table_name))
+          |ORDER BY schema_name, table_name, column_position""".stripMargin),
+    ToolDef(
+      name = "execute_sql",
+      kind = "spark-execute-sql",
+      description = "Executes an arbitrary SQL statement (Select/Show/Describe/Explain/Use " +
+        "only; writes and DDL are rejected).",
+      params = Seq(ParamDef("sql", "string", "The SQL to execute.")),
+      statement = "{{sql}}"),
+  )
+
+  val tools: Seq[ToolDef] =
+    builtinTools.filterNot(b => config.tools.exists(_.name == b.name)) ++ config.tools
+
+  private def toolByName(name: String): Option[ToolDef] = tools.find(_.name == name)
+
+  // ---------------------------------------------------------------- protocol
+
+  /** Handles one JSON-RPC line; None for notifications (no response). */
+  def handleLine(line: String): Option[String] = {
+    val req =
+      try mapper.readTree(line)
+      catch {
+        case NonFatal(_) =>
+          return Some(errorResponse(null, -32700, "parse error"))
+      }
+    val id = req.get("id")
+    val method = Option(req.get("method")).map(_.asText()).getOrElse("")
+    method match {
+      case "initialize" => Some(response(id, initializeResult()))
+      case "notifications/initialized" => None
+      case "ping" => Some(response(id, mapper.createObjectNode()))
+      case "tools/list" => Some(response(id, toolsListResult()))
+      case "tools/call" => Some(toolsCall(id, req.get("params")))
+      case _ if id == null => None // unknown notification
+      case other => Some(errorResponse(id, -32601, s"method not found: $other"))
+    }
+  }
+
+  private def initializeResult(): ObjectNode = {
+    val r = mapper.createObjectNode()
+    r.put("protocolVersion", "2024-11-05")
+    val caps = r.putObject("capabilities"); caps.putObject("tools")
+    val si = r.putObject("serverInfo")
+    si.put("name", "graft-spark-toolbox"); si.put("version", "0.2.0")
+    r
+  }
+
+  private def toolsListResult(): ObjectNode = {
+    val r = mapper.createObjectNode()
+    val arr = r.putArray("tools")
+    tools.foreach { t =>
+      val tn = arr.addObject()
+      tn.put("name", t.name)
+      tn.put("description", t.description)
+      val schema = tn.putObject("inputSchema")
+      schema.put("type", "object")
+      val props = schema.putObject("properties")
+      t.params.foreach { p =>
+        val pn = props.putObject(p.name)
+        pn.put("type", if (p.typ.isEmpty) "string" else p.typ)
+        pn.put("description", p.description)
+      }
+    }
+    r
+  }
+
+  private def toolsCall(id: JsonNode, params: JsonNode): String = {
+    val name = Option(params).flatMap(p => Option(p.get("name"))).map(_.asText()).getOrElse("")
+    val tool = toolByName(name).getOrElse(
+      return errorResponse(id, -32602, s"unknown tool: $name"))
+    val args: Map[String, String] = Option(params).flatMap(p => Option(p.get("arguments"))) match {
+      case Some(a: ObjectNode) =>
+        a.propertyStream().iterator().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      case _ => Map.empty
+    }
+    try {
+      val bound = Params.bind(tool.statement, args, tool.params)
+      // Gate caller-supplied SQL: passthrough tools always; any tool whose
+      // statement had {{templates}} executes caller text, so gate those too.
+      if (tool.isPassthrough || tool.statement.contains("{{")) {
+        StatementGate.check(spark, bound.sql) match {
+          case Some(reason) => return response(id, errorContent(reason))
+          case None =>
+        }
+      }
+      val df =
+        if (bound.sql.contains(":") && bound.args.nonEmpty)
+          spark.sql(bound.sql, bound.args.asInstanceOf[Map[String, Any]])
+        else spark.sql(bound.sql)
+      val rows = df.toJSON.take(maxRows)
+      val result = mapper.createObjectNode()
+      val content = result.putArray("content")
+      rows.foreach { row =>
+        val item = content.addObject()
+        item.put("type", "text"); item.put("text", row)
+      }
+      response(id, result)
+    } catch {
+      case NonFatal(e) =>
+        response(id, errorContent(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** MCP tool-level error: result with isError:true (not a JSON-RPC error) —
+    * the shape tests/snowflake/test_mcp.py asserts on. */
+  private def errorContent(message: String): ObjectNode = {
+    val result = mapper.createObjectNode()
+    val content = result.putArray("content")
+    val item = content.addObject()
+    item.put("type", "text"); item.put("text", message)
+    result.put("isError", true)
+    result
+  }
+
+  private def response(id: JsonNode, result: JsonNode): String = {
+    val r = mapper.createObjectNode()
+    r.put("jsonrpc", "2.0")
+    if (id != null) r.set[ObjectNode]("id", id) else r.putNull("id")
+    r.set[ObjectNode]("result", result)
+    mapper.writeValueAsString(r)
+  }
+
+  private def errorResponse(id: JsonNode, code: Int, message: String): String = {
+    val r = mapper.createObjectNode()
+    r.put("jsonrpc", "2.0")
+    if (id != null) r.set[ObjectNode]("id", id) else r.putNull("id")
+    val e = r.putObject("error")
+    e.put("code", code); e.put("message", message)
+    mapper.writeValueAsString(r)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.mcp
+
+/** Parameter binding for tool statements — the three styles of the reference
+  * (SURVEY §2.B B11–B13):
+  *  - `:name`  named parameters (tests/sqlite/sqlite.yaml:20-22) — passed to
+  *    Spark's parameterized `spark.sql(sql, args)`, never string-spliced;
+  *  - `$1`     positional (images/redshift/redshift.yaml:28-30) — rewritten
+  *    to named `:_p1` ... then bound the same way;
+  *  - `{{x}}`  whole-template substitution (tests/sqlite/sqlite.yaml:34) —
+  *    raw text replacement, injection-by-design in the reference, so the
+  *    result always goes through the StatementGate before execution.
+  */
+object Params {
+
+  private val Positional = raw"\$$(\d+)".r
+  private val Template = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+
+  final case class Bound(sql: String, args: Map[String, String])
+
+  /** Binds `argValues` into `statement`, returning the SQL to execute plus
+    * named args for Spark's parameterized-SQL API. */
+  def bind(statement: String, argValues: Map[String, String], params: Seq[ParamDef]): Bound = {
+    // 1. {{x}} templates: textual substitution.
+    val templated = Template.replaceAllIn(statement, m =>
+      java.util.regex.Matcher.quoteReplacement(argValues.getOrElse(m.group(1), "")))
+    // 2. $n positional -> :_pN named (ordinal maps onto declared params order).
+    val positional = Positional.replaceAllIn(templated, m => ":_p" + m.group(1))
+    val posArgs = params.zipWithIndex.flatMap { case (p, i) =>
+      argValues.get(p.name).map(v => s"_p${i + 1}" -> v)
+    }.toMap
+    // 3. :name named args pass through to Spark's binder.
+    Bound(positional, argValues ++ posArgs)
+  }
+}

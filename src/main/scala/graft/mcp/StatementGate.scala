@@ -1,0 +1,52 @@
+package graft.mcp
+
+import org.apache.spark.sql.SparkSession
+
+/** Statement-class permission gate (SURVEY §2.A A7): permits read statements
+  * (Select / Show / Describe / Explain / Use), denies DDL/DML/DCL/
+  * transactions — the allowlist of
+  * /root/reference/images/snowflake-mcp/entrypoint.sh:211-232 re-expressed
+  * over Spark's parsed logical plan instead of a SQL-dialect classifier.
+  *
+  * Classification is a pre-execution parse: `parsePlan` builds the unresolved
+  * logical plan; no analysis, no jobs.
+  */
+object StatementGate {
+
+  /** Root node classes that are always allowed (catalog/introspection). */
+  private val allowedRoots = Set(
+    "ShowTables", "ShowTableExtended", "ShowViews", "ShowColumns",
+    "ShowNamespaces", "ShowTableProperties", "ShowFunctions", "ShowCatalogs",
+    "DescribeRelation", "DescribeColumn", "DescribeNamespace",
+    "ExplainCommand", "SetCatalogAndNamespace")
+
+  /** Any node whose class matches this anywhere in the tree makes the
+    * statement a write/DDL/DCL — denied. Mirrors the snowflake-mcp denied
+    * classes (Create/Alter/Drop/Insert/Update/Delete/Merge/TruncateTable/
+    * Grant/Revoke/Commit/Rollback/Transaction/Command/Comment). */
+  private val denied =
+    ("Insert|Create|Replace|Drop|Alter|Delete|Update|Merge|Truncate|Grant|" +
+      "Revoke|Comment|CacheTable|UncacheTable|Refresh|Analyze|Repair|LoadData|" +
+      "^SetCommand$|^ResetCommand$|AddArchives|AddFiles|AddJars|ListArchives|" +
+      "ListFiles|ListJars|Rename|Recover|WriteTo|AddColumns|AddPartition|" +
+      "SetTable|UnsetTable|SetView|SetNamespace|UnsetNamespace|SetLocation|" +
+      "SetProperties|UnsetProperties").r
+
+  /** Returns None if allowed, Some(reason) if denied. */
+  def check(spark: SparkSession, sql: String): Option[String] =
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      if (allowedRoots.contains(plan.getClass.getSimpleName)) None
+      else {
+        var bad: Option[String] = None
+        plan.foreach { node =>
+          val n = node.getClass.getSimpleName
+          if (bad.isEmpty && denied.findFirstIn(n).isDefined) bad = Some(n)
+        }
+        bad.map(n => s"statement class not permitted: $n " +
+          "(only Select/Show/Describe/Explain/Use are allowed)")
+      }
+    } catch {
+      case e: Exception => Some(s"parse error: ${e.getMessage}")
+    }
+}

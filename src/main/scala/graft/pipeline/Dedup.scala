@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection over `documents` (SURVEY §2.E).
+  *
+  * Scale design (100 TB posture): all-pairs comparison is never materialized.
+  * MinHash signatures are one hash-shuffle (`groupBy(doc_id)` over exploded
+  * shingles with 32 partial-aggregating `min`s), LSH banding turns candidate
+  * generation into an equi-join on (band index, band hash) — i.e. only
+  * documents agreeing on a full band collide — and the exact-Jaccard verify
+  * runs only on the (tiny) candidate set. Everything is built from
+  * codegen-friendly built-in expressions; no UDFs, no collect.
+  */
+object Dedup {
+
+  private val NumHashes = 32
+  private val Bands = 8 // 8 bands x 4 rows; P(collision | J=0.9) ~ 1 - (1-0.9^4)^8 ~ 0.999
+
+  /** doc_id -> exploded distinct word-3-shingles ("a b c"). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")
+          )
+        ).as("g"))
+
+  /** MinHash + LSH banding + exact-Jaccard verification of candidates.
+    * Output: (a_id, b_id, jaccard) for verified pairs with J >= minJaccard. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDupOn(sh = shinglesOf(spark, dir), minJaccard = 0.5)
+
+  private def shinglesOf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    shingles(spark.table("documents"))
+  }
+
+  private[pipeline] def minhashNearDupOn(sh: DataFrame, minJaccard: Double): DataFrame = {
+    // 32 independent hash families: xxhash64(shingle, i). Seeds are literals,
+    // so signatures are deterministic across runs and cluster layouts.
+    val sigAggs: Seq[Column] =
+      (0 until NumHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+
+    // One row per (doc, band): band hash folds the band's 4 signature slots.
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      val slots = (0 until NumHashes / Bands).map(r => col(s"h${b * (NumHashes / Bands) + r}"))
+      struct(lit(b).as("band"), xxhash64(slots :+ (lit(b): Column): _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // Candidates: equi-join on (band, band-hash); a_id < b_id de-dupes pairs.
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    // Exact Jaccard on shingle sets, restricted to candidate pairs.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash per document from distinct tokens: bit j is the sign of
+    * sum(+-1) over token-hash bit j. Deterministic (xxhash64 literal seeds);
+    * one shuffle (groupBy doc_id) with 64 partial-aggregating sums. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val toks = spark.table("documents")
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64)
+      .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    sums.select(col("doc_id"), packed.as("simhash")).orderBy("doc_id")
+  }
+}

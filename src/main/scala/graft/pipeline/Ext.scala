@@ -1,0 +1,15 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** [EXT] DataFrame-coded pipeline operators (SURVEY §2.E) that are not
+  * expressible as portable SQL — registered in SparkEntry.queries as
+  * rows-only checks (no DuckDB oracle). */
+object Ext {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
+    "q50_simhash" -> (Dedup.simhash _),
+    "q51_ann_lsh" -> (Similarity.lshTopK _),
+    "q52_multimodal_features" -> (Multimodal.features _),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column handling (SURVEY §2.E): media as opaque `binary` columns
+  * with a typed metadata struct, plus a distributed feature-extraction pass.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (byte histogram standing in for pixel statistics) — the
+  * Spark-side plumbing is the real deliverable: binary column + metadata
+  * struct schema, `mapPartitions` over a typed Dataset (one decoder init per
+  * partition, the shape a real codec needs), fixed-width feature vectors.
+  * Swapping in a real decoder changes only `fakeDecode`.
+  */
+object Multimodal {
+
+  private val HistBuckets = 16
+
+  final case class MediaRow(doc_id: Long, format: String, n_bytes: Int, media: Array[Byte])
+  final case class FeatureRow(doc_id: Long, format: String, n_bytes: Int, features: Array[Double])
+
+  /** STUB decoder: a real implementation would decode image/audio bytes here.
+    * Deterministic byte histogram, L1-normalized. */
+  private def fakeDecode(media: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](HistBuckets)
+    var i = 0
+    while (i < media.length) { h((media(i) & 0xff) % HistBuckets) += 1.0; i += 1 }
+    val n = math.max(media.length, 1).toDouble
+    h.map(_ / n)
+  }
+
+  /** Synthesizes a media table from `documents` (text bytes as the opaque
+    * payload) and runs distributed feature extraction. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    val media = spark.table("documents")
+      .select(col("doc_id"), lit("txt").as("format"),
+        length(col("text")).as("n_bytes"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRow]
+    media
+      .mapPartitions { rows =>
+        // per-partition init point for a real codec (native lib handle etc.)
+        rows.map(r => FeatureRow(r.doc_id, r.format, r.n_bytes, fakeDecode(r.media)))
+      }
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        transform(col("features"), x => round(x, 4)).as("features"))
+      .orderBy("doc_id")
+  }
+}

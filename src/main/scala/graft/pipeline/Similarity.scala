@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate nearest-neighbor search over `embeddings` (SURVEY §2.E).
+  *
+  * The exact brute-force baseline lives in Queries.q48_cosine_topk (broadcast
+  * query rows x full scan, `TakeOrderedAndProject`). This is the scale path:
+  * random-hyperplane LSH buckets both sides, so scoring happens only within
+  * matching buckets — an equi-join on the bucket code instead of a full
+  * cartesian scan. At 100 TB the bucket join shuffles each side once by code;
+  * no collect, no all-pairs.
+  */
+object Similarity {
+
+  private val NumPlanes = 8 // 256 buckets
+  private val Dim = 64
+
+  /** Deterministic hyperplanes (fixed seed) as array<double> literal columns. */
+  private def planes: Seq[Array[Double]] = {
+    val rnd = new Random(42)
+    Seq.fill(NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** Signed-projection bucket code (one int from NumPlanes sign bits). */
+  private def bucketCode(emb: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0)): Column
+    }.reduce(_ + _)
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    round(dot / (na * nb), 4)
+  }
+
+  /** LSH-bucketed cosine top-k for query vectors vec_id < 5.
+    * Output: (qid, did, cos_sim, rnk) — rows-only check (ANN recall is
+    * compared against the exact q48 baseline in SimilaritySpec). */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
+        bucketCode(col("embedding")).as("code"))
+    val queries = emb.where(col("vec_id") < 5)
+
+    import org.apache.spark.sql.expressions.Window
+    val scored = queries.as("q")
+      .join(emb.as("d"), col("q.code") === col("d.code") && col("q.vec_id") =!= col("d.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
+        cosine(col("q.embedding"), col("d.embedding"), col("q.nrm"), col("d.nrm")).as("cos_sim"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))).cast("bigint"))
+      .where(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+/** Every declared query executes at sf0.001 (smoke: no analysis errors, sane
+  * row counts); spot value checks where results are statically known. */
+class QueriesSpec extends SparkSpec {
+
+  test("every SparkEntry query runs") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Exception => Some(s"$name: ${Option(e.getMessage).getOrElse("").take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql covers exactly the SQL-expressible queries") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+    // DataFrame-coded [EXT] ops are the only rows-only entries
+    assert(q -- o == Set("q49_minhash_neardup", "q50_simhash", "q51_ann_lsh", "q52_multimodal_features"))
+  }
+
+  test("q01 literal values") {
+    val row = SparkEntry.queries("q01_literal")(spark, sfDir).collect().head
+    assert(row.getInt(0) == 1 && row.getString(1) == "test")
+  }
+
+  test("q05 CSV-membership LIKE idiom selects exactly the listed nations") {
+    val names = SparkEntry.queries("q05_concat_like")(spark, sfDir).collect().map(_.getString(0)).toSeq
+    assert(names == Seq("NATION_1", "NATION_2"))
+  }
+
+  test("q18 cross join is |region| x |nation|") {
+    assert(SparkEntry.queries("q18_cross")(spark, sfDir).count() == 125)
+  }
+
+  test("q10 info schema reflects orders' real schema") {
+    val rows = SparkEntry.queries("q10_info_schema")(spark, sfDir).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.mcp
+
+import graft.SparkSpec
+
+/** Negative matrix mirroring the snowflake-mcp statement permissions
+  * (reference images/snowflake-mcp/entrypoint.sh:211-232). */
+class GateSpec extends SparkSpec {
+
+  private def allowed(sql: String) =
+    assert(StatementGate.check(spark, sql).isEmpty, s"should be allowed: $sql")
+  private def denied(sql: String) = {
+    val r = StatementGate.check(spark, sql)
+    assert(r.isDefined, s"should be denied: $sql")
+  }
+
+  test("read statements are allowed") {
+    allowed("SELECT 1")
+    allowed("SELECT * FROM t WHERE x > 3 ORDER BY y LIMIT 5")
+    allowed("WITH c AS (SELECT 1 AS x) SELECT * FROM c JOIN d ON c.x = d.x")
+    allowed("SELECT count(*) FROM a GROUP BY b HAVING count(*) > 2")
+    allowed("SHOW TABLES")
+    allowed("DESCRIBE TABLE t")
+    allowed("EXPLAIN SELECT 1")
+    allowed("USE mydb")
+  }
+
+  test("writes, DDL and DCL are denied") {
+    denied("INSERT INTO t VALUES (1)")
+    denied("CREATE TABLE t (x INT)")
+    denied("CREATE TABLE t AS SELECT 1")
+    denied("CREATE OR REPLACE VIEW v AS SELECT 1")
+    denied("DROP TABLE t")
+    denied("DROP VIEW v")
+    denied("ALTER TABLE t ADD COLUMN y INT")
+    denied("DELETE FROM t WHERE x = 1")
+    denied("UPDATE t SET x = 2")
+    denied("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE")
+    denied("TRUNCATE TABLE t")
+    denied("SET spark.sql.shuffle.partitions=1")
+    denied("REFRESH TABLE t")
+    denied("CACHE TABLE t")
+    denied("not even sql")
+  }
+}

@@ -1,0 +1,153 @@
+package graft.mcp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.{SparkSpec, Tables}
+
+/** MCP protocol tests mirroring the reference harness flow
+  * (tests/postgres/test_mcp.py:50-157): initialize → tools/list →
+  * tools/call list_tables (empty + CSV filter) → execute_sql → negatives. */
+class ProtocolSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private lazy val server = {
+    Tables.register(spark, sfDir)
+    new McpServer(spark, ToolboxConfig(Nil, Nil))
+  }
+
+  private def call(line: String) = mapper.readTree(server.handleLine(line).get)
+
+  test("initialize returns serverInfo") {
+    val resp = call("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05","clientInfo":{"name":"test","version":"1.0.0"}}}""")
+    assert(resp.get("id").asInt() == 1)
+    assert(resp.at("/result/serverInfo/name").asText().nonEmpty)
+    assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
+  }
+
+  test("tools/list includes list_tables and execute_sql with schemas") {
+    val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+    val tools = resp.at("/result/tools")
+    assert(tools.isArray && tools.size() >= 2)
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
+    assert(names.contains("list_tables") && names.contains("execute_sql"))
+    val lt = (0 until tools.size()).map(tools.get(_)).find(_.get("name").asText() == "list_tables").get
+    assert(lt.at("/inputSchema/properties/table_names/type").asText() == "string")
+  }
+
+  test("list_tables with empty filter lists every registered table") {
+    val resp = call("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"list_tables","arguments":{"table_names":""}}}""")
+    val content = resp.at("/result/content")
+    assert(content.size() > 0)
+    val rows = (0 until content.size()).map(i => mapper.readTree(content.get(i).get("text").asText()))
+    val tables = rows.map(_.get("table_name").asText()).toSet
+    Tables.tableNames.foreach(t => assert(tables.contains(t), s"missing table $t"))
+    // row shape of redshift.yaml:15-22
+    val first = rows.head
+    Seq("schema_name", "table_name", "column_name", "column_position", "data_type", "is_nullable")
+      .foreach(c => assert(first.has(c), s"missing column $c"))
+  }
+
+  test("list_tables honors the CSV table_names filter") {
+    val resp = call("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"list_tables","arguments":{"table_names":"orders,nation"}}}""")
+    val content = resp.at("/result/content")
+    val tables = (0 until content.size())
+      .map(i => mapper.readTree(content.get(i).get("text").asText()).get("table_name").asText()).toSet
+    assert(tables == Set("orders", "nation"))
+  }
+
+  test("execute_sql runs a query and returns one JSON object per row") {
+    val resp = call("""{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT 1 AS one, 'test' AS message"}}}""")
+    assert(!resp.at("/result").has("isError"))
+    val content = resp.at("/result/content")
+    assert(content.size() == 1)
+    val row = mapper.readTree(content.get(0).get("text").asText())
+    assert(row.get("one").asInt() == 1 && row.get("message").asText() == "test")
+  }
+
+  test("execute_sql over registered data") {
+    val resp = call("""{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT COUNT(*) AS n FROM nation"}}}""")
+    val row = mapper.readTree(resp.at("/result/content").get(0).get("text").asText())
+    assert(row.get("n").asLong() == 25L)
+  }
+
+  test("blocked statement classes return isError") {
+    for (sql <- Seq("INSERT INTO nation VALUES (99, 'X', 0)", "DROP TABLE nation",
+      "CREATE TABLE t (x INT)", "UPDATE nation SET n_name = 'X'")) {
+      val req = mapper.createObjectNode()
+      req.put("jsonrpc", "2.0"); req.put("id", 7); req.put("method", "tools/call")
+      val p = req.putObject("params"); p.put("name", "execute_sql")
+      p.putObject("arguments").put("sql", sql)
+      val resp = mapper.readTree(server.handleLine(mapper.writeValueAsString(req)).get)
+      assert(resp.at("/result/isError").asBoolean(), s"should be blocked: $sql")
+    }
+  }
+
+  test("unknown tool and unknown method produce JSON-RPC errors") {
+    val r1 = call("""{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"nope","arguments":{}}}""")
+    assert(r1.has("error"))
+    val r2 = call("""{"jsonrpc":"2.0","id":9,"method":"wat"}""")
+    assert(r2.get("error").get("code").asInt() == -32601)
+  }
+
+  test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
+    val yaml =
+      """sources:
+        |  testdata:
+        |    kind: dataset-dir
+        |    path: /root/testdata/sf0.001
+        |tools:
+        |  nations_in_region:
+        |    kind: spark-sql
+        |    description: Nations of one region by name.
+        |    parameters:
+        |      - name: region_name
+        |        type: string
+        |        description: region to filter
+        |    statement: |
+        |      SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = :region_name ORDER BY n_name
+        |  first_nations:
+        |    kind: spark-sql
+        |    description: Positional-parameter tool.
+        |    parameters:
+        |      - name: max_key
+        |        type: string
+        |        description: max nation key
+        |    statement: SELECT n_name FROM nation WHERE n_nationkey < CAST($1 AS INT) ORDER BY n_name
+        |  run_sql:
+        |    kind: spark-execute-sql
+        |    description: Gated template passthrough.
+        |    parameters:
+        |      - name: sql
+        |        type: string
+        |        description: statement
+        |    statement: "{{sql}}"
+        |""".stripMargin
+    val config = Config.parse(yaml)
+    assert(config.sources.head.kind == "dataset-dir")
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+    assert(srv.tools.map(_.name).toSet ==
+      Set("list_tables", "execute_sql", "nations_in_region", "first_nations", "run_sql"))
+
+    val r1 = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{"name":"nations_in_region","arguments":{"region_name":"AFRICA"}}}""").get)
+    assert(r1.at("/result/content").size() == 5)
+
+    val r2 = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":11,"method":"tools/call","params":{"name":"first_nations","arguments":{"max_key":"3"}}}""").get)
+    assert(r2.at("/result/content").size() == 3)
+
+    val r3 = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":12,"method":"tools/call","params":{"name":"run_sql","arguments":{"sql":"SELECT 41 + 1 AS x"}}}""").get)
+    val row = mapper.readTree(r3.at("/result/content").get(0).get("text").asText())
+    assert(row.get("x").asInt() == 42)
+
+    val r4 = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":13,"method":"tools/call","params":{"name":"run_sql","arguments":{"sql":"DROP TABLE nation"}}}""").get)
+    assert(r4.at("/result/isError").asBoolean())
+  }
+
+  test("env substitution in config text") {
+    val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
+    assert(out == "path: /data/x")
+    assert(Config.substituteEnv("${MISSING_VAR_XYZ}", Map.empty) == "")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash near-dup finds planted near-duplicates, no false positives") {
+    import graft.TestSpark.spark.implicits._
+    val base = (0 until 40).map(i => s"token$i").mkString(" ")
+    // token39 appears in exactly one shingle -> J = 37/39 ~ 0.95
+    // (NOT "token3": substring replace would also hit token30..token39)
+    val nearDup = base.replace("token39", "changed39")
+    val other = (100 until 140).map(i => s"word$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val sh = docs
+      .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+      .where("size(w) >= 3")
+      .selectExpr("doc_id",
+        "explode(array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g")
+    val pairs = Dedup.minhashNearDupOn(sh, minJaccard = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 1L)
+    assert(pairs.head.getDouble(2) > 0.7 && pairs.head.getDouble(2) < 1.0)
+  }
+
+  test("minhash on the fixture corpus finds the planted pairs deterministically") {
+    val a = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.length > 0, "fixture corpus has planted near-dups; none found")
+  }
+
+  test("simhash is deterministic and near-dups have small hamming distance") {
+    val h = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    pairs.foreach { case (a, b) =>
+      assert(hamming(h(a), h(b)) <= 16, s"near-dup pair ($a,$b) should be close in simhash space")
+    }
+  }
+}

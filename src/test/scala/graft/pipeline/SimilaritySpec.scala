@@ -1,0 +1,29 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("LSH top-k scores lie in [-1, 1] and ranks are per-query sequential") {
+    val rows = Similarity.lshTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
+  test("LSH candidates score identically to the exact brute-force baseline") {
+    Tables.register(spark, sfDir)
+    val exact = spark.sql(graft.Queries.byName("q48_cosine_topk").spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH pair that the exact top-10 also contains must agree on score
+    val common = exact.keySet.intersect(lsh.keySet)
+    common.foreach(k => assert(math.abs(exact(k) - lsh(k)) < 1e-9))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming surface (SURVEY §2.C.9): deterministic replay of the events
+  * fixture through MemoryStream must equal the batch query on the same rows. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch = {
+    Tables.register(spark, sfDir)
+    spark.table("events")
+  }
+
+  test("tumbling-window streaming agg equals the batch aggregation") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("win_agg")
+      .select($"window.start".as("win_start"), $"event_type", $"cnt", $"sum_value")
+      .orderBy("win_start", "event_type").collect()
+    val batch = eventsBatch
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"cnt", $"sum_value")
+      .orderBy("win_start", "event_type").collect()
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("stateful streaming dedup drops re-sent events") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(100)
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    stream.addData(rows) // replay the same batch: all duplicates
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.table("dedup_stream").count() == 100)
+  }
+
+  test("stream-static join enriches events with the user-keyed static side") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(50)
+    val static = spark.range(0, 1000).select($"id".as("user_id"), ($"id" % 3).as("cohort"))
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val q = stream.toDF().join(static, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.table("enriched").count() == 50)
+    assert(spark.table("enriched").columns.contains("cohort"))
+  }
+}

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query result
+dumped by graft.Verify, run the declared DuckDB oracle SQL on the same
+parquet tables and compare (columns sorted by name, row order preserved).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver rounds floats; our SQL already ROUNDs, this absorbs repr noise
+        return f"{v:.4f}"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = duckdb.connect().execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: result missing: {e}")
+            n_fail += 1
+            continue
+        ec = sorted(exp.columns)
+        gc = sorted(got.columns)
+        if ec != gc:
+            print(f"FAIL {name}: columns {gc} != oracle {ec}")
+            n_fail += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}")
+            n_fail += 1
+            continue
+        exp_rows = [[canon(v) for v in row] for row in exp[ec].itertuples(index=False)]
+        got_rows = [[canon(v) for v in row] for row in got[gc].itertuples(index=False)]
+        if exp_rows != got_rows:
+            bad = next(i for i, (a, b) in enumerate(zip(exp_rows, got_rows)) if a != b)
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"  oracle: {exp_rows[bad]}")
+            print(f"  spark : {got_rows[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(exp)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
