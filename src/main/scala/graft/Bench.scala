@@ -22,7 +22,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+
     val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -33,6 +39,8 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             -1.0
         }
+      val heapMb = (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / (1 << 20)
+      System.err.println(f"[bench] $name%-24s ${sec}%8.3f s  gc=${gcMillis - gc0}%5d ms  heap=${heapMb}%5d MB")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query profiler: compares evaluation strategies.
+  * Usage: BenchOne <sfDir> <queryName> */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, sfDir)
+    val fn = SparkEntry.queries(name)
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    for (i <- 1 to 2) {
+      time(s"run$i toRdd.foreach") { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      time(s"run$i noop write") { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      time(s"run$i collect") { fn(spark, sfDir).collect() }
+    }
+    println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(3000))
+    spark.stop()
+  }
+}

@@ -49,6 +49,24 @@ final class McpServer(
         "only; writes and DDL are rejected).",
       params = Seq(ParamDef("sql", "string", "The SQL to execute.")),
       statement = "{{sql}}"),
+    // Catalog search (the dataplex_search_entries analogue, SURVEY §2.A A9):
+    // substring match over table/column names with paging.
+    ToolDef(
+      name = "search_catalog",
+      kind = "spark-sql",
+      description = "Searches catalog entries (tables and columns) by substring; " +
+        "'*' or empty matches everything. Returns at most page_size rows.",
+      params = Seq(
+        ParamDef("query", "string", "Substring to search for ('*' = all)."),
+        ParamDef("page_size", "string", "Maximum rows to return.")),
+      statement =
+        """SELECT schema_name, table_name, column_name, data_type
+          |FROM information_schema_columns
+          |WHERE :query = '*' OR :query = ''
+          |   OR table_name LIKE concat('%', :query, '%')
+          |   OR column_name LIKE concat('%', :query, '%')
+          |ORDER BY schema_name, table_name, column_position
+          |LIMIT CAST(:page_size AS INT)""".stripMargin),
   )
 
   val tools: Seq[ToolDef] =

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for the 100 TB posture (SURVEY §4): filters reach
+  * the parquet scan, projections prune columns, small dims broadcast, aggs
+  * are partial+final, hot paths stay in whole-stage codegen. These are the
+  * properties that decide whether a plan survives a 1000-executor scale-up. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.foreach(_ => ()) // materialize so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def run(name: String): String =
+    executedPlan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("q20 star join: dimension filter is pushed down and joins broadcast") {
+    val plan = run("q20_star_join")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") &&
+      plan.contains("PushedFilters: [IsNotNull(c_mktsegment)"),
+      s"c_mktsegment filter not pushed to customer scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "small dims should broadcast under AQE")
+  }
+
+  test("q20 lineitem scan reads only the three needed columns") {
+    val plan = run("q20_star_join")
+    val scanSchema = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("lineitem")).getOrElse("")
+    assert(scanSchema.contains("l_orderkey") && scanSchema.contains("l_extendedprice")
+      && scanSchema.contains("l_discount"), s"missing pruned columns: $scanSchema")
+    assert(!scanSchema.contains("l_quantity") && !scanSchema.contains("l_shipdate"),
+      s"lineitem scan reads columns the query never uses: $scanSchema")
+  }
+
+  test("q21 agg: shipdate predicate pushed, partial+final hash aggregation, codegen") {
+    val plan = run("q21_tpch_q1")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"l_shipdate range not pushed:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial + final HashAggregate")
+    // codegen stages print as "*(n)" prefixes in the plan tree
+    assert(raw"\*\(\d+\)".r.findFirstIn(plan).isDefined, "agg pipeline should be codegen'd")
+  }
+
+  test("q33 top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = run("q33_limit_offset")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k should not global-sort:\n$plan")
+  }
+
+  test("q02 compound predicate is (partially) pushed to the orders scan") {
+    val plan = run("q02_filter_compound")
+    assert(plan.contains("PushedFilters:") && plan.contains("Or(EqualTo(o_orderstatus,F)"),
+      s"OR predicate not pushed:\n$plan")
+  }
+
+  test("q17 EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    assert(run("q17_semi").contains("LeftSemi"), "EXISTS should plan as left semi join")
+    assert(run("q17_anti").contains("LeftAnti"), "NOT EXISTS should plan as left anti join")
+  }
+}

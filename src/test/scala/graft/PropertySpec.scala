@@ -1,0 +1,49 @@
+package graft
+
+import scala.util.Random
+
+/** Property-style checks (SURVEY §5.4) for the tricky idioms — many random
+  * cases from a fixed seed (the scalatest/scalacheck bridge isn't in the
+  * offline cache, so cases are generated with a seeded Random). */
+class PropertySpec extends SparkSpec {
+
+  private def randNames(rnd: Random, n: Int): List[String] =
+    List.fill(n)(("a" + rnd.alphanumeric.filter(_.isLetter).take(6).mkString).toLowerCase)
+
+  test("A1 CSV-membership filter is exactly set membership") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 25) {
+      val list = randNames(rnd, 5)
+      val probe = if (rnd.nextBoolean()) list(rnd.nextInt(5)) else randNames(rnd, 1).head
+      val csv = list.mkString(",")
+      val hit = spark.sql(s"SELECT array_contains(split('$csv', ','), '$probe') AS hit")
+        .collect().head.getBoolean(0)
+      assert(hit == list.contains(probe), s"csv=$csv probe=$probe")
+    }
+  }
+
+  test("exact dedup is idempotent and matches distinct semantics") {
+    import graft.TestSpark.spark.implicits._
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      val xs = List.fill(30)(rnd.nextInt(10))
+      val df = xs.toDF("x")
+      val once = df.dropDuplicates("x")
+      assert(once.count() == xs.distinct.length)
+      assert(once.dropDuplicates("x").collect().map(_.getInt(0)).sorted
+        .sameElements(once.collect().map(_.getInt(0)).sorted))
+    }
+  }
+
+  test("set-operation algebra matches Scala set semantics") {
+    import graft.TestSpark.spark.implicits._
+    val rnd = new Random(13)
+    for (_ <- 1 to 10) {
+      val a = List.fill(15)(rnd.nextInt(7)); val b = List.fill(15)(rnd.nextInt(7))
+      val da = a.toDF("x"); val db = b.toDF("x")
+      assert(da.intersect(db).collect().map(_.getInt(0)).toSet == (a.toSet & b.toSet))
+      assert(da.except(db).collect().map(_.getInt(0)).toSet == (a.toSet -- b.toSet))
+      assert(da.union(db).distinct().collect().map(_.getInt(0)).toSet == (a.toSet | b.toSet))
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Extension surface (SURVEY §2.C.10): scalar UDF registration and a typed
+  * Aggregator-based UDAF, both callable from SQL — the Spark analogue of the
+  * reference's "define a new named tool" extension model. */
+class UdfSpec extends SparkSpec {
+
+  test("registered scalar UDF is callable from SQL") {
+    spark.udf.register("digit_sum", (n: Long) => n.toString.filter(_.isDigit).map(_ - '0').sum)
+    val r = spark.sql("SELECT digit_sum(12345) AS s").collect().head.getInt(0)
+    assert(r == 15)
+  }
+
+  test("Aggregator-based UDAF (geometric mean) from SQL") {
+    val geoMean = new Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(b: (Double, Long)) = if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+      def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    spark.udf.register("geo_mean", udaf(geoMean))
+    Tables.register(spark, sfDir)
+    val r = spark.sql("SELECT geo_mean(l_quantity) AS g FROM lineitem WHERE l_quantity > 0")
+      .collect().head.getDouble(0)
+    assert(r > 1.0 && r < 50.0)
+    // partial aggregation happens per-partition: same result at any parallelism
+    val single = spark.sql("SELECT geo_mean(l_quantity) AS g FROM (SELECT l_quantity FROM lineitem WHERE l_quantity > 0 ORDER BY l_orderkey, l_linenumber, l_quantity)")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - single) < 1e-6)
+  }
+}

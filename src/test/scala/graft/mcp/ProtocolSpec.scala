@@ -83,6 +83,17 @@ class ProtocolSpec extends SparkSpec {
     }
   }
 
+  test("search_catalog matches substrings and respects page_size") {
+    val r1 = call("""{"jsonrpc":"2.0","id":20,"method":"tools/call","params":{"name":"search_catalog","arguments":{"query":"orderkey","page_size":"10"}}}""")
+    val c1 = r1.at("/result/content")
+    assert(c1.size() > 0 && c1.size() <= 10)
+    val cols = (0 until c1.size())
+      .map(i => mapper.readTree(c1.get(i).get("text").asText()).get("column_name").asText())
+    assert(cols.forall(_.contains("orderkey")))
+    val r2 = call("""{"jsonrpc":"2.0","id":21,"method":"tools/call","params":{"name":"search_catalog","arguments":{"query":"*","page_size":"1"}}}""")
+    assert(r2.at("/result/content").size() == 1)
+  }
+
   test("unknown tool and unknown method produce JSON-RPC errors") {
     val r1 = call("""{"jsonrpc":"2.0","id":8,"method":"tools/call","params":{"name":"nope","arguments":{}}}""")
     assert(r1.has("error"))
@@ -129,7 +140,7 @@ class ProtocolSpec extends SparkSpec {
     config.registerSources(spark)
     val srv = new McpServer(spark, config)
     assert(srv.tools.map(_.name).toSet ==
-      Set("list_tables", "execute_sql", "nations_in_region", "first_nations", "run_sql"))
+      Set("list_tables", "execute_sql", "search_catalog", "nations_in_region", "first_nations", "run_sql"))
 
     val r1 = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{"name":"nations_in_region","arguments":{"region_name":"AFRICA"}}}""").get)
     assert(r1.at("/result/content").size() == 5)

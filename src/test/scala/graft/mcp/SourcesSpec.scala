@@ -1,0 +1,56 @@
+package graft.mcp
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+
+/** Source/sink coverage (SURVEY §2.C.1): parquet/CSV/JSON write + re-read
+  * through the declarative source kinds, ETL write sinks. */
+class SourcesSpec extends SparkSpec {
+
+  test("parquet, csv and json sources round-trip through YAML registration") {
+    Tables.register(spark, sfDir)
+    val base = Files.createTempDirectory("graft_sources").toString
+    val nation = spark.table("nation").orderBy("n_nationkey")
+
+    nation.write.mode("overwrite").parquet(s"$base/nation_pq")
+    nation.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
+    nation.write.mode("overwrite").json(s"$base/nation_js")
+
+    val yaml =
+      s"""sources:
+         |  n_pq:
+         |    kind: parquet
+         |    path: $base/nation_pq
+         |    table: nation_pq
+         |  n_csv:
+         |    kind: csv
+         |    path: $base/nation_csv
+         |    table: nation_csv
+         |  n_js:
+         |    kind: json
+         |    path: $base/nation_js
+         |    table: nation_js
+         |""".stripMargin
+    Config.parse(yaml).registerSources(spark)
+
+    // JSON re-read orders columns alphabetically — select by name, not index
+    val orig = nation.collect().map(_.getAs[String]("n_name")).toSeq
+    for (t <- Seq("nation_pq", "nation_csv", "nation_js")) {
+      val got = spark.table(t).orderBy("n_nationkey").collect().map(_.getAs[String]("n_name")).toSeq
+      assert(got == orig, s"round-trip mismatch for $t")
+      assert(spark.table(t).count() == 25)
+    }
+  }
+
+  test("missing path (unset env) fails fast with the source name") {
+    val cfg = Config.parse(Config.substituteEnv(
+      "sources:\n  bad:\n    kind: parquet\n    path: ${UNSET_VAR_QQ}\n", Map.empty))
+    val e = intercept[IllegalArgumentException](cfg.registerSources(spark))
+    assert(e.getMessage.contains("bad"))
+  }
+
+  test("offline-unreachable source kinds are skipped, not fatal") {
+    Config.parse("sources:\n  pg:\n    kind: postgres\n    host: nowhere\n").registerSources(spark)
+  }
+}

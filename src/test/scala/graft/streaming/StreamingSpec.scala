@@ -66,6 +66,60 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() == 100)
   }
 
+  test("session-window streaming agg equals the batch session windows") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("sess_agg").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("sess_agg")
+      .select($"session_window.start".as("s"), $"user_id", $"cnt")
+      .orderBy("user_id", "s").collect()
+    val batch = eventsBatch
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"session_window.start".as("s"), $"user_id", $"cnt")
+      .orderBy("user_id", "s").collect()
+    assert(streamed.length == batch.length && streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("arbitrary state: running per-user event count via flatMapGroupsWithState") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(500)
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val counted = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user_id", "total")
+      .writeStream.format("memory").queryName("state_counts").outputMode("update").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("state_counts").groupBy("user_id")
+      .agg(max("total").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("stream-static join enriches events with the user-keyed static side") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
