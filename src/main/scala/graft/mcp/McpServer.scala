@@ -145,7 +145,7 @@ final class McpServer(
         }
       }
       val df =
-        if (bound.sql.contains(":") && bound.args.nonEmpty)
+        if (bound.args.nonEmpty)
           spark.sql(bound.sql, bound.args.asInstanceOf[Map[String, Any]])
         else spark.sql(bound.sql)
       val rows = df.toJSON.take(maxRows)

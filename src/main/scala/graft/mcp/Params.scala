@@ -19,7 +19,10 @@ object Params {
 
   /** Binds `argValues` into `statement`, returning the SQL to execute plus
     * named args for Spark's parameterized-SQL API. */
-  def bind(statement: String, argValues: Map[String, String], params: Seq[ParamDef]): Bound = {
+  def bind(statement: String, rawArgs: Map[String, String], params: Seq[ParamDef]): Bound = {
+    // Declared-but-omitted params default to "" (the reference's tools treat
+    // empty as "no filter", e.g. list_tables with table_names "").
+    val argValues = params.map(p => p.name -> "").toMap ++ rawArgs
     // 1. {{x}} templates: textual substitution.
     val templated = Template.replaceAllIn(statement, m =>
       java.util.regex.Matcher.quoteReplacement(argValues.getOrElse(m.group(1), "")))
@@ -28,7 +31,13 @@ object Params {
     val posArgs = params.zipWithIndex.flatMap { case (p, i) =>
       argValues.get(p.name).map(v => s"_p${i + 1}" -> v)
     }.toMap
-    // 3. :name named args pass through to Spark's binder.
-    Bound(positional, argValues ++ posArgs)
+    // 3. :name named args pass through to Spark's binder — but only names the
+    // statement actually references, so incidental colons in user SQL (e.g.
+    // time literals) never trigger the parameterized path spuriously.
+    val all = argValues ++ posArgs
+    val referenced = all.filter { case (k, _) =>
+      raw"(?<![:\w]):$k\b".r.findFirstIn(positional).isDefined
+    }
+    Bound(positional, referenced)
   }
 }

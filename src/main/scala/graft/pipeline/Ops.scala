@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as builtins, composed scale-safely from
+  * existing ones (SURVEY §2.C.3 as-of join; skew handling).
+  */
+object Ops {
+
+  /** As-of join: for every left row, the single latest right row with
+    * `right.timeCol <= left.timeCol`, matched on `keyCol`.
+    *
+    * Union + window trick (no custom physical operator needed): tag both
+    * sides, union on (key, time), propagate the last-seen right payload with
+    * `last(ignoreNulls) over (partition key order time, tag)`, keep left
+    * rows. One shuffle on the key — the same cost as the equi-join Spark
+    * would do anyway; never a range cross-product. Right rows sort before
+    * left rows at equal timestamps (tag order), so an exactly-simultaneous
+    * right row IS visible to the left row, the usual as-of convention.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("_tag", lit(1))
+      .select(lCols.map(col) ++ Seq(col("_tag")) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
+    val r = right
+      .withColumn("_tag", lit(0))
+      .select(lCols.map(c => if (c == keyCol || c == timeCol) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("_tag")) ++ payloadCols.map(c => col(c).as(s"_p_$c")): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .select((lCols.map(col) :+ col("_tag")) ++
+        payloadCols.map(c => last(col(s"_p_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+    filled.where(col("_tag") === 1).drop("_tag")
+  }
+
+  /** Salted equi-join for skewed keys: explodes the build side `salt` ways
+    * and scatters the probe side, so one hot key spreads over `salt`
+    * reducers instead of melting a single task. AQE's skew-join handles the
+    * sort-merge case at runtime; this is the explicit form for when the
+    * build side is too big to broadcast but a few keys dominate. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, salt: Int): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val exploded = build.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Partitioned parquet ETL sink (SURVEY §2.C.1): hive-style partition
+    * directories so later scans prune on `partitionCols`. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -156,6 +156,32 @@ class ProtocolSpec extends SparkSpec {
     assert(r4.at("/result/isError").asBoolean())
   }
 
+  test("DESCRIBE and EXPLAIN flow through execute_sql") {
+    val r1 = call("""{"jsonrpc":"2.0","id":30,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"DESCRIBE TABLE orders"}}}""")
+    assert(!r1.at("/result").has("isError"))
+    val cols = (0 until r1.at("/result/content").size())
+      .map(i => mapper.readTree(r1.at("/result/content").get(i).get("text").asText()).get("col_name").asText())
+    assert(cols.contains("o_orderkey"))
+    val r2 = call("""{"jsonrpc":"2.0","id":31,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"EXPLAIN SELECT COUNT(*) FROM orders"}}}""")
+    assert(!r2.at("/result").has("isError"))
+    assert(r2.at("/result/content").get(0).get("text").asText().contains("Physical Plan"))
+  }
+
+  test("results are capped at maxRows") {
+    val small = new McpServer(spark, ToolboxConfig(Nil, Nil), maxRows = 7)
+    val resp = mapper.readTree(small.handleLine(
+      """{"jsonrpc":"2.0","id":32,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT c_custkey FROM customer ORDER BY c_custkey"}}}""").get)
+    assert(resp.at("/result/content").size() == 7)
+  }
+
+  test("declared-but-omitted tool params default to empty (list-all)") {
+    val resp = call("""{"jsonrpc":"2.0","id":33,"method":"tools/call","params":{"name":"list_tables","arguments":{}}}""")
+    assert(!resp.at("/result").has("isError"))
+    val tables = (0 until resp.at("/result/content").size())
+      .map(i => mapper.readTree(resp.at("/result/content").get(i).get("text").asText()).get("table_name").asText()).toSet
+    assert(tables.size >= graft.Tables.tableNames.size)
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.{SparkSpec, Tables}
+
+class OpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest earlier (or simultaneous) right row per key") {
+    import graft.TestSpark.spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:03"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 10:00:05"), "t3"),
+      (3L, ts("2024-01-01 10:00:01"), "t4"),
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:01"), 100.0),
+      (1L, ts("2024-01-01 10:00:03"), 101.0), // simultaneous with t1 -> visible
+      (1L, ts("2024-01-01 10:00:08"), 102.0),
+      (2L, ts("2024-01-01 10:00:09"), 200.0), // after t3 -> not visible
+    ).toDF("k", "t", "price")
+
+    val out = Ops.asofJoin(trades, quotes, "k", "t", Seq("price"))
+      .orderBy("k", "t").collect()
+    val got = out.map(r => (r.getAs[String]("trade"), Option(r.getAs[Any]("asof_price"))))
+    assert(got.toSeq == Seq(
+      ("t1", Some(101.0)), // simultaneous quote wins
+      ("t2", Some(102.0)),
+      ("t3", None),        // only later quotes exist for k=2
+      ("t4", None),        // no quotes at all for k=3
+    ))
+  }
+
+  test("as-of join window formulation agrees with q35 on the fixture") {
+    Tables.register(spark, sfDir)
+    val events = spark.table("events")
+    // self as-of: value as of each event == the event's own value (simultaneous visible)
+    val out = Ops.asofJoin(
+      events.select("user_id", "ts", "event_id"),
+      events.select("user_id", "ts", "value"),
+      "user_id", "ts", Seq("value"))
+    assert(out.where("asof_value IS NULL").count() == 0)
+  }
+
+  test("salted join equals plain join") {
+    import graft.TestSpark.spark.implicits._
+    val probe = (1 to 1000).map(i => (i % 3, i)).toDF("key", "v")
+    val build = Seq((0, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("key", "name")
+    val plain = probe.join(build, "key").groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Ops.saltedJoin(probe, build, "key", salt = 8).groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
+  test("partitioned sink enables partition pruning on read") {
+    Tables.register(spark, sfDir)
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
+    Ops.writePartitioned(spark.table("orders"), dir, Seq("o_orderstatus"))
+    val back = spark.read.parquet(dir).where("o_orderstatus = 'F'")
+    back.queryExecution.toRdd.foreach(_ => ())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition pruning missing:\n$plan")
+    assert(back.count() == spark.table("orders").where("o_orderstatus = 'F'").count())
+  }
+}
