@@ -313,11 +313,14 @@ object Queries {
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
 
     // ---- n-gram Jaccard similarity between consecutive docs (char 3-grams).
-    //      Join key is (gram, adjacent id) — equi-join, never all-pairs. ----
+    //      Join key is (gram, adjacent id) — equi-join, never all-pairs.
+    //      Gram sets are deduped per-row (array_distinct before explode), so
+    //      no global DISTINCT shuffle of the exploded gram table. ----
     q2("q46_ngram_jaccard",
       """WITH ds AS (
-        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
-        |  FROM (SELECT doc_id, text, explode(sequence(1, length(text) - 2)) AS i FROM documents) x),
+        |  SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
+        |                                                  i -> substr(text, i, 3)))) AS g
+        |  FROM documents),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
@@ -348,6 +351,27 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin),
+
+    // ---- JSON field filter (document-store idiom: typed predicate on an
+    //      extracted field, SURVEY §1.1/§1.4) ----
+    q2("q53_json_filter",
+      """SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k_int
+        |FROM events WHERE CAST(get_json_object(props, '$.k') AS INT) > 50
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id LIMIT 100""".stripMargin),
+
+    // ---- array functions (split / size / element access, SURVEY §2.C.8) ----
+    q2("q54_array_ops",
+      """SELECT n_nationkey, CAST(size(split(n_name, '_')) AS INT) AS nparts,
+        |  element_at(split(n_name, '_'), 2) AS suffix,
+        |  array_join(sort_array(split(n_name, '_')), '-') AS joined
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, CAST(len(string_split(n_name, '_')) AS INT) AS nparts,
+        |  string_split(n_name, '_')[2] AS suffix,
+        |  array_to_string(list_sort(string_split(n_name, '_')), '-') AS joined
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
 
     // ---- brute-force cosine top-k similarity over embeddings (the exact
     //      baseline; ranking uses the ROUNDed score + id tiebreak so both
