@@ -17,6 +17,22 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
+    if (name == "cosine_native_vs_hof") {
+      // all-pairs within a 500-row slice: 250k scoring ops per formulation
+      val nat = "SELECT SUM(cosine_similarity(a.embedding, b.embedding)) FROM " +
+        "(SELECT * FROM embeddings WHERE vec_id < 500) a JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b"
+      val hof = "SELECT SUM(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x) " +
+        "/ (SQRT(aggregate(a.embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * SQRT(aggregate(b.embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) FROM " +
+        "(SELECT * FROM embeddings WHERE vec_id < 500) a JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b"
+      for (i <- 1 to 3) {
+        for ((label, q) <- Seq("native" -> nat, "hof" -> hof)) {
+          val t0 = System.nanoTime()
+          spark.sql(q).collect()
+          println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

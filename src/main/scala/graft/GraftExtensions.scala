@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point — enable with
+  * `spark.sql.extensions=graft.GraftExtensions` to get the engine's native
+  * functions in any session at build time (the runtime path is
+  * `CosineSimilarity.register(spark)`, done by Tables.register). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      CosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -60,6 +60,9 @@ object Tables {
     // skew handling, partition coalescing); UTC for oracle parity.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Engine-native functions, registered at runtime so driver-provided
+    // sessions (no spark.sql.extensions) get them too.
+    graft.functions.CosineSimilarity.register(spark)
 
     val dfs: Seq[(String, DataFrame)] = tableNames.map { n =>
       val df = read(spark, dir, n)

@@ -37,12 +37,10 @@ object Similarity {
       when(dot > 0, lit(1 << i)).otherwise(lit(0)): Column
     }.reduce(_ + _)
 
-  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    round(dot / (na * nb), 4)
-  }
+  /** Scoring uses the engine's native codegen'd expression (one fused loop,
+    * no per-row intermediate arrays) — see graft.functions.CosineSimilarity. */
+  private def cosine(aName: String, bName: String): Column =
+    round(expr(s"cosine_similarity($aName, $bName)"), 4)
 
   /** LSH-bucketed cosine top-k for query vectors vec_id < 5.
     * Output: (qid, did, cos_sim, rnk) — rows-only check (ANN recall is
@@ -50,17 +48,14 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     val emb = spark.table("embeddings")
-      .select(col("vec_id"), col("embedding"),
-        sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("nrm"),
-        bucketCode(col("embedding")).as("code"))
+      .select(col("vec_id"), col("embedding"), bucketCode(col("embedding")).as("code"))
     val queries = emb.where(col("vec_id") < 5)
 
     import org.apache.spark.sql.expressions.Window
     val scored = queries.as("q")
       .join(emb.as("d"), col("q.code") === col("d.code") && col("q.vec_id") =!= col("d.vec_id"))
       .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
-        cosine(col("q.embedding"), col("d.embedding"), col("q.nrm"), col("d.nrm")).as("cos_sim"))
+        cosine("q.embedding", "d.embedding").as("cos_sim"))
     scored
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))).cast("bigint"))

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+
+class CosineSpec extends SparkSpec {
+
+  private def sql1(q: String) = {
+    Tables.register(spark, sfDir) // registers cosine_similarity too
+    spark.sql(q).collect().head
+  }
+
+  test("known values: parallel, orthogonal, antiparallel") {
+    val r = sql1(
+      """SELECT
+        |  cosine_similarity(array(1.0F, 0.0F), array(2.0F, 0.0F)) AS par,
+        |  cosine_similarity(array(1.0F, 0.0F), array(0.0F, 3.0F)) AS orth,
+        |  cosine_similarity(array(1.0F, 2.0F), array(-1.0F, -2.0F)) AS anti""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("nulls: null input, length mismatch, zero norm") {
+    val r = sql1(
+      """SELECT
+        |  cosine_similarity(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS n1,
+        |  cosine_similarity(array(1.0F, 2.0F), array(1.0F)) AS n2,
+        |  cosine_similarity(array(0.0F, 0.0F), array(1.0F, 1.0F)) AS n3""".stripMargin)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("native expression agrees with the HOF formulation on the corpus") {
+    Tables.register(spark, sfDir)
+    val diff = spark.sql(
+      """SELECT MAX(ABS(
+        |  cosine_similarity(a.embedding, b.embedding) -
+        |  aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)
+        |    / (SQRT(aggregate(a.embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |     * SQRT(aggregate(b.embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |)) AS md
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(diff < 1e-12, s"native vs HOF diverged by $diff")
+  }
+
+  test("expression survives codegen (no fallback to interpreted errors)") {
+    Tables.register(spark, sfDir)
+    // a full scan through the expression in a wholestage-codegen'd project
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 " +
+        "WHERE cosine_similarity(a.embedding, b.embedding) BETWEEN -1.0001 AND 1.0001")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+}
