@@ -44,7 +44,9 @@ object BenchOne {
       time(s"run$i noop write") { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       time(s"run$i collect") { fn(spark, sfDir).collect() }
     }
-    println(fn(spark, sfDir).queryExecution.executedPlan.toString.take(3000))
+    val finalDf = fn(spark, sfDir)
+    finalDf.queryExecution.toRdd.foreach(_ => ())
+    println(finalDf.queryExecution.executedPlan.toString.take(3000))
     spark.stop()
   }
 }

@@ -373,6 +373,25 @@ object Queries {
         |  array_to_string(list_sort(string_split(n_name, '_')), '-') AS joined
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // ---- graph traversal as self-joins (SURVEY §1.1: graph = edge
+    //      DataFrames + iterative joins): customer-[in]->nation<-[in]-supplier
+    //      2-hop co-location, rolled up to regions ----
+    q("q55_graph_2hop",
+      """SELECT r.r_name, COUNT(*) AS colocated_pairs
+        |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin),
+
+    // ---- KV / map columns (SURVEY §1.1: wide-column/KV = MapType):
+    //      str_to_map round-trip; oracle states the equivalent value ----
+    q2("q56_map_ops",
+      """SELECT n_nationkey,
+        |  element_at(str_to_map(concat('name:', n_name, ',key:', n_nationkey), ',', ':'), 'name') AS name_val,
+        |  CAST(element_at(str_to_map(concat('name:', n_name, ',key:', n_nationkey), ',', ':'), 'key') AS INT) AS key_val
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      "SELECT n_nationkey, n_name AS name_val, n_nationkey AS key_val FROM nation ORDER BY n_nationkey"),
+
     // ---- brute-force cosine top-k similarity over embeddings (the exact
     //      baseline; ranking uses the ROUNDed score + id tiebreak so both
     //      engines rank identically despite FP summation order). ----

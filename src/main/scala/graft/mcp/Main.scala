@@ -24,6 +24,9 @@ object Main {
         case "--stdio" => stdio = true
         case "--tools-file" => toolsFile = Some(args(i + 1)); i += 1
         case "--data-dir" => dataDir = Some(args(i + 1)); i += 1
+        // reference-image compat (entrypoints pass `--prebuilt <kind>`): the
+        // builtin tools are always present, so the kind name is informational
+        case "--prebuilt" => i += 1
         case other => System.err.println(s"[main] ignoring unknown arg: $other")
       }
       i += 1

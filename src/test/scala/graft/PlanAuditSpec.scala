@@ -1,0 +1,35 @@
+package graft
+
+/** Whole-catalog plan audit: every query's executed plan is scanned for
+  * scale anti-patterns. Guards against a future query silently planning a
+  * cartesian product or losing whole-stage codegen entirely. */
+class PlanAuditSpec extends SparkSpec {
+
+  // cross/theta joins legitimately nested-loop over tiny dims
+  private val cartesianOk = Set("q18_cross", "q19_theta_join")
+
+  test("no query plans a cartesian product (except declared tiny-dim cross/theta)") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") && !cartesianOk(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("every SQL query's plan contains a codegen stage") {
+    val noCodegen = Queries.specs.flatMap { spec =>
+      val df = { Tables.register(spark, sfDir); spark.sql(spec.spark) }
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan.toString
+      val ok = raw"\*\(\d+\)".r.findFirstIn(plan).isDefined ||
+        // AQE folded an empty result away — nothing left to codegen
+        plan.contains("EmptyRelation") ||
+        // pure literal (OneRowRelation) has no codegen stage either
+        spec.name == "q01_literal"
+      if (ok) None else Some(spec.name)
+    }
+    assert(noCodegen.isEmpty, s"codegen missing in: ${noCodegen.mkString(", ")}")
+  }
+}
