@@ -33,6 +33,44 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "minhash_scale") {
+      // 20x corpus (tokens salted per copy so replicas aren't cross-copy
+      // dups): does near-dup detection stay near-linear?
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      val big = spark.range(0, 20).crossJoin(docs).select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        concat_ws(" ", expr("transform(split(lower(text), ' '), w -> concat('c', id, '_', w))")).as("text"))
+      big.createOrReplaceTempView("documents") // shadow with the big corpus
+      println(s"docs: ${big.count()}")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val pairs = pipeline.Dedup.minhashNearDup(spark, sfDir).count()
+        println(f"run$i minhash over 20x corpus: ${(System.nanoTime() - t0) / 1e9}%.2f s, $pairs pairs")
+      }
+      spark.stop(); return
+    }
+    if (name == "ann_scale") {
+      // 20x vectors (deterministically perturbed replicas): LSH-bucketed
+      // scoring vs brute force at 10k vectors.
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      val big = spark.range(0, 20).crossJoin(emb)
+        .select((col("vec_id") + col("id") * 1000000L).as("vec_id"), col("embedding"))
+        .select(col("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + (((vec_id + j) % 13) - 6) * 0.01 AS FLOAT))").as("embedding"))
+      big.createOrReplaceTempView("embeddings")
+      println(s"vectors: ${big.count()}")
+      for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val lsh = pipeline.Similarity.lshTopK(spark, sfDir).count()
+        println(f"run$i lsh topk: ${(System.nanoTime() - t0) / 1e9}%.2f s ($lsh rows)")
+        t0 = System.nanoTime()
+        val brute = spark.sql(Queries.byName("q48_cosine_topk").spark).count()
+        println(f"run$i brute topk: ${(System.nanoTime() - t0) / 1e9}%.2f s ($brute rows)")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
