@@ -1,0 +1,48 @@
+package graft
+
+
+/** Bucketing: pre-partitioning both join sides on the key eliminates the
+  * join shuffle entirely — at 100 TB this turns every repeated
+  * orders-lineitem join from a full-data shuffle into a local zip of
+  * co-located buckets (SURVEY §2 "Partitioning & shuffle"). */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key plans without a shuffle exchange") {
+    Tables.register(spark, sfDir) // warehouse dir set in TestSpark (static conf)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.table("orders").write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      spark.table("lineitem").write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("lineitem_b")
+
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, COUNT(*) AS n FROM orders_b o
+          |JOIN lineitem_b l ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o.o_orderkey""".stripMargin)
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val plan = joined.queryExecution.executedPlan.toString
+
+      // bucket layout satisfies the join's distribution: no shuffle before it
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected sort-merge join:\n$plan")
+      val beforeJoin = plan.substring(joinIdx)
+      assert(!beforeJoin.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), "scan should be bucket-aware")
+
+      // same result as the unbucketed join
+      val expected = spark.sql(
+        """SELECT o.o_orderkey, COUNT(*) AS n FROM orders o
+          |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o.o_orderkey""".stripMargin).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
