@@ -373,6 +373,16 @@ object Queries {
         |  array_to_string(list_sort(string_split(n_name, '_')), '-') AS joined
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // ---- document-store idiom (SURVEY §1.4): parse the JSON document column
+    //      into a typed struct and aggregate over a field ----
+    q2("q57_from_json",
+      """SELECT CAST(from_json(props, 'k INT').k % 10 AS INT) AS k_mod, COUNT(*) AS n,
+        |  CAST(MIN(from_json(props, 'k INT').k) AS INT) AS k_min
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod, COUNT(*) AS n,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min
+        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin),
+
     // ---- graph traversal as self-joins (SURVEY §1.1: graph = edge
     //      DataFrames + iterative joins): customer-[in]->nation<-[in]-supplier
     //      2-hop co-location, rolled up to regions ----

@@ -120,6 +120,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("file-source streaming: parquet directory replay equals batch") {
+    import graft.TestSpark.spark.implicits._
+
+    // stage the events fixture as a streaming source directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchDf = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val q = streamed.writeStream
+      .format("memory").queryName("file_stream_agg").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("file_stream_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = batchDf.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("stream-static join enriches events with the user-keyed static side") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
