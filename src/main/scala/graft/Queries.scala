@@ -231,6 +231,29 @@ object Queries {
     q("q34_union",
       "SELECT n_nationkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k"),
 
+    // ---- additional set-op / subquery forms ----
+    q("q58_set_all",
+      """SELECT k, COUNT(*) AS c FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+    q("q59_in_subquery",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    q("q60_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    q("q61_union_all",
+      """SELECT k, COUNT(*) AS c FROM (
+        |  SELECT n_regionkey AS k FROM nation UNION ALL SELECT r_regionkey AS k FROM region) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+    q("q62_values_join",
+      """SELECT v.label, COUNT(*) AS n
+        |FROM (VALUES (0, 'zero'), (1, 'one'), (2, 'two')) AS v(rk, label)
+        |JOIN nation ON n_regionkey = v.rk
+        |GROUP BY v.label ORDER BY v.label""".stripMargin),
+
     // ---- as-of join [EXT] via window (unique (ts,event_id) order for determinism) ----
     q2("q35_asof_window",
       """SELECT user_id, ts, value,

@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
     assert(a.length > 0, "fixture corpus has planted near-dups; none found")
   }
 
+  test("minhash output equals the exact all-pairs ground truth at threshold") {
+    graft.Tables.register(spark, sfDir)
+    // Exact ground truth via gram equi-join: any pair with J > 0 shares a
+    // gram, so joining shingle tables on g (a_id < b_id) enumerates every
+    // candidate exactly — no LSH approximation involved.
+    val truth = spark.sql(
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents WHERE size(split(lower(text), ' ')) >= 3),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |                                             i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.minhashNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"missed: ${(truth -- found).take(5)}; spurious: ${(found -- truth).take(5)}")
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val h = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
