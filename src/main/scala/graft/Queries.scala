@@ -324,6 +324,37 @@ object Queries {
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS n_e
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- stopword ratio per document (quality-scoring feature) ----
+    q2("q63_stopword_ratio",
+      """SELECT doc_id,
+        |  ROUND(AVG(CASE WHEN t IN ('the', 'a', 'of', 'and', 'to') THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS stop_ratio
+        |FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) toks
+        |WHERE t <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  ROUND(AVG(CASE WHEN t IN ('the', 'a', 'of', 'and', 'to') THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS stop_ratio
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) toks
+        |WHERE t <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- TF-IDF top terms (distributed: two grouped aggs + a broadcast-able
+    //      doc-frequency join; no per-doc loops) ----
+    q2("q64_tfidf",
+      """WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, explode(split(lower(text), ' ')) AS t FROM documents) x WHERE t <> ''),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(DISTINCT doc_id) AS d FROM toks GROUP BY t),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS total FROM toks)
+        |SELECT doc_id, t, ROUND(c * LN(n.total / df.d), 4) AS tfidf
+        |FROM tf JOIN df USING (t) CROSS JOIN n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, tfidf DESC, t LIMIT 200""".stripMargin,
+      """WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents) x WHERE t <> ''),
+        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+        |df AS (SELECT t, COUNT(DISTINCT doc_id) AS d FROM toks GROUP BY t),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS total FROM toks)
+        |SELECT doc_id, t, ROUND(c * LN(n.total / df.d), 4) AS tfidf
+        |FROM tf JOIN df USING (t) CROSS JOIN n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, tfidf DESC, t LIMIT 200""".stripMargin),
+
     // ---- language-ID heuristic (stopword hit; corpus is synthetic so the
     //      heuristic itself, not accuracy, is what's verified) ----
     q("q44_lang_id",

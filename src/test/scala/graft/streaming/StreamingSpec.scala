@@ -120,6 +120,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream join within the event-time window equals batch join") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(1000)
+    val clicks = rows.filter(_.event_type == "click")
+    val purchases = rows.filter(_.event_type == "purchase")
+
+    val sClicks = MemoryStream[Ev]; sClicks.addData(clicks)
+    val sPurch = MemoryStream[Ev]; sPurch.addData(purchases)
+    val joined = sClicks.toDF().select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+      .join(
+        sPurch.toDF().select($"user_id".as("pu"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+          .withWatermark("p_ts", "1 hour"),
+        expr("""user_id = pu AND p_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ss_join").count()
+
+    val bc = clicks.toDF().select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val bp = purchases.toDF().select($"user_id".as("pu"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val batch = bc.join(bp,
+      expr("user_id = pu AND p_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES")).count()
+    assert(streamed == batch && batch > 0)
+  }
+
   test("file-source streaming: parquet directory replay equals batch") {
     import graft.TestSpark.spark.implicits._
 
