@@ -231,6 +231,42 @@ object Queries {
     q("q34_union",
       "SELECT n_nationkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k"),
 
+    // ---- bounded sliding ROWS frame ----
+    q("q65_sliding_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS smooth
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- distribution windows: ntile / percent_rank / cume_dist ----
+    q("q66_distribution_windows",
+      """SELECT c_custkey,
+        |  CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal), 4) AS pr,
+        |  ROUND(CUME_DIST() OVER (ORDER BY c_acctbal), 4) AS cd
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin),
+
+    // ---- first_value / nth_value over a frame ----
+    q("q67_value_windows",
+      """SELECT s_suppkey,
+        |  FIRST_VALUE(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS richest,
+        |  NTH_VALUE(s_name, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
+    // ---- ordered-set aggregate: percentile_cont ----
+    q("q68_percentile_cont",
+      """SELECT o_orderstatus,
+        |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med,
+        |  ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- regexp extract / replace ----
+    q("q69_regexp",
+      """SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_brand, '#', '-') AS dashed
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin),
+
     // ---- additional set-op / subquery forms ----
     q("q58_set_all",
       """SELECT k, COUNT(*) AS c FROM (

@@ -120,6 +120,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark deduplicates replayed events") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(100)
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    stream.addData(rows)
+    val q = stream.toDF()
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_wm").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(spark.table("dedup_wm").count() == 100)
+  }
+
   test("stream-stream join within the event-time window equals batch join") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
