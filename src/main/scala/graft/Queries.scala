@@ -231,6 +231,17 @@ object Queries {
     q("q34_union",
       "SELECT n_nationkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region ORDER BY k"),
 
+    // ---- date arithmetic: datediff / make_date ----
+    q2("q70_date_arith",
+      """SELECT o_orderkey,
+        |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS INT) AS days_since,
+        |  make_date(2030, 1, 2) AS md
+        |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin,
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  make_date(2030, 1, 2) AS md
+        |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin),
+
     // ---- bounded sliding ROWS frame ----
     q("q65_sliding_frame",
       """SELECT o_custkey, o_orderkey,

@@ -52,15 +52,16 @@ final case class ToolboxConfig(sources: Seq[SourceDef], tools: Seq[ToolDef]) {
       case "dataset-dir" =>
         graft.Tables.register(spark, path)
       case "parquet" | "csv" | "json" =>
+        // defaults first so explicit source options win over them
         val reader = spark.read.format(src.kind)
-        val withOpts = src.options.foldLeft(reader) {
+        val withDefaults =
+          if (src.kind == "csv") reader.option("header", "true").option("inferSchema", "true")
+          else reader
+        val withOpts = src.options.foldLeft(withDefaults) {
           case (r, (k, v)) if k != "path" && k != "table" => r.option(k, v)
           case (r, _) => r
         }
-        val df =
-          if (src.kind == "csv") withOpts.option("header", "true").option("inferSchema", "true")
-            .load(path)
-          else withOpts.load(path)
+        val df = withOpts.load(path)
         df.createOrReplaceTempView(src.options.getOrElse("table", src.name))
       case other =>
         System.err.println(s"[config] ignoring source '${src.name}' of offline-unreachable kind '$other'")

@@ -36,7 +36,9 @@ object Params {
     // time literals) never trigger the parameterized path spuriously.
     val all = argValues ++ posArgs
     val referenced = all.filter { case (k, _) =>
-      raw"(?<![:\w]):$k\b".r.findFirstIn(positional).isDefined
+      // quote the name: arbitrary JSON keys must not be regex metacharacters
+      (raw"(?<![:\w]):" + java.util.regex.Pattern.quote(k) + raw"\b").r
+        .findFirstIn(positional).isDefined
     }
     Bound(positional, referenced)
   }

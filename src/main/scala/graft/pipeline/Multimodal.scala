@@ -38,8 +38,9 @@ object Multimodal {
     Tables.register(spark, dir)
     import spark.implicits._
     val media = spark.table("documents")
-      .select(col("doc_id"), lit("txt").as("format"),
-        length(col("text")).as("n_bytes"), encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"), lit("txt").as("format"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("n_bytes", length(col("media"))) // octet length, not chars
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("media"))
       .as[MediaRow]
     media
       .mapPartitions { rows =>
