@@ -88,8 +88,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
   val info: ExpressionInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getCanonicalName, null, "cosine_similarity",
-    "_FUNC_(a, b) - cosine similarity of two float vectors.", "")
+    classOf[CosineSimilarity].getCanonicalName, "cosine_similarity")
 
   /** Runtime registration on any session (works on driver-provided sessions
     * where spark.sql.extensions can no longer be set). */

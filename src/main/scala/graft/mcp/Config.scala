@@ -97,7 +97,7 @@ object Config {
       // YAML `key:` with no value parses to null — treat as absent, so a
       // missing ${ENV} substitution fails fast below instead of producing a
       // literal "null" path.
-      val opts = (m - "kind").collect { case (k, ov) if ov != null => k -> ov.toString }.toMap
+      val opts = m.collect { case (k, ov) if k != "kind" && ov != null => k -> ov.toString }.toMap
       SourceDef(name, kind, opts)
     }.toSeq
 

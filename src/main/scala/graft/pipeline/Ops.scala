@@ -26,7 +26,9 @@ object Ops {
       keyCol: String,
       timeCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    val lCols = left.columns
+    require(payloadCols.forall(!left.columns.contains(_)),
+      s"payload columns ${payloadCols.filter(left.columns.contains(_))} collide with left-side columns")
+    val lCols = left.columns.toSeq
     val l = left
       .withColumn("_tag", lit(1))
       .select(lCols.map(col) ++ Seq(col("_tag")) ++ payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
