@@ -41,4 +41,15 @@ class GateSpec extends SparkSpec {
     denied("CACHE TABLE t")
     denied("not even sql")
   }
+
+  test("gate bypass attempts are still denied") {
+    denied("WITH src AS (SELECT 1 AS x) INSERT INTO t SELECT * FROM src") // CTE-wrapped write
+    denied("/* harmless comment */ DROP TABLE t")
+    denied("SELECT 1; DROP TABLE t") // multi-statement -> parse error -> denied
+    denied("INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1")
+    denied("CREATE TEMPORARY VIEW v AS SELECT 1")
+    denied("ALTER VIEW v AS SELECT 2")
+    // comments and CTEs on reads stay allowed
+    allowed("/* c */ WITH a AS (SELECT 1 AS x) SELECT * FROM a")
+  }
 }
