@@ -82,6 +82,33 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** SimHash near-dup pairs within hamming distance `maxHamming` (default 3):
+    * candidates from 16-bit band equality — by pigeonhole, a pair differing
+    * in at most 3 bit positions MUST agree on one of the 4 bands, so recall
+    * is EXACT for maxHamming <= 3 — then verified by popcount. Same scale
+    * shape as MinHash: equi-join on (band, value), never all-pairs. For
+    * larger radii use minhashNearDup (shingle Jaccard), which is the
+    * primary near-dup operator; simhash banding loses recall beyond its
+    * pigeonhole radius. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val hashes = simhash(spark, dir) // (doc_id, simhash)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bv"))
+    }
+    val banded = hashes
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** 64-bit SimHash per document from distinct tokens: bit j is the sign of
     * sum(+-1) over token-hash bit j. Deterministic (xxhash64 literal seeds);
     * one shuffle (groupBy doc_id) with 64 partial-aggregating sums. */

@@ -9,6 +9,7 @@ object Ext {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
     "q50_simhash" -> (Dedup.simhash _),
+    "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q52_multimodal_features" -> (Multimodal.features _),
   )

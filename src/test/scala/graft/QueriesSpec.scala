@@ -21,7 +21,8 @@ class QueriesSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     // DataFrame-coded [EXT] ops are the only rows-only entries
-    assert(q -- o == Set("q49_minhash_neardup", "q50_simhash", "q51_ann_lsh", "q52_multimodal_features"))
+    assert(q -- o == Set("q49_minhash_neardup", "q50_simhash", "q50b_simhash_neardup",
+      "q51_ann_lsh", "q52_multimodal_features"))
   }
 
   test("q01 literal values") {

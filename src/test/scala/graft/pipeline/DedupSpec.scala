@@ -52,6 +52,19 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("simhash banded near-dup equals exact all-pairs ground truth within its radius") {
+    val hashes = Dedup.simhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashNearDup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth,
+      s"missed: ${(truth -- found).take(5)}; spurious: ${(found -- truth).take(5)}")
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val h = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
