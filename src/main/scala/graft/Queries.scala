@@ -402,6 +402,20 @@ object Queries {
         |WHERE doc_id < 20
         |ORDER BY doc_id, tfidf DESC, t LIMIT 200""".stripMargin),
 
+    // ---- document chunking: 50-token windows, stride 40 (10-token overlap)
+    //      — the training-data prep primitive; pure array ops, no UDFs ----
+    q2("q71_chunking",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |ids AS (SELECT doc_id, w, explode(sequence(0, CAST(FLOOR((size(w) - 1) / 40) AS INT))) AS i FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  concat_ws(' ', slice(w, i * 40 + 1, 50)) AS chunk
+        |FROM ids ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ids AS (SELECT doc_id, w, unnest(range(0, CAST(FLOOR((len(w) - 1) / 40) AS INT) + 1)) AS i FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  array_to_string(w[(i*40+1):(i*40+50)], ' ') AS chunk
+        |FROM ids ORDER BY doc_id, chunk_id""".stripMargin),
+
     // ---- language-ID heuristic (stopword hit; corpus is synthetic so the
     //      heuristic itself, not accuracy, is what's verified) ----
     q("q44_lang_id",
