@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Protocol smoke test mirroring the reference harness flow
+(tests/postgres/test_mcp.py:50-157 shape): initialize -> tools/list ->
+list_tables(table_names="") -> execute_sql smoke queries, against the Spark
+MCP server over stdio. Exit 0 iff every assertion holds.
+
+Usage: mcp_smoke.py [data_dir]   (default /root/testdata/sf0.001)
+"""
+import json
+import os
+import subprocess
+import sys
+
+DATA_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ADD_OPENS = [f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in [
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar"]]
+
+
+def main():
+    requests = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2024-11-05",
+                    "clientInfo": {"name": "smoke", "version": "1.0.0"}}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "list_tables", "arguments": {"table_names": ""}}},
+        # the reference's literal smoke queries
+        {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+         "params": {"name": "execute_sql", "arguments": {"sql": "SELECT version()"}}},
+        {"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+         "params": {"name": "execute_sql", "arguments": {"sql": "SELECT 1 AS one"}}},
+        {"jsonrpc": "2.0", "id": 6, "method": "tools/call",
+         "params": {"name": "execute_sql", "arguments": {"sql": "SELECT current_date"}}},
+    ]
+    stdin = "\n".join(json.dumps(r) for r in requests) + "\n"
+    cmd = (["java"] + ADD_OPENS +
+           ["-Dspark.ui.enabled=false", "-Xmx4g",
+            "-cp", f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*",
+            "graft.mcp.Main", "--stdio", "--data-dir", DATA_DIR])
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(cmd, input=stdin, capture_output=True, text=True,
+                          env=env, timeout=300)
+    responses = {}
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            r = json.loads(line)
+            responses[r.get("id")] = r
+
+    # initialize returns serverInfo (test_mcp.py:68-71 shape)
+    assert responses[1]["result"]["serverInfo"]["name"], "no serverInfo"
+    # tools/list includes list_tables and execute_sql (test_mcp.py:74-92)
+    names = {t["name"] for t in responses[2]["result"]["tools"]}
+    assert {"list_tables", "execute_sql"} <= names, f"missing tools: {names}"
+    # list_tables returns rows as JSON text content items (test_mcp.py:95-105)
+    rows = [json.loads(c["text"]) for c in responses[3]["result"]["content"]]
+    assert any(r["table_name"] == "lineitem" for r in rows), "lineitem missing"
+    # smoke queries return result, not error (test_mcp.py:121-157)
+    for rid in (4, 5, 6):
+        res = responses[rid]["result"]
+        assert not res.get("isError"), f"query {rid} failed: {res}"
+        assert res["content"], f"query {rid} empty"
+    one = json.loads(responses[5]["result"]["content"][0]["text"])
+    assert one["one"] == 1
+    print("MCP SMOKE PASS: initialize / tools-list / list_tables / "
+          f"version() / 1 AS one / current_date — {len(rows)} catalog rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
