@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registers the driver's parquet test tables (TESTDATA.md / FIXTURES.md) as
@@ -34,18 +32,20 @@ object Tables {
 
   private case class TableMeta(schema_name: String, table_name: String)
 
-  // Keyed on the session object itself (not identityHashCode — hashes can
-  // collide/recycle, and temp views are per-session). Registration happens
-  // INSIDE computeIfAbsent so a concurrent second caller blocks until the
-  // views exist; a throwing registration leaves no entry behind.
-  private val registered = new ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+  // Weakly keyed on the session object (temp views are per-session; a strong
+  // key would retain every stopped session's state for the JVM lifetime).
+  // Registration happens inside the lock so a concurrent second caller blocks
+  // until the views exist; a throwing registration leaves no entry behind.
+  private val registered = new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
 
   /** Idempotent per (session, dir): registers all test tables + info schema. */
-  def register(spark: SparkSession, dir: String): Unit =
-    registered.computeIfAbsent((spark, dir), { _ =>
+  def register(spark: SparkSession, dir: String): Unit = registered.synchronized {
+    val dirs = registered.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+    if (!dirs.contains(dir)) {
       doRegister(spark, dir)
-      java.lang.Boolean.TRUE
-    })
+      dirs.add(dir)
+    }
+  }
 
   /** Reads one table, applying per-table normalization (events ns→µs). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -36,6 +36,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  // Null ELEMENT semantics match the HOF formulation (zip_with/aggregate):
+  // any null slot nulls the whole score. The per-element check is emitted
+  // only when the array schema admits nulls.
+  private lazy val mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +52,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -62,18 +71,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullEl = ctx.freshName("nullEl")
+      val elementCheck =
+        if (mayHaveNullElements)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { $nullEl = true; break; }"
+        else ""
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  boolean $nullEl = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elementCheck
          |    final double $xv = (double) $x.getFloat($i);
          |    final double $yv = (double) $y.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
+         |  if ($nullEl || $nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

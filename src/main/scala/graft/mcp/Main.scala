@@ -19,11 +19,18 @@ object Main {
     var dataDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_DIR")
     var stdio = false
     var i = 0
+    def flagValue(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D] ($flag needs a value)")
+        sys.exit(2)
+      }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
         case "--stdio" => stdio = true
-        case "--tools-file" => toolsFile = Some(args(i + 1)); i += 1
-        case "--data-dir" => dataDir = Some(args(i + 1)); i += 1
+        case "--tools-file" => toolsFile = Some(flagValue("--tools-file")); i += 1
+        case "--data-dir" => dataDir = Some(flagValue("--data-dir")); i += 1
         // reference-image compat (entrypoints pass `--prebuilt <kind>`): the
         // builtin tools are always present, so the kind name is informational
         case "--prebuilt" => i += 1

@@ -23,23 +23,29 @@ object Params {
     // Declared-but-omitted params default to "" (the reference's tools treat
     // empty as "no filter", e.g. list_tables with table_names "").
     val argValues = params.map(p => p.name -> "").toMap ++ rawArgs
-    // 1. {{x}} templates: textual substitution.
-    val templated = Template.replaceAllIn(statement, m =>
-      java.util.regex.Matcher.quoteReplacement(argValues.getOrElse(m.group(1), "")))
-    // 2. $n positional -> :_pN named (ordinal maps onto declared params order).
-    val positional = Positional.replaceAllIn(templated, m => ":_p" + m.group(1))
+    // 1. $n positional -> :_pN named (ordinal maps onto declared params
+    // order). This runs on the YAML statement text ONLY — before template
+    // substitution — so caller-supplied {{x}} content (e.g. a regexp
+    // replacement with a '$1' back-reference) is never rewritten.
+    val positional = Positional.replaceAllIn(statement, m => ":_p" + m.group(1))
     val posArgs = params.zipWithIndex.flatMap { case (p, i) =>
       argValues.get(p.name).map(v => s"_p${i + 1}" -> v)
     }.toMap
-    // 3. :name named args pass through to Spark's binder — but only names the
-    // statement actually references, so incidental colons in user SQL (e.g.
-    // time literals) never trigger the parameterized path spuriously.
+    // 2. :name named args pass through to Spark's binder — but only names the
+    // YAML statement actually references (scanned pre-template, so caller
+    // text can neither trigger nor corrupt binding), so incidental colons in
+    // user SQL (e.g. time literals) never hit the parameterized path.
     val all = argValues ++ posArgs
     val referenced = all.filter { case (k, _) =>
       // quote the name: arbitrary JSON keys must not be regex metacharacters
       (raw"(?<![:\w]):" + java.util.regex.Pattern.quote(k) + raw"\b").r
         .findFirstIn(positional).isDefined
     }
-    Bound(positional, referenced)
+    // 3. {{x}} templates: textual substitution, last — the substituted text
+    // is caller-controlled and must pass through verbatim (it is gated by
+    // StatementGate at the call site, never rewritten here).
+    val templated = Template.replaceAllIn(positional, m =>
+      java.util.regex.Matcher.quoteReplacement(argValues.getOrElse(m.group(1), "")))
+    Bound(templated, referenced)
   }
 }

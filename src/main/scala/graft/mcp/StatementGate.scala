@@ -30,7 +30,21 @@ object StatementGate {
       "^SetCommand$|^ResetCommand$|AddArchives|AddFiles|AddJars|ListArchives|" +
       "ListFiles|ListJars|Rename|Recover|WriteTo|AddColumns|AddPartition|" +
       "SetTable|UnsetTable|SetView|SetNamespace|UnsetNamespace|SetLocation|" +
-      "SetProperties|UnsetProperties").r
+      "SetProperties|UnsetProperties|" +
+      // SELECT TRANSFORM(...) USING '<cmd>' parses to ScriptTransformation —
+      // arbitrary shell execution (SPARK-32106); never a read statement.
+      "ScriptTransformation|Transform|" +
+      // EXECUTE IMMEDIATE / CALL / variables: the inner text is not parsed
+      // here, so it would bypass classification — deny the wrappers.
+      "ExecuteImmediate|^Call|Variable").r
+
+  /** Catch-all for runnable side-effect nodes this denylist may not name:
+    * any `*Command`/`*Exec` plan node that is not an explicitly allowed
+    * introspection root is denied. Parsed read statements (Project/Filter/
+    * Aggregate/Join/...) never carry Command nodes. */
+  private def isUnknownCommand(n: String): Boolean =
+    n.endsWith("Command") && n != "ExplainCommand" && !n.startsWith("Show") &&
+      !n.startsWith("Describe")
 
   /** Returns None if allowed, Some(reason) if denied. */
   def check(spark: SparkSession, sql: String): Option[String] =
@@ -39,10 +53,22 @@ object StatementGate {
       if (allowedRoots.contains(plan.getClass.getSimpleName)) None
       else {
         var bad: Option[String] = None
-        plan.foreach { node =>
-          val n = node.getClass.getSimpleName
-          if (bad.isEmpty && denied.findFirstIn(n).isDefined) bad = Some(n)
+        // Generic constructor-tree walk: `plan.foreach` visits only `children`,
+        // which misses CTE definitions (UnresolvedWith.cteRelations) and
+        // subquery-expression plans (WHERE x IN (SELECT ...)). Every nested
+        // plan is a constructor argument somewhere, so recursing through
+        // Product/Iterable reaches them all (parse trees are acyclic).
+        def visit(a: Any): Unit = a match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+            val n = p.getClass.getSimpleName
+            if (bad.isEmpty && (denied.findFirstIn(n).isDefined || isUnknownCommand(n)))
+              bad = Some(n)
+            if (bad.isEmpty) p.productIterator.foreach(visit)
+          case p: Product => p.productIterator.foreach(visit)
+          case s: Iterable[_] => s.foreach(visit)
+          case _ => ()
         }
+        visit(plan)
         bad.map(n => s"statement class not permitted: $n " +
           "(only Select/Show/Describe/Explain/Use are allowed)")
       }

@@ -48,8 +48,11 @@ object Multimodal {
         rows.map(r => FeatureRow(r.doc_id, r.format, r.n_bytes, fakeDecode(r.media)))
       }
       .toDF()
+      // features serialized to a JSON string: the vector stays inspectable
+      // while every output column remains scalar/sortable (the driver's
+      // rows-only check lexsorts all columns — arrays are not orderable).
       .select(col("doc_id"), col("format"), col("n_bytes"),
-        transform(col("features"), x => round(x, 4)).as("features"))
+        to_json(transform(col("features"), x => round(x, 4))).as("features_json"))
       .orderBy("doc_id")
   }
 }

@@ -29,6 +29,16 @@ class CosineSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("null ELEMENT nulls the score (agrees with HOF null propagation)") {
+    val r = sql1(
+      """SELECT
+        |  cosine_similarity(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS a,
+        |  cosine_similarity(array(1.0F, 2.0F), array(CAST(NULL AS FLOAT), 2.0F)) AS b,
+        |  aggregate(zip_with(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F),
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x) AS hof""".stripMargin)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("native expression agrees with the HOF formulation on the corpus") {
     Tables.register(spark, sfDir)
     val diff = spark.sql(

@@ -52,4 +52,24 @@ class GateSpec extends SparkSpec {
     // comments and CTEs on reads stay allowed
     allowed("/* c */ WITH a AS (SELECT 1 AS x) SELECT * FROM a")
   }
+
+  test("SELECT TRANSFORM (script transformation) is denied everywhere") {
+    // SPARK-32106 no-serde script transform = arbitrary shell execution
+    denied("SELECT TRANSFORM(x) USING 'touch /tmp/pwned' FROM t")
+    denied("SELECT TRANSFORM(x) USING 'cat' AS (y STRING) FROM t")
+    // nested under a CTE / subquery / set-op
+    denied("WITH c AS (SELECT TRANSFORM(x) USING 'cat' FROM t) SELECT * FROM c")
+    denied("SELECT * FROM (SELECT TRANSFORM(x) USING 'cat' FROM t)")
+    denied("SELECT 1 UNION ALL SELECT TRANSFORM(x) USING 'cat' FROM t")
+    // inside a subquery EXPRESSION (plan.foreach alone does not reach these)
+    denied("SELECT * FROM t WHERE x IN (SELECT TRANSFORM(y) USING 'cat' FROM u)")
+    denied("SELECT * FROM t WHERE EXISTS (SELECT TRANSFORM(y) USING 'cat' FROM u)")
+    denied("SELECT (SELECT TRANSFORM(y) USING 'cat' FROM u) FROM t")
+  }
+
+  test("command wrappers that embed unparsed SQL are denied") {
+    denied("EXECUTE IMMEDIATE 'DROP TABLE t'")
+    denied("DECLARE v INT")
+    denied("SET VAR v = 1")
+  }
 }

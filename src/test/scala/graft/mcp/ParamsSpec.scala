@@ -1,0 +1,42 @@
+package graft.mcp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binding unit tests — in particular the passthrough-corruption regression:
+  * `$n` rewriting must only ever apply to the YAML statement text, never to
+  * caller-supplied `{{x}}` content. */
+class ParamsSpec extends AnyFunSuite {
+
+  test("$n in the YAML statement is rewritten and bound positionally") {
+    val b = Params.bind(
+      "SELECT * FROM t WHERE a = $1 AND b = $2",
+      Map("pa" -> "x", "pb" -> "y"),
+      Seq(ParamDef("pa", "string", ""), ParamDef("pb", "string", "")))
+    assert(b.sql == "SELECT * FROM t WHERE a = :_p1 AND b = :_p2")
+    assert(b.args == Map("_p1" -> "x", "_p2" -> "y"))
+  }
+
+  test("caller-supplied {{sql}} with a regexp back-reference is NOT rewritten") {
+    val callerSql = "SELECT regexp_replace(c, '(N)', '$1!') AS r FROM t"
+    val b = Params.bind("{{sql}}", Map("sql" -> callerSql), Seq(ParamDef("sql", "string", "")))
+    assert(b.sql == callerSql) // '$1' survives verbatim
+    assert(b.args.isEmpty) // nothing spuriously bound
+  }
+
+  test("caller text cannot introduce named-parameter references") {
+    // ':name'-looking text inside caller SQL must not trigger binding
+    val callerSql = "SELECT ':sql' AS s, c FROM t WHERE d = ':sql'"
+    val b = Params.bind("{{sql}}", Map("sql" -> callerSql), Seq(ParamDef("sql", "string", "")))
+    assert(b.sql == callerSql)
+    assert(b.args.isEmpty)
+  }
+
+  test(":name referenced in the YAML statement still binds alongside {{x}}") {
+    val b = Params.bind(
+      "SELECT * FROM t WHERE a = :lo AND {{extra}}",
+      Map("lo" -> "5", "extra" -> "b LIKE '%$1%'"),
+      Seq(ParamDef("lo", "string", ""), ParamDef("extra", "string", "")))
+    assert(b.sql == "SELECT * FROM t WHERE a = :lo AND b LIKE '%$1%'")
+    assert(b.args == Map("lo" -> "5"))
+  }
+}
