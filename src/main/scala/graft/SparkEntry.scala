@@ -32,7 +32,9 @@ object SparkEntry {
     ListMap((sqlQueries ++ pipeline.Ext.queries): _*)
   }
 
-  /** DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops. */
+  /** DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops.
+    * [EXT] operators whose RESULT is recomputable exactly in portable SQL
+    * (near-dup ground truths) carry oracles from Ext.oracles. */
   def oracleSql: Map[String, String] =
-    ListMap(Queries.specs.flatMap(s => s.oracle.map(s.name -> _)): _*)
+    ListMap((Queries.specs.flatMap(s => s.oracle.map(s.name -> _)) ++ pipeline.Ext.oracles): _*)
 }

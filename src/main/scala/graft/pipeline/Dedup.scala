@@ -83,7 +83,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within hamming distance `maxHamming` (default 3):
-    * candidates from 16-bit band equality — by pigeonhole, a pair differing
+    * candidates from 12-bit band equality — by pigeonhole, a pair differing
     * in at most 3 bit positions MUST agree on one of the 4 bands, so recall
     * is EXACT for maxHamming <= 3 — then verified by popcount. Same scale
     * shape as MinHash: equi-join on (band, value), never all-pairs. For
@@ -93,7 +93,7 @@ object Dedup {
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val hashes = simhash(spark, dir) // (doc_id, simhash)
     val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bv"))
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 12}) & 4095").as("bv"))
     }
     val banded = hashes
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
@@ -103,26 +103,38 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("a_id", "b_id")
   }
 
-  /** 64-bit SimHash per document from distinct tokens: bit j is the sign of
-    * sum(+-1) over token-hash bit j. Deterministic (xxhash64 literal seeds);
-    * one shuffle (groupBy doc_id) with 64 partial-aggregating sums. */
+  /** Cross-engine deterministic 53-bit polynomial string hash:
+    * fold (acc*131 + codepoint) mod p over the characters, p the largest
+    * prime under 2^53 so acc*131 never overflows a signed 64-bit int. The
+    * SAME fold is expressible in DuckDB (`list_reduce`), which makes every
+    * SimHash output oracle-verifiable end to end; a production deployment
+    * would swap this one line for `xxhash64(tok)` (faster, 64 bits) since
+    * cross-engine hash parity no longer matters there. */
+  private[pipeline] val HashPrime = 9007199254740881L
+  private[pipeline] val SimhashBits = 48 // within the hash's 53 usable bits
+  private def portableHash(colName: String): Column =
+    expr(s"aggregate(split($colName, ''), 0L, (acc, c) -> (acc * 131 + ascii(c)) % $HashPrime)")
+
+  /** 48-bit SimHash per document from distinct tokens: bit j is the sign of
+    * sum(+-1) over token-hash bit j. Deterministic (portable polynomial
+    * hash); one shuffle (groupBy doc_id) with 48 partial-aggregating sums. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     val toks = spark.table("documents")
       .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .where(col("tok") =!= "")
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      .select(col("doc_id"), portableHash("tok").as("h"))
+    val bitSums: Seq[Column] = (0 until SimhashBits).map { j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"s$j")
     }
     val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64)
+    val packed = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
     sums.select(col("doc_id"), packed.as("simhash")).orderBy("doc_id")

@@ -2,9 +2,13 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** [EXT] DataFrame-coded pipeline operators (SURVEY §2.E) that are not
-  * expressible as portable SQL — registered in SparkEntry.queries as
-  * rows-only checks (no DuckDB oracle). */
+/** [EXT] DataFrame-coded pipeline operators (SURVEY §2.E), registered in
+  * SparkEntry.queries. Where the RESULT is independently recomputable in
+  * portable SQL, a DuckDB oracle is declared here even though the Spark path
+  * is algorithmically different — e.g. q49's banded-LSH candidate generation
+  * is checked against an exact all-pairs Jaccard oracle, which proves both
+  * the signature pipeline and the LSH recall on the corpus. Only q51 (ANN —
+  * approximate by contract) and q52 (stubbed decoder) stay rows-only. */
 object Ext {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
@@ -12,5 +16,75 @@ object Ext {
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q52_multimodal_features" -> (Multimodal.features _),
+  )
+
+  /** DuckDB CTE computing each document's distinct word-3-shingle set —
+    * mirrors Dedup.shingles (1-based list indexing vs Spark's 0-based). */
+  private val shingleCte =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |)""".stripMargin
+
+  /** DuckDB CTE computing the 48-bit SimHash per document with the same
+    * portable polynomial token hash as Dedup.simhash (list_reduce over a
+    * 0-prepended codepoint list = Spark's aggregate with 0 init). */
+  private val simhashCte =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |  ) WHERE tok <> ''
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(string_split(tok, ''), c -> ord(c)::BIGINT)),
+       |      (acc, c) -> (acc * 131 + c) % ${Dedup.HashPrime}) AS h
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hashed, (SELECT unnest(range(0, ${Dedup.SimhashBits})) AS j) js
+       |  GROUP BY doc_id, j
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+    // Exact all-pairs shingle Jaccard >= 0.5 — the ground truth the
+    // banded MinHash/LSH path must reproduce (P[miss | J>=0.98] ~ 1e-9,
+    // and both engines are deterministic, so this is a stable equality).
+    "q49_minhash_neardup" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON a_id = na.doc_id
+         |JOIN sizes nb ON b_id = nb.doc_id
+         |WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q50_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs hamming <= 3 — ground truth for the pigeonhole-banded
+    // candidate join (recall is exact within radius 3 by construction).
+    "q50b_simhash_neardup" ->
+      s"""$simhashCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }
