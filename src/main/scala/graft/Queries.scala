@@ -551,7 +551,108 @@ object Queries {
         |  SELECT qid, did, cos_sim,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS BIGINT) AS rnk
         |  FROM scored) r
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+
+    // ---- [EXT] embedding-cosine near-dup: all verified pairs above a
+    // similarity threshold (the dedup-by-embedding primitive; at 100 TB the
+    // pair generation comes from LSH/IVF candidates — Similarity.lshTopK —
+    // with this exact scoring as the verify stage; the theta join broadcasts
+    // the smaller side, 2M scorings at sf0.1 through the native codegen'd
+    // expression) ----
+    q2("q72_embedding_neardup",
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- PIVOT (wide conditional aggregation; Catalyst rewrites it to the
+    // oracle's CASE-WHEN group-by, one shuffle) ----
+    q2("q73_pivot",
+      """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        |PIVOT (ROUND(SUM(l_quantity), 4) FOR l_linestatus IN ('O' AS o_qty, 'F' AS f_qty))
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS o_qty,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS f_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- [EXT] keep-latest dedup (window dedup: latest order per customer;
+    // the "keep newest version of each document" pipeline primitive) ----
+    q("q74_dedup_keep_latest",
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+
+    // ---- [EXT] sessionization: 30-minute-gap sessions per user over the
+    // event stream (batch form of the streaming session window; whole-second
+    // epoch arithmetic so both engines order and gap identically) ----
+    q2("q75_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, unix_timestamp(ts) AS sec FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |           OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      """WITH x AS (
+        |  -- floor, not CAST: DuckDB epoch() keeps the fraction and a
+        |  -- double->bigint CAST rounds, while Spark unix_timestamp floors
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+        |           OR sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur_sec
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+
+    // ---- [EXT] token counting: whitespace tokens + a BPE-ish regex
+    // tokenizer (letter runs | digit runs | single other-symbols) ----
+    q2("q76_token_count",
+      """SELECT doc_id,
+        |  CAST(size(split(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+        |  CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- GROUPING SETS + GROUPING() (completes the ROLLUP family of q25) ----
+    q("q77_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap

@@ -20,9 +20,9 @@ class QueriesSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    // DataFrame-coded [EXT] ops are the only rows-only entries
-    assert(q -- o == Set("q49_minhash_neardup", "q50_simhash", "q50b_simhash_neardup",
-      "q51_ann_lsh", "q52_multimodal_features"))
+    // the only rows-only entries: ANN (approximate by contract) and the
+    // stub-decoder multimodal pass; near-dup ops carry ground-truth oracles
+    assert(q -- o == Set("q51_ann_lsh", "q52_multimodal_features"))
   }
 
   test("q01 literal values") {
