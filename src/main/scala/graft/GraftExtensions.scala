@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.GraftExtensions` to get the engine's native
   * functions in any session at build time (the runtime path is
-  * `CosineSimilarity.register(spark)`, done by Tables.register). */
+  * `CosineSimilarity.register(spark)` / `DotProduct.register(spark)`, done
+  * by Tables.register). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -16,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      DotProduct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children.head, children(1))))
   }
 }

@@ -315,7 +315,8 @@ object Queries {
     // ---- string functions ----
     q("q36_string_funcs",
       """SELECT p_partkey, UPPER(p_brand) AS ub, LOWER(p_type) AS lt, CAST(LENGTH(p_name) AS INT) AS ln,
-        |  SUBSTR(p_name, 1, 5) AS pre, REPLACE(p_brand, 'Brand#', 'B') AS b, TRIM(p_name) AS t
+        |  SUBSTR(p_name, 1, 5) AS pre, REPLACE(p_brand, 'Brand#', 'B') AS b, TRIM(p_name) AS t,
+        |  LPAD(p_brand, 10, '_') AS pb
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin),
 
     // ---- date parts / trunc ----
@@ -491,9 +492,11 @@ object Queries {
     // ---- document-store idiom (SURVEY §1.4): parse the JSON document column
     //      into a typed struct and aggregate over a field ----
     q2("q57_from_json",
-      """SELECT CAST(from_json(props, 'k INT').k % 10 AS INT) AS k_mod, COUNT(*) AS n,
-        |  CAST(MIN(from_json(props, 'k INT').k) AS INT) AS k_min
-        |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+      """SELECT CAST(k % 10 AS INT) AS k_mod, COUNT(*) AS n, CAST(MIN(k) AS INT) AS k_min
+        |FROM (SELECT from_json(props, 'k INT').k AS k FROM events) t
+        |GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+        // single from_json per row: JsonToStructs is CodegenFallback and by
+        // far the most expensive expression here — never evaluate it twice
       """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod, COUNT(*) AS n,
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min
         |FROM events GROUP BY k_mod ORDER BY k_mod""".stripMargin),
@@ -559,12 +562,21 @@ object Queries {
     // with this exact scoring as the verify stage; the theta join broadcasts
     // the smaller side, 2M scorings at sf0.1 through the native codegen'd
     // expression) ----
+    // norms hoisted: SQRT(dot(x,x)) once per VECTOR, then one dot_product
+    // per PAIR — a third of the per-pair arithmetic of a fused cosine
     q2("q72_embedding_neardup",
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  ROUND(cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE ROUND(cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+      """WITH e AS (SELECT vec_id, embedding,
+        |  SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos_sim
+        |FROM e a JOIN e b
+        |  ON a.vec_id < b.vec_id
+        | AND ROUND(dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+        // both predicates in ON, cheap first: conjuncts short-circuit in
+        // written order, so the id check prunes half the pairs before any
+        // dot_product runs (a WHERE clause gets pushed in FRONT of the
+        // join condition and would score all ordered pairs)
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim

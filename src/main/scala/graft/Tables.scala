@@ -63,6 +63,7 @@ object Tables {
     // Engine-native functions, registered at runtime so driver-provided
     // sessions (no spark.sql.extensions) get them too.
     graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
 
     val dfs: Seq[(String, DataFrame)] = tableNames.map { n =>
       val df = read(spark, dir, n)

@@ -39,6 +39,29 @@ class CosineSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("dot_product values, null semantics, and cosine agreement") {
+    val r = sql1(
+      """SELECT
+        |  dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d,
+        |  dot_product(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS n1,
+        |  dot_product(array(1.0F, 2.0F), array(1.0F)) AS n2,
+        |  dot_product(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)) AS n3""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("hoisted-norm cosine (dot_product/nrm) equals the fused expression") {
+    Tables.register(spark, sfDir)
+    val diff = spark.sql(
+      """WITH e AS (SELECT vec_id, embedding, SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
+        |SELECT MAX(ABS(
+        |  dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) -
+        |  cosine_similarity(a.embedding, b.embedding))) AS md
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(diff < 1e-12, s"hoisted-norm vs fused cosine diverged by $diff")
+  }
+
   test("native expression agrees with the HOF formulation on the corpus") {
     Tables.register(spark, sfDir)
     val diff = spark.sql(

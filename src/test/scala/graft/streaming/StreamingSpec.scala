@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("sliding-window streaming agg equals the batch aggregation") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    // 10-minute windows sliding every 5 — each event lands in two windows
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("slide_agg").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("slide_agg")
+      .select($"window.start".as("win_start"), $"event_type", $"cnt", $"sum_value")
+      .orderBy("win_start", "event_type").collect()
+    val batch = eventsBatch
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"cnt", $"sum_value")
+      .orderBy("win_start", "event_type").collect()
+
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("stateful streaming dedup drops re-sent events") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
