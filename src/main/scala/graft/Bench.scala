@@ -36,28 +36,34 @@ object Bench {
       }
     }
 
-    // Best-of-N timed reps per query: the host is shared, so any single rep
-    // can be inflated several-fold by unrelated load; the minimum is the
-    // stable engine-time estimate (reps interleave nothing — same query
-    // back-to-back — so plan/caches stay warm and only contention varies).
+    // Best-of-N timed PASSES: the host is shared and contention comes in
+    // windows of minutes, so back-to-back reps of one query get inflated
+    // together. Running the whole suite N times and taking each query's
+    // minimum across passes means a contention window can only poison one
+    // pass — the other pass's run of the same query lands outside it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val gc0 = gcMillis
-      val times = (1 to reps).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val passes: Seq[Map[String, Double]] = (1 to reps).map { pass =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            -1.0
-        }
+        val sec =
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              -1.0
+          }
+        val heapMb = (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / (1 << 20)
+        System.err.println(f"[bench] p$pass $name%-24s ${sec}%8.3f s  gc=${gcMillis - gc0}%5d ms  heap=${heapMb}%5d MB")
+        name -> sec
       }
-      val sec = if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0
-      val heapMb = (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / (1 << 20)
-      System.err.println(f"[bench] $name%-24s ${sec}%8.3f s  gc=${gcMillis - gc0}%5d ms  heap=${heapMb}%5d MB")
-      name -> sec
+    }
+    val results: Seq[(String, Double)] = names.map { name =>
+      val ts = passes.flatMap(_.get(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }

@@ -16,6 +16,7 @@ object Ext {
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q52_multimodal_features" -> (Multimodal.features _),
+    "q52b_multimodal_meta" -> (Multimodal.meta _),
   )
 
   /** DuckDB CTE computing each document's distinct word-3-shingle set —
@@ -86,5 +87,11 @@ object Ext {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Media-pipeline metadata: the binary payload is encode(text), so the
+    // octet length is recomputable from the source table.
+    "q52b_multimodal_meta" ->
+      """SELECT doc_id, 'txt' AS format, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -32,6 +32,18 @@ object Multimodal {
     h.map(_ / n)
   }
 
+  /** Typed-metadata slice of the media pipeline: same binary ingestion and
+    * distributed decode pass as `features`, projected to the scalar columns
+    * whose values are engine-independent (doc_id, declared format, octet
+    * length) — this is the oracle-checked row of the multimodal family
+    * (the feature vector itself depends on the stub decoder and stays a
+    * rows-only check in q52). */
+  def meta(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    features(spark, dir).select(col("doc_id"), col("format"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Synthesizes a media table from `documents` (text bytes as the opaque
     * payload) and runs distributed feature extraction. */
   def features(spark: SparkSession, dir: String): DataFrame = {

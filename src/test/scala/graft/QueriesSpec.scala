@@ -22,6 +22,7 @@ class QueriesSpec extends SparkSpec {
     assert(o.subsetOf(q))
     // the only rows-only entries: ANN (approximate by contract) and the
     // stub-decoder multimodal pass; near-dup ops carry ground-truth oracles
+    // and the multimodal metadata slice is oracle-checked via q52b
     assert(q -- o == Set("q51_ann_lsh", "q52_multimodal_features"))
   }
 
