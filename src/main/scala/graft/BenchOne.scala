@@ -71,6 +71,24 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "dot_hoist_vs_fused") {
+      // all-pairs cosine scoring: fused expression (re-derives both norms
+      // per pair) vs hoisted norms (one dot per pair) — the q72 shape.
+      val fused = """SELECT COUNT(*) FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id
+       AND ROUND(cosine_similarity(a.embedding, b.embedding), 4) >= 0.4"""
+      val hoist = """WITH e AS (SELECT vec_id, embedding,
+          SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
+        SELECT COUNT(*) FROM e a JOIN e b
+          ON a.vec_id < b.vec_id
+         AND ROUND(dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) >= 0.4"""
+      for (i <- 1 to 3; (label, q) <- Seq("fused" -> fused, "hoist" -> hoist)) {
+        val t0 = System.nanoTime()
+        val n = spark.sql(q).collect().head.getLong(0)
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n pairs)")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -564,6 +564,8 @@ object Queries {
     // expression) ----
     // norms hoisted: SQRT(dot(x,x)) once per VECTOR, then one dot_product
     // per PAIR — a third of the per-pair arithmetic of a fused cosine
+    // (neutral at 64-dim where pair iteration dominates, and an increasing
+    // win as dimensionality grows; see BenchOne dot_hoist_vs_fused)
     q2("q72_embedding_neardup",
       """WITH e AS (SELECT vec_id, embedding,
         |  SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
@@ -655,6 +657,34 @@ object Queries {
         |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- UNPIVOT (wide -> long; inverse of q73; oracle is the portable
+    // UNION ALL expansion it desugars to) ----
+    q2("q78_unpivot",
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(o_custkey AS DOUBLE) AS cust
+        |  FROM orders ORDER BY o_orderkey LIMIT 50)
+        |UNPIVOT (val FOR metric IN (price, cust))
+        |ORDER BY o_orderkey, metric""".stripMargin,
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(o_custkey AS DOUBLE) AS cust
+        |  FROM orders ORDER BY o_orderkey LIMIT 50)
+        |SELECT o_orderkey, 'price' AS metric, price AS val FROM t
+        |UNION ALL SELECT o_orderkey, 'cust' AS metric, cust AS val FROM t
+        |ORDER BY o_orderkey, metric""".stripMargin),
+
+    // ---- posexplode (generator with ordinality; DuckDB: range + 1-based
+    // list indexing) ----
+    q2("q79_posexplode",
+      """SELECT doc_id, pos, tok FROM (
+        |  SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents)
+        |WHERE pos < 5 ORDER BY doc_id, pos""".stripMargin,
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x,
+        |     UNNEST(range(1, len(w) + 1)) AS t(i)
+        |WHERE i - 1 < 5 ORDER BY doc_id, pos""".stripMargin),
 
     // ---- GROUPING SETS + GROUPING() (completes the ROLLUP family of q25) ----
     q("q77_grouping_sets",
