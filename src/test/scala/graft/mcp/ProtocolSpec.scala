@@ -25,6 +25,13 @@ class ProtocolSpec extends SparkSpec {
     assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
+  test("malformed JSON line returns -32700 parse error and ping pongs") {
+    val resp = call("""{"jsonrpc":"2.0", not json at all""")
+    assert(resp.at("/error/code").asInt() == -32700)
+    val pong = call("""{"jsonrpc":"2.0","id":99,"method":"ping"}""")
+    assert(pong.get("id").asInt() == 99 && pong.has("result"))
+  }
+
   test("tools/list includes list_tables and execute_sql with schemas") {
     val resp = call("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
     val tools = resp.at("/result/tools")
