@@ -15,8 +15,8 @@ import org.yaml.snakeyaml.Yaml
   * typed-parameter SQL statement.
   *
   * Source kinds:
-  *  - `parquet` / `csv` / `json`: one file/dir per source, registered under
-  *    `table` (default: source name).
+  *  - `parquet` / `csv` / `json` / `orc`: one file/dir per source,
+  *    registered under `table` (default: source name).
   *  - `dataset-dir`: a directory of `<table>.parquet` files — every table is
   *    registered (the driver's testdata layout).
   * Reference kinds (postgres, sqlite, ...) are not reachable offline; the
@@ -51,7 +51,7 @@ final case class ToolboxConfig(sources: Seq[SourceDef], tools: Seq[ToolDef]) {
     src.kind match {
       case "dataset-dir" =>
         graft.Tables.register(spark, path)
-      case "parquet" | "csv" | "json" =>
+      case "parquet" | "csv" | "json" | "orc" =>
         // defaults first so explicit source options win over them
         val reader = spark.read.format(src.kind)
         val withDefaults =

@@ -16,6 +16,7 @@ class SourcesSpec extends SparkSpec {
     nation.write.mode("overwrite").parquet(s"$base/nation_pq")
     nation.write.mode("overwrite").option("header", "true").csv(s"$base/nation_csv")
     nation.write.mode("overwrite").json(s"$base/nation_js")
+    nation.write.mode("overwrite").orc(s"$base/nation_orc")
 
     val yaml =
       s"""sources:
@@ -31,12 +32,16 @@ class SourcesSpec extends SparkSpec {
          |    kind: json
          |    path: $base/nation_js
          |    table: nation_js
+         |  n_orc:
+         |    kind: orc
+         |    path: $base/nation_orc
+         |    table: nation_orc
          |""".stripMargin
     Config.parse(yaml).registerSources(spark)
 
     // JSON re-read orders columns alphabetically — select by name, not index
     val orig = nation.collect().map(_.getAs[String]("n_name")).toSeq
-    for (t <- Seq("nation_pq", "nation_csv", "nation_js")) {
+    for (t <- Seq("nation_pq", "nation_csv", "nation_js", "nation_orc")) {
       val got = spark.table(t).orderBy("n_nationkey").collect().map(_.getAs[String]("n_name")).toSeq
       assert(got == orig, s"round-trip mismatch for $t")
       assert(spark.table(t).count() == 25)
