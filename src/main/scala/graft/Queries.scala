@@ -665,8 +665,10 @@ object Queries {
         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
         |         CAST(o_custkey AS DOUBLE) AS cust
         |  FROM orders ORDER BY o_orderkey LIMIT 50)
-        |UNPIVOT (val FOR metric IN (price, cust))
+        |UNPIVOT INCLUDE NULLS (val FOR metric IN (price, cust))
         |ORDER BY o_orderkey, metric""".stripMargin,
+        // INCLUDE NULLS for parity: default UNPIVOT drops null cells, the
+        // UNION ALL oracle keeps them
       """WITH t AS (
         |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
         |         CAST(o_custkey AS DOUBLE) AS cust
