@@ -77,7 +77,18 @@ final class McpServer(
   // ---------------------------------------------------------------- protocol
 
   /** Handles one JSON-RPC line; None for notifications (no response). */
-  def handleLine(line: String): Option[String] = {
+  def handleLine(line: String): Option[String] =
+    try handleLine0(line)
+    catch {
+      // NonFatal paths are handled per-method; this last line of defense is
+      // for Errors a hostile request can still trigger (a deeply nested
+      // statement overflowing the parser/classifier stack must error the
+      // REQUEST, not kill the server loop).
+      case e: StackOverflowError =>
+        Some(errorResponse(null, -32603, "statement too deeply nested"))
+    }
+
+  private def handleLine0(line: String): Option[String] = {
     val req =
       try mapper.readTree(line)
       catch {

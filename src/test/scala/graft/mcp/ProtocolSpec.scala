@@ -25,6 +25,16 @@ class ProtocolSpec extends SparkSpec {
     assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
+  test("pathologically nested statement errors the request, not the server") {
+    // deep enough to overflow recursive parse/classification on any stack
+    val bomb = "SELECT " + ("(" * 40000) + "1" + (")" * 40000)
+    val resp = call(s"""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"$bomb"}}}""")
+    // either a structured tool error or a JSON-RPC error — never a crash
+    assert(resp.at("/result/isError").asBoolean(false) || resp.has("error"))
+    val pong = call("""{"jsonrpc":"2.0","id":8,"method":"ping"}""")
+    assert(pong.get("id").asInt() == 8 && pong.has("result"))
+  }
+
   test("malformed JSON line returns -32700 parse error and ping pongs") {
     val resp = call("""{"jsonrpc":"2.0", not json at all""")
     assert(resp.at("/error/code").asInt() == -32700)
