@@ -53,6 +53,15 @@ class GateSpec extends SparkSpec {
     allowed("/* c */ WITH a AS (SELECT 1 AS x) SELECT * FROM a")
   }
 
+  test("read constructs that resemble denied tokens stay allowed") {
+    // the HOF transform() is an expression, not a ScriptTransformation node
+    allowed("SELECT transform(array(1, 2), x -> x + 1) AS a FROM t")
+    allowed("SELECT * FROM (SELECT a, b, c FROM t) PIVOT (SUM(c) FOR b IN ('x' AS x))")
+    allowed("SELECT * FROM (SELECT a, b, c FROM t) UNPIVOT (v FOR m IN (b, c))")
+    allowed("SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    allowed("SELECT (SELECT MAX(x) FROM u) AS mx FROM t")
+  }
+
   test("SELECT TRANSFORM (script transformation) is denied everywhere") {
     // SPARK-32106 no-serde script transform = arbitrary shell execution
     denied("SELECT TRANSFORM(x) USING 'touch /tmp/pwned' FROM t")
