@@ -688,6 +688,20 @@ object Queries {
         |     UNNEST(range(1, len(w) + 1)) AS t(i)
         |WHERE i - 1 < 5 ORDER BY doc_id, pos""".stripMargin),
 
+    // ---- higher-order functions: transform / filter / aggregate over
+    // arrays (DuckDB: list_transform / list_filter / list_reduce with a
+    // prepended 0 as the fold init — 2-arg list_reduce seeds from the
+    // first element) ----
+    q2("q80_hof",
+      """SELECT doc_id,
+        |  CAST(size(filter(split(lower(text), ' '), w -> length(w) > 4)) AS BIGINT) AS long_tokens,
+        |  CAST(aggregate(transform(split(lower(text), ' '), w -> length(w)), 0, (a, x) -> a + x) AS BIGINT) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), w -> length(w) > 4)) AS BIGINT) AS long_tokens,
+        |  CAST(list_reduce(list_prepend(0, list_transform(string_split(lower(text), ' '), w -> length(w))), (a, x) -> a + x) AS BIGINT) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- GROUPING SETS + GROUPING() (completes the ROLLUP family of q25) ----
     q("q77_grouping_sets",
       """SELECT l_returnflag, l_linestatus,
