@@ -710,7 +710,136 @@ object Queries {
         |  ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // ---- statistical aggregates (corr / covariance / stddev / variance —
+    // identical names and two-pass-stable definitions in both engines) ----
+    q("q81_stats_agg",
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qp_covar_pop,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS qd_covar_samp,
+        |  ROUND(stddev_pop(l_extendedprice), 4) AS price_sd_pop,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS price_sd_samp,
+        |  ROUND(var_pop(l_quantity), 4) AS qty_var_pop
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- ordered string aggregation (LISTAGG shape; Spark: sorted
+    // collect_list -> array_join keeps the result order-deterministic) ----
+    q2("q82_listagg",
+      """SELECT r.r_name, array_join(sort_array(collect_list(n.n_name)), ',') AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+      """SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin),
+
+    // ---- median + arg-min/max (min_by/max_by keyed on the UNIQUE order key
+    // so the result is tie-free and deterministic) ----
+    q2("q83_median_argminmax",
+      """SELECT o_orderstatus, ROUND(median(o_totalprice), 4) AS med_price,
+        |  min_by(o_orderpriority, o_orderkey) AS first_prio,
+        |  max_by(o_orderpriority, o_orderkey) AS last_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, ROUND(median(o_totalprice), 4) AS med_price,
+        |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
+        |  arg_max(o_orderpriority, o_orderkey) AS last_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- IGNORE NULLS window variants + named WINDOW clause (nulls
+    // synthesized via CASE so the skip-behavior is actually exercised) ----
+    q2("q84_ignore_nulls",
+      """WITH t AS (SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS bal FROM customer)
+        |SELECT c_custkey,
+        |  ROUND(LAG(bal) IGNORE NULLS OVER w, 4) AS prev_bal,
+        |  ROUND(FIRST_VALUE(bal) IGNORE NULLS OVER w, 4) AS first_bal
+        |FROM t WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+        |ORDER BY c_custkey LIMIT 200""".stripMargin,
+      """WITH t AS (SELECT c_custkey, c_nationkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS bal FROM customer)
+        |SELECT c_custkey,
+        |  ROUND(LAG(bal IGNORE NULLS) OVER w, 4) AS prev_bal,
+        |  ROUND(FIRST_VALUE(bal IGNORE NULLS) OVER w, 4) AS first_bal
+        |FROM t WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+        |ORDER BY c_custkey LIMIT 200""".stripMargin),
+
+    // ---- LATERAL VIEW OUTER explode (generator keeps empty-array rows as
+    // NULL; DuckDB: LEFT JOIN LATERAL UNNEST) ----
+    q2("q85_lateral_outer",
+      """SELECT d.doc_id, tok
+        |FROM documents d
+        |LATERAL VIEW OUTER explode(filter(split(d.text, ' '), w -> length(w) > 7)) t AS tok
+        |ORDER BY doc_id, tok NULLS LAST LIMIT 300""".stripMargin,
+      """SELECT d.doc_id, t.tok
+        |FROM documents d LEFT JOIN LATERAL (
+        |  SELECT UNNEST(list_filter(string_split(d.text, ' '), w -> length(w) > 7)) AS tok) t ON TRUE
+        |ORDER BY doc_id, tok NULLS LAST LIMIT 300""".stripMargin),
+
+    // ---- GROUP BY ALL (infer grouping keys from the non-aggregate columns) ----
+    q("q86_group_by_all",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- boolean aggregates + the standard FILTER clause ----
+    q("q87_bool_filter_agg",
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- bitwise aggregates ----
+    q("q88_bitwise_agg",
+      """SELECT p_brand, bit_and(p_size) AS size_and, bit_or(p_size) AS size_or,
+        |  bit_xor(p_size) AS size_xor
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // ---- regexp_extract_all -> joined string (NULLIF on the Spark side:
+    // DuckDB's array_to_string of an empty match list yields NULL, Spark's
+    // array_join yields '') ----
+    q2("q89_regexp_extract_all",
+      """SELECT doc_id, NULLIF(array_join(regexp_extract_all(text, '[0-9]+', 0), '|'), '') AS nums
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+      """SELECT doc_id, array_to_string(regexp_extract_all(text, '[0-9]+'), '|') AS nums
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // ---- width_bucket histogram (oracle spells out the bucketing formula —
+    // DuckDB has no width_bucket) ----
+    q2("q90_width_bucket",
+      """SELECT width_bucket(o_totalprice, 0, 600000, 12) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0 WHEN o_totalprice >= 600000 THEN 13
+        |  ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // ---- TRY_CAST (error-safe casts -> NULL) + split_part ----
+    q("q91_try_cast",
+      """SELECT o_orderkey, TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS INT) AS bad
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- INTERVAL arithmetic + week truncation + last_day (week-trunc
+    // pinned to DATE: DuckDB returns DATE, Spark TIMESTAMP) ----
+    q("q92_interval_arith",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 90 MINUTE AS plus90m,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |  last_day(o_orderdate) AS eom
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- TPC-H Q5 shape: 6-table snowflake join + agg (headline scale
+    // query — region/nation broadcast, fact-fact join shuffles on keys) ----
+    q("q93_tpch_q5",
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
