@@ -839,7 +839,78 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // ---- CUBE (completes ROLLUP q25 / GROUPING SETS q77) ----
+    q("q94_cube",
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // ---- time-interval RANGE frame (sliding 1-hour running sum over event
+    // time — the time-windowed-aggregate pipeline primitive in batch form) ----
+    q("q95_time_range_frame",
+      """SELECT event_id, user_id, ts,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS v_1h
+        |FROM events ORDER BY user_id, ts, event_id LIMIT 500""".stripMargin),
+
+    // ---- approx_percentile sketch vs exact percentile (q23-style bound
+    // check: the assertion is computed engine-side, the oracle pins `1`) ----
+    q2("q96_approx_percentile",
+      """SELECT CAST(CASE WHEN ABS(approx_percentile(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
+        |  / percentile(o_totalprice, 0.5) < 0.02 THEN 1 ELSE 0 END AS INT) AS within_bound
+        |FROM orders""".stripMargin,
+      "SELECT CAST(1 AS INT) AS within_bound"),
+
+    // ---- DECIMAL arithmetic (exact fixed-point sums; outputs pinned to
+    // ROUND(DOUBLE) because the two engines' clients surface DECIMAL
+    // differently, while the aggregation itself runs in decimal) ----
+    q("q97_decimal_arith",
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS disc_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- array set operations (union/intersect/except, sorted + deduped on
+    // both sides; NULLIF aligns Spark's ''-for-empty with DuckDB's NULL) ----
+    q2("q98_array_setops",
+      """SELECT doc_id,
+        |  NULLIF(array_join(array_sort(array_union(a, b)), '|'), '') AS u,
+        |  NULLIF(array_join(array_sort(array_distinct(array_intersect(a, b))), '|'), '') AS i,
+        |  NULLIF(array_join(array_sort(array_distinct(array_except(a, b))), '|'), '') AS e
+        |FROM (SELECT doc_id, slice(split(lower(text), ' '), 1, 8) AS a,
+        |             slice(split(lower(text), ' '), 5, 8) AS b FROM documents)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list_cat(a, b))), '|') AS u,
+        |  array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|') AS i,
+        |  array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), '|') AS e
+        |FROM (SELECT doc_id, w[1:8] AS a, w[5:12] AS b
+        |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+        |ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // ---- sequence generator / date spine (gap-fill primitive) ----
+    q2("q99_date_spine",
+      """SELECT CAST(d AS DATE) AS day FROM (
+        |  SELECT explode(sequence(DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH)) AS d)
+        |ORDER BY day""".stripMargin,
+      """SELECT CAST(d AS DATE) AS day
+        |FROM generate_series(DATE '1995-01-01', DATE '1995-12-01', INTERVAL 1 MONTH) t(d)
+        |ORDER BY day""".stripMargin),
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer (second
+    // headline join: fact-fact shuffle + broadcast dim + top-k) ----
+    q("q100_tpch_q10",
+      """SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
