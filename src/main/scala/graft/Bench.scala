@@ -18,6 +18,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims shuffle files/metadata after the owning
+      // RDD is GC'd; its default periodic-GC interval is 30 min, longer than
+      // a whole bench run, so hundreds of per-query shuffles accumulate and
+      // degrade the tail of the suite. Force a driver GC every minute.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
@@ -44,6 +49,8 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val names = SparkEntry.queries.keys.toSeq
     val passes: Seq[Map[String, Double]] = (1 to reps).map { pass =>
+      // Release the previous pass's shuffle state before timing this one.
+      System.gc()
       SparkEntry.queries.map { case (name, fn) =>
         val gc0 = gcMillis
         val t0 = System.nanoTime()
