@@ -813,6 +813,21 @@ object Queries {
         |  ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
 
+    // ---- width_bucket boundary semantics over a VALUES list: underflow
+    // (bucket 0), exactly-min, an exact interior bucket edge (50000 ->
+    // bucket 2, edges are inclusive-lower), just-below-max, exactly-max and
+    // beyond-max (both -> overflow bucket 13). The fixture-driven q90 never
+    // exercises these branches. ----
+    q2("q90b_width_bucket_edges",
+      """SELECT ROUND(v, 4) AS v, width_bucket(v, 0, 600000, 12) AS bucket
+        |FROM VALUES (-5.0), (0.0), (49999.9), (50000.0), (599999.9), (600000.0), (700000.0) AS t(v)
+        |ORDER BY v""".stripMargin,
+      """SELECT ROUND(v, 4) AS v,
+        |  CAST(CASE WHEN v < 0 THEN 0 WHEN v >= 600000 THEN 13
+        |    ELSE floor(v / 50000) + 1 END AS BIGINT) AS bucket
+        |FROM (VALUES (-5.0), (0.0), (49999.9), (50000.0), (599999.9), (600000.0), (700000.0)) t(v)
+        |ORDER BY v""".stripMargin),
+
     // ---- TRY_CAST (error-safe casts -> NULL) + split_part ----
     q("q91_try_cast",
       """SELECT o_orderkey, TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
@@ -856,21 +871,34 @@ object Queries {
         |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS v_1h
         |FROM events ORDER BY user_id, ts, event_id LIMIT 500""".stripMargin),
 
-    // ---- approx_percentile sketch vs exact percentile (q23-style bound
-    // check: the assertion is computed engine-side, the oracle pins `1`) ----
+    // ---- approx_percentile sketch vs exact percentile. Two columns: the
+    // exact median itself is emitted and cross-checked against DuckDB's
+    // quantile_cont (so a bug in the exact-percentile path cannot hide), and
+    // within_bound asserts the sketch lands within 2% of that now-verified
+    // exact value. ----
     q2("q96_approx_percentile",
       """SELECT CAST(CASE WHEN ABS(approx_percentile(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
-        |  / percentile(o_totalprice, 0.5) < 0.02 THEN 1 ELSE 0 END AS INT) AS within_bound
+        |  / percentile(o_totalprice, 0.5) < 0.02 THEN 1 ELSE 0 END AS INT) AS within_bound,
+        |  ROUND(percentile(o_totalprice, 0.5), 4) AS exact_med
         |FROM orders""".stripMargin,
-      "SELECT CAST(1 AS INT) AS within_bound"),
+      """SELECT CAST(1 AS INT) AS within_bound,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_med
+        |FROM orders""".stripMargin),
 
     // ---- DECIMAL arithmetic (exact fixed-point sums; outputs pinned to
     // ROUND(DOUBLE) because the two engines' clients surface DECIMAL
-    // differently, while the aggregation itself runs in decimal) ----
+    // differently, while the aggregation itself runs in decimal).
+    // Operands are built from exact integer-valued sources — cents =
+    // ROUND(price*100), basis points = ROUND((1-disc)*10000) — rather than
+    // casting DOUBLE straight to DECIMAL: Spark rounds double→decimal casts
+    // HALF_UP while DuckDB rounds half-to-even, so a direct cast is only
+    // data-dependently correct. Prices/discounts are 2/4-decimal values, so
+    // *100 / *10000 sit within ~1e-9 of an integer and ROUND can never land
+    // on a .5 tie in either engine. ----
     q("q97_decimal_arith",
       """SELECT l_returnflag,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS disc_price
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0))) / 100 AS DOUBLE), 4) AS sum_price,
+        |  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(18,0)) * CAST(ROUND((1 - l_discount) * 10000) AS DECIMAL(18,0))) / 1000000 AS DOUBLE), 4) AS disc_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ---- array set operations (union/intersect/except, sorted + deduped on
