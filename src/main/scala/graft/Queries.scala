@@ -938,7 +938,112 @@ object Queries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // ---- TPC-H Q7 shape: bidirectional two-nation trade volume by ship
+    // year. supplier->lineitem->orders->customer spine with two nation
+    // broadcasts; the disjunctive nation pair filter prunes before the agg ----
+    q("q101_tpch_q7",
+      """SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+
+    // ---- TPC-H Q14 shape: promo revenue share over one ship month
+    // (conditional agg over an equi join, filter pushed to the fact scan) ----
+    q("q102_tpch_q14",
+      """SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin),
+
+    // ---- TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    // ranges across the join (tests OR predicate handling; each disjunct
+    // references both sides so it can't fully push below the join) ----
+    q("q103_tpch_q19",
+      """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin),
+
+    // ---- TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS
+    // anti join + re-aggregation (cntrycode stands in for phone prefix —
+    // the fixture has no c_phone; the anti join is date-scoped because
+    // every fixture customer has at least one order, and an always-empty
+    // result would make the check vacuous) ----
+    q("q104_tpch_q22",
+      """SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+        |  FROM customer
+        |  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |    AND NOT EXISTS (SELECT 1 FROM orders
+        |                    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |) custsale
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
+
+    // ---- TPC-H Q16 shape: COUNT(DISTINCT) per 3-key group with <> and IN
+    // filters, ordered by the distinct count (Expand-based distinct agg) ----
+    q("q105_supplier_cnt",
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""".stripMargin),
+
+    // ---- VARIANT (Spark 4 semi-structured type): parse_json into a
+    // variant, typed extraction via variant_get (the open-JSON analogue of
+    // the document-store idiom; DuckDB reads the same field as JSON text) ----
+    q2("q106_variant",
+      """SELECT event_id, CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin),
+
+    // ---- percentile_disc ordered-set aggregate (completes q68's
+    // percentile_cont: disc returns an actual element, no interpolation) ----
+    q("q107_percentile_disc",
+      """SELECT o_orderstatus,
+        |  ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med_disc,
+        |  ROUND(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_disc
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- mode() aggregate (fixture has a strict unique max per group, so
+    // the cross-engine tie-breaking difference cannot bite at sf0.01) ----
+    q("q108_mode",
+      """SELECT o_orderstatus, mode(o_orderpriority) AS top_prio
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- levenshtein edit distance (fuzzy-match primitive for
+    // entity-resolution pipelines) ----
+    q2("q109_levenshtein",
+      """SELECT n1.n_nationkey AS a_key, CAST(levenshtein(n1.n_name, n2.n_name) AS INT) AS dist
+        |FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1
+        |ORDER BY a_key""".stripMargin,
+      """SELECT n1.n_nationkey AS a_key, CAST(levenshtein(n1.n_name, n2.n_name) AS INT) AS dist
+        |FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1
+        |ORDER BY a_key""".stripMargin),
+
+    // ---- linear-regression aggregates (regr_*: completes q81's
+    // corr/covar/stddev family) ----
+    q("q110_regr",
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap

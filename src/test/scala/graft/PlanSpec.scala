@@ -57,4 +57,28 @@ class PlanSpec extends SparkSpec {
     assert(run("q17_semi").contains("LeftSemi"), "EXISTS should plan as left semi join")
     assert(run("q17_anti").contains("LeftAnti"), "NOT EXISTS should plan as left anti join")
   }
+
+  test("q101 two-nation trade: nation dims broadcast, lineitem scan pruned") {
+    val plan = run("q101_tpch_q7")
+    assert(plan.contains("BroadcastHashJoin"), s"nation dims should broadcast:\n$plan")
+    val scanSchema = plan.linesIterator.find(l => l.contains("ReadSchema") && l.contains("lineitem")).getOrElse("")
+    assert(!scanSchema.contains("l_quantity") && !scanSchema.contains("l_tax"),
+      s"lineitem scan reads columns the query never uses: $scanSchema")
+  }
+
+  test("q93 TPC-H Q5: orderdate range pushed to orders scan, dims broadcast") {
+    val plan = run("q93_tpch_q5")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate range not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "nation/region should broadcast under AQE")
+  }
+
+  test("q103 disjunctive join predicate: part-only disjunction pushed to part scan") {
+    val plan = run("q103_tpch_q19")
+    // Catalyst derives (brand=1 AND size..) OR (brand=2 AND size..) for the
+    // part side even though each full disjunct also references lineitem.
+    assert(plan.contains("Or(EqualTo(p_brand,Brand#1)") ||
+      plan.contains("Or(And(EqualTo(p_brand,Brand#1)"),
+      s"part-side OR not derived/pushed:\n$plan")
+  }
 }
