@@ -1035,6 +1035,48 @@ object Queries {
         |FROM nation n1 JOIN nation n2 ON n2.n_nationkey = n1.n_nationkey + 1
         |ORDER BY a_key""".stripMargin),
 
+    // ---- HLL sketch aggregate (Spark 3.5+ datasketches: the mergeable
+    // form of approx-distinct a 100 TB pipeline pre-aggregates per
+    // partition). q96 pattern: the exact distinct count is cross-checked
+    // against DuckDB, the sketch estimate is bound-checked against that
+    // verified exact value engine-side. ----
+    q2("q111_hll_sketch",
+      """SELECT CAST(CASE WHEN ABS(hll_sketch_estimate(hll_sketch_agg(o_custkey)) - COUNT(DISTINCT o_custkey))
+        |  / COUNT(DISTINCT o_custkey) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound,
+        |  COUNT(DISTINCT o_custkey) AS exact_nd
+        |FROM orders""".stripMargin,
+      "SELECT CAST(1 AS INT) AS within_bound, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders"),
+
+    // ---- string functions, second batch (chr/ascii/left/right/repeat/
+    // reverse — the q36 set covers upper/lower/substr/trim/lpad) ----
+    q("q112_string_funcs2",
+      """SELECT n_nationkey, chr(65 + n_nationkey % 26) AS ch, ascii(n_name) AS first_code,
+        |  left(n_name, 3) AS l3, right(n_name, 2) AS r2,
+        |  repeat('*', CAST(n_nationkey % 4 AS INT)) AS stars, reverse(n_name) AS rev
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- stack generator (rows-from-literals table function; oracle is
+    // the equivalent VALUES relation) ----
+    q2("q113_stack",
+      """SELECT k, v FROM (SELECT stack(3, 'a', 1, 'b', 2, 'c', 3) AS (k, v)) ORDER BY k""",
+      """SELECT k, v FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) t(k, v) ORDER BY k"""),
+
+    // ---- try_divide (error-safe arithmetic -> NULL on /0, completing
+    // q91's TRY_CAST; oracle spells the NULL guard explicitly) ----
+    q2("q114_try_arith",
+      """SELECT o_orderkey, ROUND(try_divide(o_totalprice, o_custkey % 3), 4) AS safe_div
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey, CASE WHEN o_custkey % 3 = 0 THEN NULL
+        |  ELSE ROUND(o_totalprice / (o_custkey % 3), 4) END AS safe_div
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- base conversion (hex/bin) ----
+    q2("q115_base_conv",
+      """SELECT n_nationkey, hex(n_nationkey) AS h, bin(n_nationkey) AS b
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, to_hex(n_nationkey) AS h, bin(n_nationkey) AS b
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // ---- linear-regression aggregates (regr_*: completes q81's
     // corr/covar/stddev family) ----
     q("q110_regr",

@@ -15,6 +15,7 @@ object Ext {
     "q50_simhash" -> (Dedup.simhash _),
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
+    "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
   )

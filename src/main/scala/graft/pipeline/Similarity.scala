@@ -42,6 +42,57 @@ object Similarity {
   private def cosine(aName: String, bName: String): Column =
     round(expr(s"cosine_similarity($aName, $bName)"), 4)
 
+  private val NumCells = 16
+
+  /** IVF (inverted-file) ANN top-k for query vectors vec_id < 5 — the
+    * second scale path next to [[lshTopK]]: every vector is coarse-quantized
+    * to its single nearest seed cell, and a query probes only its `nprobe`
+    * nearest cells, so scoring is an equi-join on cell id over a fraction of
+    * the corpus instead of a full scan.
+    *
+    * Seeds are deterministic (the NumCells lowest vec_ids stand in for
+    * k-means centroids; at 100 TB they'd come from a sampled k-means — the
+    * partition-pruning structure is identical). The seed set is a broadcast
+    * dim table, assignment is N x NumCells fused native-cosine evaluations
+    * reduced by `max_by` (partial aggregation, no window sort over the
+    * corpus), and nothing is collected to the driver.
+    * Output: (qid, did, cos_sim, rnk) — rows-only check (score agreement
+    * with the exact q48 baseline is asserted in SimilaritySpec). */
+  def ivfTopK(spark: SparkSession, dir: String, nprobe: Int = 3): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings")
+    val seeds = broadcast(
+      emb.where(col("vec_id") < NumCells)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("seed_emb")))
+    def affinities(df: DataFrame): DataFrame = df
+      .crossJoin(seeds)
+      .select(col("vec_id"), col("cell"),
+        expr("cosine_similarity(embedding, seed_emb)").as("aff"))
+    // Data side: argmax cell per vector. max_by over struct(aff, -cell)
+    // = highest affinity, ties to the lowest cell — deterministic, and a
+    // partial+final aggregate rather than a per-vector sort.
+    val cells = affinities(emb).groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("aff"), -col("cell"))).as("cell"))
+    val data = emb.join(cells, "vec_id")
+      .select(col("vec_id").as("did"), col("embedding").as("d_emb"), col("cell"))
+    // Query side (5 rows): top-nprobe cells each.
+    import org.apache.spark.sql.expressions.Window
+    val qAff = affinities(emb.where(col("vec_id") < 5))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cell"))))
+      .where(col("crnk") <= nprobe)
+    val qs = emb.where(col("vec_id") < 5)
+      .join(qAff.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("cell"))
+    val scored = qs.join(data, Seq("cell")).where(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), cosine("q_emb", "d_emb").as("cos_sim"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))).cast("bigint"))
+      .where(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
   /** LSH-bucketed cosine top-k for query vectors vec_id < 5.
     * Output: (qid, did, cos_sim, rnk) — rows-only check (ANN recall is
     * compared against the exact q48 baseline in SimilaritySpec). */

@@ -26,4 +26,32 @@ class SimilaritySpec extends SparkSpec {
     val common = exact.keySet.intersect(lsh.keySet)
     common.foreach(k => assert(math.abs(exact(k) - lsh(k)) < 1e-9))
   }
+
+  test("IVF top-k: per-query ranks sequential, scores agree with exact baseline, deterministic") {
+    Tables.register(spark, sfDir)
+    val rows = Similarity.ivfTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to rs.length))
+    }
+    val exact = spark.sql(graft.Queries.byName("q48_cosine_topk").spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet.intersect(ivf.keySet)
+    assert(common.nonEmpty, "IVF should rediscover at least one exact top-10 neighbor")
+    common.foreach(k => assert(math.abs(exact(k) - ivf(k)) < 1e-9))
+    val again = Similarity.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf == again, "IVF assignment/probing must be deterministic")
+  }
+
+  test("IVF probes prune the corpus: scored candidates are a strict subset of all vectors") {
+    Tables.register(spark, sfDir)
+    val total = spark.table("embeddings").count()
+    // with nprobe=1 each query scores only its own cell's inventory
+    val perQueryScored = Similarity.ivfTopK(spark, sfDir, nprobe = 1)
+    // rnk<=10 caps output; instead count distinct candidate dids vs corpus
+    val dids = perQueryScored.select("did").distinct().count()
+    assert(dids < total, s"IVF with nprobe=1 should not touch every vector ($dids vs $total)")
+  }
 }
