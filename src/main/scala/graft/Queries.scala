@@ -1077,6 +1077,47 @@ object Queries {
       """SELECT n_nationkey, to_hex(n_nationkey) AS h, bin(n_nationkey) AS b
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // ---- map higher-order functions (transform_values / map_filter /
+    // cardinality; the oracle states the expected RESULT directly from the
+    // base columns — it needn't mirror the map mechanism) ----
+    q2("q116_map_hof",
+      """SELECT n_nationkey,
+        |  element_at(transform_values(str_to_map(concat('a:', n_name), ',', ':'), (k, v) -> upper(v)), 'a') AS up_val,
+        |  element_at(map_filter(str_to_map(concat('a:', n_name, ',b:x'), ',', ':'), (k, v) -> k = 'a'), 'a') AS kept,
+        |  CAST(cardinality(map_filter(str_to_map(concat('a:', n_name, ',b:x'), ',', ':'), (k, v) -> k = 'a')) AS INT) AS n_kept
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, upper(n_name) AS up_val, n_name AS kept, 1 AS n_kept
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- date functions, second batch: add_months (end-of-month clamping
+    // matches DuckDB's month-interval addition), quarter, ISO week,
+    // dayofweek (Spark 1=Sunday vs DuckDB 0=Sunday) ----
+    q2("q117_date_funcs2",
+      """SELECT o_orderkey, add_months(o_orderdate, 2) AS plus2m,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_wk,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey, CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(week(o_orderdate) AS INT) AS iso_wk,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- skewness / kurtosis: Spark computes population moments (g1,
+    // excess g2), DuckDB sample-corrected (G1, G2) — the Spark side applies
+    // the standard corrections so both emit the sample-statistic form ----
+    q2("q118_skew_kurt",
+      """SELECT l_returnflag,
+        |  ROUND(skewness(l_quantity) * SQRT(COUNT(*) * (COUNT(*) - 1.0)) / (COUNT(*) - 2.0), 4) AS skew_s,
+        |  ROUND((COUNT(*) - 1.0) / ((COUNT(*) - 2.0) * (COUNT(*) - 3.0))
+        |    * ((COUNT(*) + 1.0) * kurtosis(l_quantity) + 6.0), 4) AS kurt_s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  ROUND(skewness(l_quantity), 4) AS skew_s,
+        |  ROUND(kurtosis(l_quantity), 4) AS kurt_s
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- linear-regression aggregates (regr_*: completes q81's
     // corr/covar/stddev family) ----
     q("q110_regr",
