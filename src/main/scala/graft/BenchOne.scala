@@ -71,6 +71,28 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "ngram_explode_vs_array") {
+      // q46 formulations: exploded gram equi-join + groupBy count vs
+      // per-doc distinct-gram arrays joined on adjacent id + array_intersect.
+      val exploded = Queries.byName("q46_ngram_jaccard").spark
+      val arrays = """WITH ds AS (
+          SELECT doc_id, array_distinct(transform(sequence(1, length(text) - 2),
+                                                  i -> substr(text, i, 3))) AS gs
+          FROM documents)
+        SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+        FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            size(array_intersect(a.gs, b.gs)) AS i, size(a.gs) AS na, size(b.gs) AS nb
+          FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1)
+        WHERE i > 0
+        ORDER BY a_id"""
+      for (i <- 1 to 3; (label, q) <- Seq("exploded" -> exploded, "arrays" -> arrays)) {
+        val t0 = System.nanoTime()
+        val n = spark.sql(q).collect().length
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      spark.stop(); return
+    }
     if (name == "dot_hoist_vs_fused") {
       // all-pairs cosine scoring: fused expression (re-derives both norms
       // per pair) vs hoisted norms (one dot per pair) — the q72 shape.

@@ -157,12 +157,15 @@ object Queries {
     // ---- COUNT(DISTINCT) ----
     q("q22_count_distinct", "SELECT COUNT(DISTINCT o_custkey) AS buyers FROM orders"),
 
-    // ---- approx_count_distinct: self-contained 5% bound check (oracle = 1) ----
+    // ---- approx_count_distinct: 5% bound check against an exact count
+    // that is itself cross-verified against DuckDB (q96 pattern — the
+    // bound's reference value cannot silently drift) ----
     q2("q23_approx_distinct",
       """SELECT CAST(CASE WHEN ABS(approx_count_distinct(o_custkey, 0.01) - COUNT(DISTINCT o_custkey))
-        |  / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound
+        |  / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound,
+        |  COUNT(DISTINCT o_custkey) AS exact_nd
         |FROM orders""".stripMargin,
-      "SELECT CAST(1 AS INT) AS within_bound"),
+      "SELECT CAST(1 AS INT) AS within_bound, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders"),
 
     // ---- conditional agg ----
     q("q24_conditional_agg",
@@ -431,7 +434,11 @@ object Queries {
     // ---- n-gram Jaccard similarity between consecutive docs (char 3-grams).
     //      Join key is (gram, adjacent id) — equi-join, never all-pairs.
     //      Gram sets are deduped per-row (array_distinct before explode), so
-    //      no global DISTINCT shuffle of the exploded gram table. ----
+    //      no global DISTINCT shuffle of the exploded gram table. The
+    //      alternative formulation (one distinct-gram array per doc, join on
+    //      adjacent id, array_intersect per pair) shuffles fewer rows but
+    //      measured ~20% slower at sf0.1 — codegen'd hash agg absorbs the
+    //      row volume; see BenchOne `ngram_explode_vs_array`. ----
     q2("q46_ngram_jaccard",
       """WITH ds AS (
         |  SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
