@@ -20,10 +20,28 @@ class QueriesSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    // the only rows-only entries: ANN (approximate by contract) and the
-    // stub-decoder multimodal pass; near-dup ops carry ground-truth oracles
-    // and the multimodal metadata slice is oracle-checked via q52b
-    assert(q -- o == Set("q51_ann_lsh", "q52_multimodal_features"))
+    // the only rows-only entries: ANN (approximate by contract, both LSH
+    // and IVF paths) and the stub-decoder multimodal pass; near-dup ops
+    // carry ground-truth oracles and the multimodal metadata slice is
+    // oracle-checked via q52b
+    assert(q -- o == Set("q51_ann_lsh", "q51b_ann_ivf", "q52_multimodal_features"))
+  }
+
+  test("TABLESAMPLE returns a strict, plausible subset and repeats with a fixed seed") {
+    Tables.register(spark, sfDir)
+    val total = spark.table("orders").count()
+    val q = "SELECT COUNT(*) AS n FROM orders TABLESAMPLE (50 PERCENT) REPEATABLE (42)"
+    val n1 = spark.sql(q).collect().head.getLong(0)
+    val n2 = spark.sql(q).collect().head.getLong(0)
+    assert(n1 == n2, "same seed + same partitioning must repeat")
+    assert(n1 > total / 5 && n1 < total * 4 / 5, s"50% sample wildly off: $n1 of $total")
+  }
+
+  test("DISTRIBUTE BY repartitions on the key (hashpartitioning exchange in plan)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql("SELECT l_returnflag, l_quantity FROM lineitem DISTRIBUTE BY l_returnflag")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(l_returnflag"), s"expected hash exchange:\n$plan")
   }
 
   test("q01 literal values") {
