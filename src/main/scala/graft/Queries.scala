@@ -1125,6 +1125,38 @@ object Queries {
         |  ROUND(kurtosis(l_quantity), 4) AS kurt_s
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- any_value (deterministic here: each group has exactly one
+    // distinct value, so "any" is forced) ----
+    q("q119_any_value",
+      """SELECT n_regionkey, any_value(r_name) AS region_name, COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- struct construction + field access (named_struct -> .field; the
+    // oracle states the projected result directly) ----
+    q2("q120_struct",
+      """SELECT n_nationkey, named_struct('name', n_name, 'key', n_nationkey).name AS sname,
+        |  CAST(named_struct('name', n_name, 'key', n_nationkey).key AS INT) AS skey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_name AS sname, CAST(n_nationkey AS INT) AS skey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- array HOFs, second batch: exists / forall / zip_with (q80 covers
+    // transform/filter/aggregate; the oracle restates each predicate in
+    // plain SQL over the generating expression) ----
+    q2("q121_hof2",
+      """SELECT doc_id,
+        |  exists(split(lower(text), ' '), w -> w = 'the') AS has_the,
+        |  forall(split(lower(text), ' '), w -> length(w) < 20) AS all_short,
+        |  CAST(aggregate(zip_with(sequence(1, 3), sequence(4, 6), (x, y) -> x * y),
+        |                 0, (acc, v) -> acc + v) AS INT) AS zip_dot
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+      """SELECT doc_id,
+        |  list_contains(string_split(lower(text), ' '), 'the') AS has_the,
+        |  len(list_filter(string_split(lower(text), ' '), w -> length(w) >= 20)) = 0 AS all_short,
+        |  CAST(1*4 + 2*5 + 3*6 AS INT) AS zip_dot
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
+
     // ---- linear-regression aggregates (regr_*: completes q81's
     // corr/covar/stddev family) ----
     q("q110_regr",
