@@ -81,4 +81,31 @@ class PlanSpec extends SparkSpec {
       plan.contains("Or(And(EqualTo(p_brand,Brand#1)"),
       s"part-side OR not derived/pushed:\n$plan")
   }
+
+  test("catalog-wide audit: no unintentional cartesian or nested-loop join") {
+    // Queries where a non-equi or all-pairs plan IS the declared semantics:
+    //   q18 cross join; q19 theta join; q62 VALUES joined on a range
+    //   predicate; q72 all-pairs embedding ground truth; q46's gram join is
+    //   equi but its a_id+1 arithmetic key stays a hash join (verified
+    //   below by absence from the flagged set).
+    val intentional = Set(
+      "q18_cross", "q19_theta_join", "q62_values_join",
+      "q72_embedding_neardup", "q59_in_subquery", "q60_scalar_subquery",
+      "q95_time_range_frame", "q35_asof_window",
+      // broadcast-small-side nested loops where the broadcast side is
+      // constant-bounded by construction (scale-safe map-side passes):
+      "q64_tfidf",        // CROSS JOIN with a 1-row corpus-count aggregate
+      "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
+      "q51b_ann_ivf")     // N x 16-seed broadcast assignment (IVF assign step)
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try executedPlan(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Exception => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+      if (bad.nonEmpty) Some(name -> bad) else None
+    }
+    val unexpected = flagged.filterNot { case (n, _) => intentional.contains(n) }
+    assert(unexpected.isEmpty,
+      s"queries with all-pairs physical joins outside the intentional set: $unexpected")
+  }
 }
