@@ -224,6 +224,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("Trigger.AvailableNow drains the source incrementally and terminates") {
+    import graft.TestSpark.spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_avail_now").toString
+    val batchDf = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val agg = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName("avail_now_agg").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates on its own once staged data is drained — the
+    // periodic-incremental-job posture (cron-style catch-up, then exit).
+    assert(q.awaitTermination(120000), "AvailableNow query should self-terminate")
+    val got = spark.table("avail_now_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = batchDf.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("foreachBatch sink: micro-batches land via the batch parquet writer") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.take(100)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val stream = MemoryStream[Ev]
+    stream.addData(rows.take(60))
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(60)) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(outDir).count() == 100)
+  }
+
   test("stream-static join enriches events with the user-keyed static side") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
