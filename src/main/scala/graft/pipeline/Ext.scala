@@ -18,6 +18,7 @@ object Ext {
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
+    "q52c_frame_counts" -> (Multimodal.frameCounts _),
   )
 
   /** DuckDB CTE computing each document's distinct word-3-shingle set —
@@ -93,6 +94,14 @@ object Ext {
     // octet length is recomputable from the source table.
     "q52b_multimodal_meta" ->
       """SELECT doc_id, 'txt' AS format, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Frame sampling: boundaries are a pure function of payload length
+    // (one frame per started 1024-byte stride), so the per-doc count is
+    // recomputable from octet_length alone.
+    "q52c_frame_counts" ->
+      """SELECT doc_id,
+        |  CAST(CEIL(GREATEST(octet_length(encode(text)), 1) / 1024.0) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

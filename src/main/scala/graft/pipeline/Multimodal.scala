@@ -44,6 +44,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_mean: Double)
+
+  private val FrameSize = 256
+  private val FrameStride = 1024
+
+  /** Frame sampling: one row per sampled fixed-width byte window (every
+    * `FrameStride` bytes, `FrameSize`-byte frames — the video-pipeline
+    * one-to-many shape: flatMap on a typed Dataset, constant frames-per-byte
+    * fan-out, per-frame stub feature). Frame boundaries are a pure function
+    * of payload length, so the per-doc frame COUNT is oracle-checkable from
+    * octet_length even though the stub per-frame statistic is engine-side. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    val media = spark.table("documents")
+      .select(col("doc_id"), lit("txt").as("format"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("n_bytes", length(col("media")))
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("media"))
+      .as[MediaRow]
+    media.flatMap { r =>
+      val offsets = 0 until math.max(r.media.length, 1) by FrameStride
+      offsets.zipWithIndex.map { case (off, idx) =>
+        val end = math.min(off + FrameSize, r.media.length)
+        var sum = 0L; var i = off
+        while (i < end) { sum += (r.media(i) & 0xff); i += 1 }
+        val n = math.max(end - off, 1)
+        FrameRow(r.doc_id, idx, end - off, math.rint(sum.toDouble / n * 10000) / 10000)
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Per-doc sampled-frame counts — the oracle-checked slice of the frame
+    * pipeline (recomputable from octet_length alone). */
+  def frameCounts(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_frames"))
+      .orderBy("doc_id")
+
+  /** Resize stand-in: average-pool a feature vector to `width` buckets
+    * (fixed-output-width contract of a real image resize; pure column
+    * expression, stays in codegen). */
+  def resizeFeatures(df: DataFrame, featuresCol: String, width: Int): DataFrame = {
+    val src = col(featuresCol)
+    val pooled = transform(sequence(lit(0), lit(width - 1)), b => {
+      val lo = b * size(src) / width
+      val hi = (b + lit(1)) * size(src) / width
+      round(aggregate(slice(src, lo + 1, greatest(hi - lo, lit(1))),
+        lit(0.0), (acc, x) => acc + x) / greatest(hi - lo, lit(1)), 4)
+    })
+    df.withColumn(s"${featuresCol}_resized", pooled)
+  }
+
   /** Synthesizes a media table from `documents` (text bytes as the opaque
     * payload) and runs distributed feature extraction. */
   def features(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("frame sampling: deterministic, indices sequential, last frame may be short") {
+    val frames = Multimodal.frameSample(spark, sfDir).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getLong(0)).foreach { case (_, fs) =>
+      assert(fs.map(_.getInt(1)).sorted.sameElements(fs.indices))
+      // every frame except possibly the last is full-width
+      fs.sortBy(_.getInt(1)).dropRight(1).foreach(f => assert(f.getInt(2) == 256))
+      fs.foreach(f => assert(f.getInt(2) >= 1 && f.getInt(2) <= 256))
+      fs.foreach(f => assert(f.getDouble(3) >= 0.0 && f.getDouble(3) <= 255.0))
+    }
+    val again = Multimodal.frameSample(spark, sfDir).collect()
+    assert(frames.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("frame counts equal ceil(octet_length / stride)") {
+    val got = Multimodal.frameCounts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Multimodal.meta(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> math.max((r.getInt(2) + 1023) / 1024, 1)).toMap
+    assert(got == want)
+  }
+
+  test("resize pools the feature vector to the target width, preserving scale") {
+    val df = Multimodal.features(spark, sfDir)
+      .select(col("doc_id"),
+        from_json(col("features_json"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<double>")).as("features"))
+    val resized = Multimodal.resizeFeatures(df, "features", 4)
+      .select(col("doc_id"), col("features"), col("features_resized")).collect()
+    resized.foreach { r =>
+      val full = r.getSeq[Double](1)
+      val pooled = r.getSeq[Double](2)
+      assert(pooled.length == 4)
+      // average-pooling a 16-bucket L1-normalized histogram into 4 buckets
+      // of 4: each pooled value is the mean of its slice
+      pooled.zipWithIndex.foreach { case (v, i) =>
+        val want = full.slice(i * 4, i * 4 + 4).sum / 4
+        assert(math.abs(v - want) < 1e-3, s"bucket $i: $v vs $want")
+      }
+    }
+  }
+}
