@@ -353,6 +353,14 @@ object Queries {
     q("q41_dedup_exact",
       "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents GROUP BY text ORDER BY keep_id"),
 
+    // ---- canonicalized exact dedup: the standard LLM-corpus normalization
+    // (lowercase, strip non-alphanumerics, collapse whitespace) before the
+    // content hash, so trivially-reformatted copies collapse to one key ----
+    q("q41b_canonical_dedup",
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))) AS canon_key,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY canon_key ORDER BY keep_id""".stripMargin),
+
     // ---- token frequency (tokenize + TF agg) ----
     q2("q42_token_freq",
       """SELECT token, COUNT(*) AS freq FROM (
