@@ -439,6 +439,30 @@ object Queries {
     q("q45_fingerprint",
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
 
+    // ---- rolling-hash document fingerprint (winnowing-style): polynomial
+    // hash over every word 3-shingle, fingerprint = the minimum shingle
+    // hash — robust to local edits unlike q45's whole-content md5. The
+    // same portable polynomial ((acc*131 + codepoint) mod 1e9+7) that the
+    // SimHash oracle recomputes; DuckDB folds with list_reduce. ----
+    q2("q45b_rolling_fp",
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+        |                                        i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))) AS g
+        |       FROM w WHERE size(ws) >= 3),
+        |h AS (SELECT doc_id, aggregate(split(g, ''), CAST(0 AS BIGINT),
+        |                               (acc, c) -> (acc * 131 + ascii(c)) % 1000000007) AS hv
+        |      FROM sh)
+        |SELECT doc_id, MIN(hv) AS fp FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |           WHERE len(string_split(lower(text), ' ')) >= 3),
+        |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM w, UNNEST(range(1, len(ws) - 1)) t(i)),
+        |h AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(g, ''), c -> ord(c)::BIGINT)),
+        |        (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
+        |      FROM sh)
+        |SELECT doc_id, MIN(hv) AS fp FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- n-gram Jaccard similarity between consecutive docs (char 3-grams).
     //      Join key is (gram, adjacent id) — equi-join, never all-pairs.
     //      Gram sets are deduped per-row (array_distinct before explode), so
