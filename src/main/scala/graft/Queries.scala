@@ -1189,6 +1189,24 @@ object Queries {
         |  CAST(1*4 + 2*5 + 3*6 AS INT) AS zip_dot
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin),
 
+    // ---- WITH RECURSIVE (Spark 4 recursive CTE): fixed-stride key walk
+    // bounded by depth — the hierarchical-traversal statement shape ----
+    q("q122_recursive_cte",
+      """WITH RECURSIVE r(nk, depth) AS (
+        |  SELECT CAST(n_nationkey AS INT), 0 FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS INT), r.depth + 1
+        |  FROM nation n JOIN r ON n.n_nationkey = r.nk + 5 WHERE r.depth < 4)
+        |SELECT nk, CAST(depth AS INT) AS depth FROM r ORDER BY nk""".stripMargin),
+
+    // ---- named WINDOW clause: one definition shared by a ranking and an
+    // aggregate window function ----
+    q("q123_named_window",
+      """SELECT o_orderkey, CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  ROUND(SUM(o_totalprice) OVER w, 4) AS run_sum
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
     // ---- linear-regression aggregates (regr_*: completes q81's
     // corr/covar/stddev family) ----
     q("q110_regr",
