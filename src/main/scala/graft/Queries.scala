@@ -1215,7 +1215,410 @@ object Queries {
         |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- TPC-H Q2 shape: min-cost supplier per part via a correlated
+    // MIN subquery (no partsupp table here: lineitem is the part-supplier
+    // link; the correlated scalar re-aggregates the same link table) ----
+    q("q124_tpch_q2",
+      """SELECT p_partkey, p_type, s_suppkey, s_name,
+        |  ROUND(l_extendedprice, 4) AS min_price
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size = 25 AND p_type = 'ECONOMY'
+        |  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin),
+
+    // ---- TPC-H Q4 shape: priority count of orders having a late-shipped
+    // line (EXISTS decorrelated to a left-semi join; no commitdate/
+    // receiptdate in this schema -> late = shipped >30 days after order) ----
+    q("q125_tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL '30' DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- TPC-H Q6 shape: single-table filtered global agg (the pushed-
+    // filter scan benchmark: predicate reaches the parquet reader) ----
+    q("q126_tpch_q6",
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    // ---- TPC-H Q8 shape: national market share = conditional share of
+    // volume per order year over a 5-way star join ----
+    q("q127_tpch_q8",
+      """SELECT o_year,
+        |  ROUND(SUM(CASE WHEN nat = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume, n_name AS nat
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'STANDARD') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin),
+
+    // ---- TPC-H Q9 shape: profit by nation and year (no ps_supplycost:
+    // cost modeled from p_retailprice per unit) ----
+    q("q128_tpch_q9",
+      """SELECT nat, o_year, ROUND(SUM(amount), 4) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nat, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS amount
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%blue%') t
+        |GROUP BY nat, o_year ORDER BY nat, o_year DESC""".stripMargin),
+
+    // ---- TPC-H Q11 shape: groups exceeding a fraction of the global
+    // total (HAVING against an uncorrelated scalar-subquery aggregate;
+    // exact integral quantities keep the threshold cross-engine-stable) ----
+    q("q129_tpch_q11",
+      """SELECT l_partkey, ROUND(SUM(l_quantity), 4) AS part_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 7
+        |GROUP BY l_partkey
+        |HAVING SUM(l_quantity) > (SELECT SUM(l_quantity) * 0.0005 FROM lineitem
+        |                          JOIN supplier ON l_suppkey = s_suppkey
+        |                          WHERE s_nationkey = 7)
+        |ORDER BY part_qty DESC, l_partkey""".stripMargin),
+
+    // ---- TPC-H Q12 shape: two conditional priority counts per line class
+    // (no shipmode column: l_linestatus classifies; late = >45 days) ----
+    q("q130_tpch_q12",
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL '45' DAY
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution (left outer
+    // join with an ON-clause filter, then a histogram of group sizes) ----
+    q("q131_tpch_q13",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ---- TPC-H Q15 shape: top supplier by aggregated revenue — CTE
+    // aggregate reused both as join input and inside a scalar MAX subquery.
+    // Revenue uses integral l_quantity so the MAX equality is exact. ----
+    q("q132_tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, ROUND(total_qty, 4) AS total_qty
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_qty = (SELECT MAX(total_qty) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // ---- TPC-H Q17 shape: small-order revenue against a correlated
+    // per-part average quantity (exact: integral quantities) ----
+    q("q133_tpch_q17",
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin),
+
+    // ---- TPC-H Q18 shape: large-volume orders (IN over a grouped HAVING
+    // subquery, then re-aggregation on the joined spine) ----
+    q("q134_tpch_q18",
+      """SELECT c_custkey, c_name, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+        |  ROUND(SUM(l_quantity), 4) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 180)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- TPC-H Q20 shape: nested IN chains — suppliers who moved more
+    // than a threshold of a name-filtered part set in a ship year ----
+    q("q135_tpch_q20",
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact table —
+    // suppliers who alone shipped late on a multi-supplier order ----
+    q("q136_tpch_q21",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin),
+
+    // ---- string functions, third batch: translate / substring_index /
+    // instr / position / initcap / OVERLAY (DuckDB restates the ones it
+    // lacks: split_part for substring_index, substr-concat for OVERLAY,
+    // upper+lower for initcap over these single-word inputs) ----
+    q2("q137_string_funcs3",
+      """SELECT n_nationkey, translate(n_name, 'NAT', 'nat') AS tr,
+        |  substring_index(n_name, '_', 1) AS sub_idx,
+        |  CAST(instr(n_name, '_') AS INT) AS pos_us,
+        |  CAST(position('N' IN n_name) AS INT) AS pos_n,
+        |  initcap(lower(n_name)) AS ic,
+        |  overlay(n_name PLACING 'XX' FROM 2 FOR 2) AS ov
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, translate(n_name, 'NAT', 'nat') AS tr,
+        |  split_part(n_name, '_', 1) AS sub_idx,
+        |  CAST(instr(n_name, '_') AS INT) AS pos_us,
+        |  CAST(position('N' IN n_name) AS INT) AS pos_n,
+        |  upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS ic,
+        |  substr(n_name, 1, 1) || 'XX' || substr(n_name, 4) AS ov
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- cryptographic hash functions (content-addressing / dedup keys:
+    // md5 + sha2-256, hex-encoded, engine-portable) ----
+    q2("q138_hash_funcs",
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha2(p_name, 256) AS h_sha
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin),
+
+    // ---- URL parsing (parse_url HOST/PATH/QUERY-key; the oracle
+    // reconstructs each component from the generating expression) ----
+    q2("q139_url_funcs",
+      """SELECT n_nationkey, parse_url(u, 'HOST') AS host, parse_url(u, 'PATH') AS path,
+        |  parse_url(u, 'QUERY', 'id') AS qid
+        |FROM (SELECT n_nationkey,
+        |        concat('https://api.example.com/v1/items?id=', n_nationkey,
+        |               '&name=', lower(n_name)) AS u
+        |      FROM nation) t ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, 'api.example.com' AS host, '/v1/items' AS path,
+        |  CAST(n_nationkey AS VARCHAR) AS qid
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- trigonometric / angular math (shared SQL: both engines agree
+    // on IEEE doubles; rounded to absorb libm last-ulp noise) ----
+    q("q140_trig",
+      """SELECT l_linenumber, ROUND(SIN(l_linenumber), 4) AS s, ROUND(COS(l_linenumber), 4) AS c,
+        |  ROUND(TAN(l_linenumber), 4) AS t, ROUND(ATAN2(l_linenumber, 2), 4) AS a2,
+        |  ROUND(DEGREES(l_linenumber), 4) AS deg, ROUND(RADIANS(l_linenumber * 30), 4) AS rad,
+        |  ROUND(PI(), 4) AS pi
+        |FROM (SELECT DISTINCT l_linenumber FROM lineitem) ORDER BY l_linenumber""".stripMargin),
+
+    // ---- null-handling scalar functions: nvl / nvl2 / ifnull / nanvl /
+    // isnan (oracle restates Spark-only nvl2/nanvl as CASE) ----
+    q2("q141_null_funcs",
+      """SELECT event_id, ROUND(nvl(value, -1.0), 4) AS v_nvl,
+        |  nvl2(value, 'present', 'absent') AS v_nvl2,
+        |  ROUND(ifnull(value, 0.0), 4) AS v_if,
+        |  isnan(ROUND(nanvl(value, -2.0), 4)) AS not_nan
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+      """SELECT event_id, ROUND(coalesce(value, -1.0), 4) AS v_nvl,
+        |  CASE WHEN value IS NOT NULL THEN 'present' ELSE 'absent' END AS v_nvl2,
+        |  ROUND(ifnull(value, 0.0), 4) AS v_if,
+        |  CASE WHEN value IS NULL THEN false ELSE isnan(value) END AS not_nan
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+
+    // ---- banker's rounding (bround: HALF_EVEN, vs ROUND's HALF_UP) on
+    // exactly-representable ties; the oracle states the expected doubles ----
+    q2("q142_bround",
+      """SELECT CAST(v AS DOUBLE) AS v, bround(CAST(v AS DOUBLE), 0) AS be0,
+        |  bround(CAST(v AS DOUBLE), 1) AS be1
+        |FROM VALUES (0.5), (1.5), (2.5), (3.5), (1.25), (2.75) AS t(v)
+        |ORDER BY v""".stripMargin,
+      """SELECT CAST(v AS DOUBLE) AS v, CAST(b0 AS DOUBLE) AS be0, CAST(b1 AS DOUBLE) AS be1
+        |FROM (VALUES (0.5, 0.0, 0.5), (1.5, 2.0, 1.5), (2.5, 2.0, 2.5), (3.5, 4.0, 3.5),
+        |             (1.25, 1.0, 1.2), (2.75, 3.0, 2.8)) t(v, b0, b1)
+        |ORDER BY v""".stripMargin),
+
+    // ---- array functions, second batch: array_position / array_remove /
+    // slice / sort_array / flatten / array_repeat (DuckDB: list_position
+    // is NULL-on-absent vs Spark's 0 → coalesce; list_filter for remove) ----
+    q2("q143_array_funcs2",
+      """SELECT p_partkey,
+        |  CAST(array_position(words, 'red') AS BIGINT) AS pos_red,
+        |  array_join(array_remove(words, 'bolt'), '|') AS no_bolt,
+        |  array_join(slice(words, 1, 2), '|') AS first2,
+        |  array_join(sort_array(words), '|') AS sorted,
+        |  array_join(flatten(array(words, array('tail'))), '|') AS flat,
+        |  array_join(array_repeat(p_brand, 2), '|') AS rep2
+        |FROM (SELECT p_partkey, p_brand, split(p_name, ' ') AS words FROM part) t
+        |ORDER BY p_partkey LIMIT 300""".stripMargin,
+      """SELECT p_partkey,
+        |  CAST(coalesce(list_position(words, 'red'), 0) AS BIGINT) AS pos_red,
+        |  array_to_string(list_filter(words, w -> w <> 'bolt'), '|') AS no_bolt,
+        |  array_to_string(list_slice(words, 1, 2), '|') AS first2,
+        |  array_to_string(list_sort(words), '|') AS sorted,
+        |  array_to_string(flatten([words, ['tail']]), '|') AS flat,
+        |  array_to_string([p_brand, p_brand], '|') AS rep2
+        |FROM (SELECT p_partkey, p_brand, string_split(p_name, ' ') AS words FROM part) t
+        |ORDER BY p_partkey LIMIT 300""".stripMargin),
+
+    // ---- locale-style number formatting (thousands grouping over an
+    // exact integer input; DuckDB uses fmt-style format) ----
+    q2("q144_format_number",
+      """SELECT o_orderkey, format_number(o_orderkey * 1000 + 123, 0) AS grouped
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+      """SELECT o_orderkey, format('{:,}', o_orderkey * 1000 + 123) AS grouped
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- PII-style redaction pass (training-data scrub): email + URL
+    // regexp_replace with RE2/Java-portable patterns over synthesized
+    // contact lines ----
+    q("q145_pii_redact",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(line, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>'),
+        |                 'https?://[^ ]+', '<URL>') AS redacted
+        |FROM (SELECT doc_id,
+        |        concat('contact user', doc_id, '@mail.example.com or https://site',
+        |               doc_id, '.example.org/p?k=1 then ', substr(text, 1, 40)) AS line
+        |      FROM documents) t ORDER BY doc_id""".stripMargin),
+
+    // ---- document quality signals (Gopher-style): word count, mean word
+    // length, symbol ratio, duplicate-word fraction ----
+    q2("q146_quality_signals",
+      """SELECT doc_id, CAST(size(words) AS INT) AS n_words,
+        |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(words), 4) AS mean_wlen,
+        |  ROUND(1.0 - CAST(size(array_distinct(words)) AS DOUBLE) / size(words), 4) AS dup_frac
+        |FROM (SELECT doc_id, text, split(text, ' ') AS words FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+        |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 4) AS mean_wlen,
+        |  ROUND(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS dup_frac
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents) t
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- date_format pattern rendering (Java patterns ↔ strftime) ----
+    q2("q147_date_format",
+      """SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS iso,
+        |  date_format(o_orderdate, 'EEE MMM') AS abbrev,
+        |  date_format(o_orderdate, 'EEEE') AS day_name
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+        |  strftime(o_orderdate, '%a %b') AS abbrev,
+        |  dayname(o_orderdate) AS day_name
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+
+    // ---- unix epoch round-trip (unix_timestamp / from_unixtime; UTC
+    // session on both engines) ----
+    q2("q148_unix_epoch",
+      """SELECT o_orderkey, CAST(unix_timestamp(o_orderdate) AS BIGINT) AS epoch_s,
+        |  from_unixtime(unix_timestamp(o_orderdate) + 3600, 'yyyy-MM-dd HH:mm:ss') AS plus1h
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+      """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  strftime(to_timestamp(epoch(o_orderdate) + 3600) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS plus1h
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+
+    // ---- months_between fractional semantics (Spark's (d1-d2)/31 rule,
+    // restated arithmetically from date parts in the oracle) ----
+    q2("q149_months_between",
+      """SELECT o_orderkey,
+        |  ROUND(months_between(DATE '2000-03-15', CAST(o_orderdate AS DATE)), 4) AS mb
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+      """SELECT o_orderkey,
+        |  ROUND(12 * (2000 - EXTRACT(YEAR FROM o_orderdate))
+        |    + (3 - EXTRACT(MONTH FROM o_orderdate))
+        |    + (15 - EXTRACT(DAY FROM o_orderdate)) / 31.0, 4) AS mb
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+
+    // ---- timestamp construction from parts ----
+    q("q150_make_timestamp",
+      """SELECT n_nationkey,
+        |  make_timestamp(2000, 1 + n_nationkey % 12, 1 + n_nationkey, 6, 30, 0) AS ts
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- bitmap-sketch distinct count (Spark 4 bitmap aggregates:
+    // bucket → position → construct → count, summed across buckets;
+    // the oracle is the exact COUNT(DISTINCT)) ----
+    q2("q151_bitmap_distinct",
+      """SELECT c_nationkey, CAST(SUM(cnt) AS BIGINT) AS n_distinct
+        |FROM (
+        |  SELECT c_nationkey, bitmap_bucket_number(c_custkey) AS bucket,
+        |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(c_custkey))) AS cnt
+        |  FROM customer GROUP BY c_nationkey, bucket) t
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      """SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_distinct
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // ---- case-insensitive collation compare (Spark 4 COLLATE; the
+    // oracle restates via lower()) ----
+    q2("q152_collation",
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer
+        |WHERE c_mktsegment COLLATE UTF8_LCASE = 'building'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer
+        |WHERE lower(c_mktsegment) = 'building'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ---- inline (struct-array generator → rows, with ordinal) ----
+    q2("q153_inline",
+      """SELECT a, b FROM (SELECT inline(array(
+        |  named_struct('a', 1, 'b', 'x'), named_struct('a', 2, 'b', 'y'),
+        |  named_struct('a', 3, 'b', 'z')))) ORDER BY a""".stripMargin,
+      "SELECT a, b FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b) ORDER BY a"),
+
+    // ---- struct → JSON serialization (to_json; key order follows field
+    // order on both engines) ----
+    q2("q154_to_json",
+      """SELECT n_nationkey,
+        |  to_json(named_struct('key', n_nationkey, 'name', n_name, 'region', n_regionkey)) AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  CAST(to_json(struct_pack(key := n_nationkey, name := n_name, region := n_regionkey)) AS VARCHAR) AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- try_* error-safe scalar functions: try_to_number with a
+    // currency format, try_element_at off the end (NULL, not error) ----
+    q2("q155_try_funcs",
+      """SELECT n_nationkey,
+        |  CAST(try_to_number('$12,345.67', '$99,999.99') AS DOUBLE) AS parsed,
+        |  try_to_number(n_name, '999') AS unparsed,
+        |  try_element_at(split(n_name, '_'), 5) AS off_end,
+        |  try_element_at(map('k', n_nationkey), 'absent') AS no_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, 12345.67 AS parsed,
+        |  CAST(NULL AS DECIMAL(3,0)) AS unparsed,
+        |  CAST(NULL AS VARCHAR) AS off_end,
+        |  CAST(NULL AS INT) AS no_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- map functions, second batch: map_concat / map_from_entries /
+    // map_entries / map_zip_with (oracle restates the projected values) ----
+    q2("q156_map_funcs2",
+      """SELECT n_nationkey,
+        |  element_at(map_concat(map('a', n_nationkey), map('b', n_regionkey)), 'b') AS from_concat,
+        |  element_at(map_from_entries(array(struct('k1', n_name))), 'k1') AS from_entries,
+        |  CAST(size(map_entries(map('a', 1, 'b', 2))) AS INT) AS n_entries,
+        |  element_at(map_zip_with(map('x', n_nationkey), map('x', n_regionkey),
+        |                          (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)), 'x') AS zipped
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_regionkey AS from_concat, n_name AS from_entries,
+        |  2 AS n_entries, n_nationkey + n_regionkey AS zipped
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
