@@ -1618,7 +1618,86 @@ object Queries {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
       """SELECT n_nationkey, n_regionkey AS from_concat, n_name AS from_entries,
         |  2 AS n_entries, n_nationkey + n_regionkey AS zipped
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- deterministic stratified sampling [EXT]: engine-portable
+    // md5-derived bucket (first 8 hex digits → uint32), 10% per source
+    // stratum — the shuffle-free, seedless corpus-sampling primitive ----
+    q2("q157_stratified_sample",
+      """SELECT source, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM (SELECT source, doc_id,
+        |        CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS bucket
+        |      FROM documents) t
+        |WHERE bucket < 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+      """SELECT source, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM (SELECT source, doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |      FROM documents) t
+        |WHERE bucket < 10
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- hash-based train/val/test split [EXT]: same portable bucket →
+    // 80/10/10 assignment, counted per source × split (deterministic,
+    // re-runnable, no RNG state — the reproducible-split primitive) ----
+    q2("q158_hash_split",
+      """SELECT source, split, COUNT(*) AS n
+        |FROM (SELECT source,
+        |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |      FROM (SELECT source,
+        |              CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS b
+        |            FROM documents) h) t
+        |GROUP BY source, split ORDER BY source, split""".stripMargin,
+      """SELECT source, split, COUNT(*) AS n
+        |FROM (SELECT source,
+        |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |      FROM (SELECT source,
+        |              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |            FROM documents) h) t
+        |GROUP BY source, split ORDER BY source, split""".stripMargin),
+
+    // ---- token-budget sequence packing [EXT]: greedy running-token-sum
+    // binning into 512-token context windows per source (window cumsum →
+    // bin id → per-bin doc/token counts) ----
+    q2("q159_sequence_packing",
+      """SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+        |FROM (
+        |  SELECT source, doc_id, tokens,
+        |    CAST(FLOOR((SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) - tokens) / 512.0) AS BIGINT) AS bin
+        |  FROM (SELECT source, doc_id, size(split(text, ' ')) AS tokens FROM documents) tk) t
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+      """SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS bin_tokens
+        |FROM (
+        |  SELECT source, doc_id, tokens,
+        |    CAST(FLOOR((SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS UNBOUNDED PRECEDING) - tokens) / 512.0) AS BIGINT) AS bin
+        |  FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS tokens FROM documents) tk) t
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+
+    // ---- benchmark decontamination [EXT]: corpus docs sharing any word
+    // 5-gram with a held-out benchmark set (doc_id < 10) — the eval-leak
+    // scan; at scale the benchmark shingle side is the broadcast build ----
+    q2("q160_decontamination",
+      """WITH shingles AS (
+        |  SELECT doc_id, explode(array_distinct(
+        |    transform(sequence(1, size(words) - 4),
+        |              i -> concat_ws(' ', slice(words, i, 5))))) AS g
+        |  FROM (SELECT doc_id, split(text, ' ') AS words FROM documents)
+        |  WHERE size(words) >= 5)
+        |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+        |FROM shingles c JOIN shingles b ON c.g = b.g
+        |WHERE c.doc_id >= 10 AND b.doc_id < 10
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+      """WITH shingles AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i + 4), ' ') AS g
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 3)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w
+        |        WHERE len(words) >= 5) x)
+        |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+        |FROM shingles c JOIN shingles b ON c.g = b.g
+        |WHERE c.doc_id >= 10 AND b.doc_id < 10
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
