@@ -82,6 +82,34 @@ class PlanSpec extends SparkSpec {
       s"part-side OR not derived/pushed:\n$plan")
   }
 
+  test("q126 TPC-H Q6: all three predicates pushed, scan reads only needed columns") {
+    val plan = run("q126_tpch_q6")
+    // PushedFilters prints truncated in the plan string; the DataFilters
+    // list on the scan node carries the same pushed set untruncated.
+    val scanLine = plan.linesIterator.find(_.contains("DataFilters")).getOrElse("")
+    assert(scanLine.contains("isnotnull(l_shipdate") &&
+      plan.contains(">= 0.03)") && plan.contains("< 24.0)"),
+      s"Q6 predicates not pushed to the lineitem scan:\n$plan")
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_orderkey") && !scanSchema.contains("l_tax"),
+      s"Q6 scan reads columns the query never uses: $scanSchema")
+  }
+
+  test("q136 TPC-H Q21: EXISTS and NOT EXISTS decorrelate to semi + anti joins") {
+    val plan = run("q136_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"EXISTS should plan as left semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS should plan as left anti join:\n$plan")
+  }
+
+  test("q160 decontamination: doc_id split predicates pushed through the shingle join") {
+    val plan = run("q160_decontamination")
+    assert(plan.contains("GreaterThanOrEqual(doc_id,10)"),
+      s"corpus-side doc_id filter not pushed to its documents scan:\n$plan")
+    assert(plan.contains("LessThan(doc_id,10)"),
+      s"benchmark-side doc_id filter not pushed to its documents scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "shingle overlap must be an equi join")
+  }
+
   test("catalog-wide audit: no unintentional cartesian or nested-loop join") {
     // Queries where a non-equi or all-pairs plan IS the declared semantics:
     //   q18 cross join; q19 theta join; q62 VALUES joined on a range
