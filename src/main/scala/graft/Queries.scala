@@ -1697,7 +1697,82 @@ object Queries {
         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
         |FROM shingles c JOIN shingles b ON c.g = b.g
         |WHERE c.doc_id >= 10 AND b.doc_id < 10
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin),
+
+    // ---- CSV row parse/serialize (from_csv with a DDL schema; to_csv;
+    // the oracle reconstructs each projected component) ----
+    q2("q161_csv_funcs",
+      """SELECT n_nationkey,
+        |  to_csv(named_struct('k', n_nationkey, 'nm', n_name)) AS csv_out,
+        |  from_csv(concat(n_nationkey, ',', n_name), 'a INT, b STRING').b AS parsed_name,
+        |  CAST(from_csv(concat(n_nationkey, ',', n_name), 'a INT, b STRING').a AS INT) AS parsed_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  concat(n_nationkey, ',', n_name) AS csv_out,
+        |  n_name AS parsed_name, CAST(n_nationkey AS INT) AS parsed_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- sentences() tokenizer (locale word-break; these documents have
+    // no sentence punctuation, so exactly one sentence each) ----
+    q2("q162_sentences",
+      """SELECT doc_id, CAST(size(sentences(text)) AS INT) AS n_sent,
+        |  CAST(size(element_at(sentences(text), 1)) AS INT) AS n_words,
+        |  element_at(element_at(sentences(text), 1), 1) AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, 1 AS n_sent,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  split_part(text, ' ', 1) AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- soundex phonetic encoding (American Soundex; DuckDB lacks it —
+    // the oracle pins the published codes for these names) ----
+    q2("q163_soundex",
+      """SELECT nm, soundex(nm) AS sx
+        |FROM VALUES ('Robert'), ('Rupert'), ('Miller'), ('Jackson'), ('Tymczak') AS t(nm)
+        |ORDER BY nm""".stripMargin,
+      """SELECT nm, sx FROM (VALUES ('Robert', 'R163'), ('Rupert', 'R163'),
+        |  ('Miller', 'M460'), ('Jackson', 'J250'), ('Tymczak', 'T522')) t(nm, sx)
+        |ORDER BY nm""".stripMargin),
+
+    // ---- luhn_check (Spark 4 checksum validation; oracle pins the
+    // classic test vectors) ----
+    q2("q164_luhn_check",
+      """SELECT num, luhn_check(num) AS ok
+        |FROM VALUES ('79927398713'), ('79927398710'), ('4111111111111111') AS t(num)
+        |ORDER BY num""".stripMargin,
+      """SELECT num, ok FROM (VALUES ('79927398713', true), ('79927398710', false),
+        |  ('4111111111111111', true)) t(num, ok)
+        |ORDER BY num""".stripMargin),
+
+    // ---- find_in_set + elt (CSV-position lookup and 1-based arg pick;
+    // the list_tables CSV-membership idiom's sibling functions) ----
+    q2("q165_find_in_set_elt",
+      """SELECT c_custkey,
+        |  CAST(find_in_set(c_mktsegment, 'BUILDING,AUTOMOBILE,MACHINERY') AS INT) AS seg_pos,
+        |  elt(1 + CAST(c_custkey % 3 AS INT), 'alpha', 'beta', 'gamma') AS picked
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
+      """SELECT c_custkey,
+        |  CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+        |       WHEN 'MACHINERY' THEN 3 ELSE 0 END AS INT) AS seg_pos,
+        |  CASE c_custkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta' ELSE 'gamma' END AS picked
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin),
+
+    // ---- TRIM variants: LEADING / TRAILING / BOTH with a custom char set
+    // (ANSI syntax is shared; two-arg ltrim swaps its arguments between the
+    // engines — Spark is ltrim(trimStr, str), DuckDB ltrim(str, trimStr)) ----
+    q2("q166_trim_variants",
+      """SELECT n_nationkey,
+        |  TRIM(LEADING '_' FROM concat('__', n_name, '__')) AS t_lead,
+        |  TRIM(TRAILING '_' FROM concat('__', n_name, '__')) AS t_trail,
+        |  TRIM(BOTH '_' FROM concat('__', n_name, '__')) AS t_both,
+        |  ltrim('x', concat('xx', n_name)) AS t_ltrim
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey,
+        |  TRIM(LEADING '_' FROM concat('__', n_name, '__')) AS t_lead,
+        |  TRIM(TRAILING '_' FROM concat('__', n_name, '__')) AS t_trail,
+        |  TRIM(BOTH '_' FROM concat('__', n_name, '__')) AS t_both,
+        |  ltrim(concat('xx', n_name), 'x') AS t_ltrim
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
