@@ -1772,7 +1772,39 @@ object Queries {
         |  TRIM(TRAILING '_' FROM concat('__', n_name, '__')) AS t_trail,
         |  TRIM(BOTH '_' FROM concat('__', n_name, '__')) AS t_both,
         |  ltrim(concat('xx', n_name), 'x') AS t_ltrim
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- multiple DISTINCT aggregates in one GROUP BY (planner Expand:
+    // one shuffle per distinct set folded into a single pass) ----
+    q("q167_multi_distinct",
+      """SELECT l_returnflag,
+        |  ROUND(SUM(DISTINCT l_quantity), 4) AS sum_dq,
+        |  COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- correlated LATERAL subquery with ORDER BY + LIMIT (per-nation
+    // top-2 customers by balance — the decorrelate-with-limit shape;
+    // DuckDB runs the identical ANSI LATERAL) ----
+    q("q168_lateral_topk",
+      """SELECT n_nationkey, t.c_custkey, ROUND(t.c_acctbal, 4) AS bal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey AND c_acctbal IS NOT NULL
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_nationkey, bal DESC, t.c_custkey""".stripMargin),
+
+    // ---- approx_top_k sketch (Spark 4): 5-value domain is far below the
+    // sketch capacity, so counts are exact — oracle = exact top-3 ----
+    q2("q169_approx_top_k",
+      """SELECT t.item, CAST(t.count AS BIGINT) AS cnt
+        |FROM (SELECT explode(approx_top_k(o_orderpriority, 3)) AS t FROM orders)
+        |ORDER BY cnt DESC, item""".stripMargin,
+      """SELECT item, cnt FROM (
+        |  SELECT o_orderpriority AS item, COUNT(*) AS cnt FROM orders
+        |  GROUP BY o_orderpriority ORDER BY cnt DESC, item LIMIT 3) t
+        |ORDER BY cnt DESC, item""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
