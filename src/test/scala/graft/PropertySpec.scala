@@ -35,6 +35,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("md5-bucket split is a partition and sampling is monotone in pct") {
+    Tables.register(spark, sfDir)
+    val bucket = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    val total = spark.sql("SELECT COUNT(*) FROM documents").collect().head.getLong(0)
+    // every doc lands in exactly one of train/val/test
+    val splits = spark.sql(
+      s"""SELECT CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS s,
+         |COUNT(*) AS n FROM documents GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == total, s"split counts $splits don't partition $total docs")
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    // sampling at a higher pct strictly contains sampling at a lower pct
+    def ids(pct: Int) = spark.sql(s"SELECT doc_id FROM documents WHERE $bucket < $pct")
+      .collect().map(_.getLong(0)).toSet
+    val (s10, s30) = (ids(10), ids(30))
+    assert(s10.subsetOf(s30), "10% sample must be a subset of the 30% sample")
+    assert(ids(100).size == total)
+  }
+
   test("set-operation algebra matches Scala set semantics") {
     import graft.TestSpark.spark.implicits._
     val rnd = new Random(13)
