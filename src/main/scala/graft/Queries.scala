@@ -1804,7 +1804,136 @@ object Queries {
       """SELECT item, cnt FROM (
         |  SELECT o_orderpriority AS item, COUNT(*) AS cnt FROM orders
         |  GROUP BY o_orderpriority ORDER BY cnt DESC, item LIMIT 3) t
-        |ORDER BY cnt DESC, item""".stripMargin)
+        |ORDER BY cnt DESC, item""".stripMargin),
+
+    // ---- XML extraction (Spark 4 from_xml; oracle restates the
+    // reconstructed fields) ----
+    q2("q170_from_xml",
+      """SELECT n_nationkey,
+        |  from_xml(concat('<r><k>', n_nationkey, '</k><nm>', n_name, '</nm></r>'),
+        |           'k INT, nm STRING').nm AS xml_name,
+        |  CAST(from_xml(concat('<r><k>', n_nationkey, '</k></r>'), 'k INT').k AS INT) AS xml_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_name AS xml_name, CAST(n_nationkey AS INT) AS xml_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- fixed-offset timezone shift (from_utc_timestamp with a numeric
+    // offset — DST-free, so the oracle is pure interval arithmetic) ----
+    q2("q171_fixed_offset_tz",
+      """SELECT o_orderkey, from_utc_timestamp(o_orderdate, '+05:30') AS ist,
+        |  to_utc_timestamp(o_orderdate, '+05:30') AS back
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin,
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '5 hours 30 minutes' AS ist,
+        |  o_orderdate - INTERVAL '5 hours 30 minutes' AS back
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+
+    // ---- length family over ASCII data: char vs octet vs bit ----
+    q2("q172_lengths",
+      """SELECT n_nationkey, CAST(char_length(n_name) AS INT) AS n_chars,
+        |  CAST(octet_length(n_name) AS INT) AS n_bytes,
+        |  CAST(bit_length(n_name) AS INT) AS n_bits
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, CAST(length(n_name) AS INT) AS n_chars,
+        |  CAST(length(n_name) AS INT) AS n_bytes,
+        |  CAST(8 * length(n_name) AS INT) AS n_bits
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- null-safe equality (<=> / IS NOT DISTINCT FROM) ----
+    q2("q173_null_safe_eq",
+      """SELECT event_id,
+        |  value <=> LAG(value) OVER (ORDER BY event_id) AS same_as_prev,
+        |  value <=> CAST(NULL AS DOUBLE) AS is_null_safe
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin,
+      """SELECT event_id,
+        |  value IS NOT DISTINCT FROM LAG(value) OVER (ORDER BY event_id) AS same_as_prev,
+        |  value IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS is_null_safe
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+
+    // ---- array functions, third batch: arrays_overlap / array_compact /
+    // array_insert / array_append / array_prepend ----
+    q2("q174_array_funcs3",
+      """SELECT p_partkey,
+        |  arrays_overlap(words, array('red', 'blue')) AS has_color,
+        |  array_join(array_compact(array(p_brand, NULL, p_type)), '|') AS compacted,
+        |  array_join(array_insert(words, 2, 'INS'), '|') AS inserted,
+        |  array_join(array_append(words, 'END'), '|') AS appended,
+        |  array_join(array_prepend(words, 'HEAD'), '|') AS prepended
+        |FROM (SELECT p_partkey, p_brand, p_type, split(p_name, ' ') AS words FROM part) t
+        |ORDER BY p_partkey LIMIT 300""".stripMargin,
+      """SELECT p_partkey,
+        |  len(list_intersect(words, ['red', 'blue'])) > 0 AS has_color,
+        |  array_to_string(list_filter([p_brand, NULL, p_type], x -> x IS NOT NULL), '|') AS compacted,
+        |  array_to_string(list_concat(list_concat(list_slice(words, 1, 1), ['INS']),
+        |                              list_slice(words, 2, len(words))), '|') AS inserted,
+        |  array_to_string(list_concat(words, ['END']), '|') AS appended,
+        |  array_to_string(list_concat(['HEAD'], words), '|') AS prepended
+        |FROM (SELECT p_partkey, p_brand, p_type, string_split(p_name, ' ') AS words FROM part) t
+        |ORDER BY p_partkey LIMIT 300""".stripMargin),
+
+    // ---- bit shifts and popcount (oracle restates shifts with DuckDB's
+    // native >>/<< operators) ----
+    q2("q175_bit_shifts",
+      """SELECT n_nationkey, CAST(shiftleft(n_nationkey, 2) AS INT) AS shl,
+        |  CAST(shiftright(n_nationkey, 1) AS INT) AS shr,
+        |  CAST(bit_count(n_nationkey) AS INT) AS pop,
+        |  CAST(getbit(n_nationkey, 0) AS INT) AS lsb
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, CAST(n_nationkey << 2 AS INT) AS shl,
+        |  CAST(n_nationkey >> 1 AS INT) AS shr,
+        |  CAST(bit_count(n_nationkey) AS INT) AS pop,
+        |  CAST(n_nationkey & 1 AS INT) AS lsb
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- crc32 / sha1 checksums (DuckDB lacks both; the oracle pins the
+    // published test vectors) ----
+    q2("q176_checksums",
+      """SELECT s, CAST(crc32(s) AS BIGINT) AS crc, sha1(s) AS sha
+        |FROM VALUES ('123456789'), ('abc'), ('') AS t(s) ORDER BY s""".stripMargin,
+      """SELECT s, crc, sha FROM (VALUES
+        |  ('123456789', 3421780262, 'f7c3bc1d808e04732adf679965ccc34ca7ae3441'),
+        |  ('abc', 891568578, 'a9993e364706816aba3e25717850c26c9cd0d89d'),
+        |  ('', 0, 'da39a3ee5e6b4b0d3255bfef95601890afd80709')) t(s, crc, sha)
+        |ORDER BY s""".stripMargin),
+
+    // ---- native session_window (the streaming sessionizer in batch form;
+    // oracle = exact µs gaps-and-islands, same rule as q75 but unfloored) ----
+    q2("q177_session_window_native",
+      """SELECT user_id, session_window.start AS s_start, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, session_window(ts, '30 minutes')
+        |ORDER BY user_id, s_start""".stripMargin,
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin),
+
+    // ---- native tumbling window() function (q47 verifies the bucketing
+    // arithmetic; this exercises the real operator against time_bucket) ----
+    q2("q178_tumbling_native",
+      """SELECT window.start AS w_start, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY window(ts, '10 minutes'), event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY 1, event_type
+        |ORDER BY w_start, event_type""".stripMargin),
+
+    // ---- json_tuple generator (multi-key JSON extraction as a lateral
+    // generator over the events props column) ----
+    q2("q179_json_tuple",
+      """SELECT event_id, k_val
+        |FROM events LATERAL VIEW json_tuple(props, 'k') jt AS k_val
+        |ORDER BY event_id LIMIT 300""".stripMargin,
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
