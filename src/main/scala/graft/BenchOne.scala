@@ -93,6 +93,35 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "tpch_scale") {
+      // Relational scale stress: replicate lineitem/orders 10x with shifted
+      // keys (join fan-out preserved: each replica joins only its own copy)
+      // and compare the shuffle-heavy TPC-H Q1/Q5 shapes at 1x vs 10x.
+      // Near-linear growth = the plan survives a scale-up; superlinear
+      // growth would flag a shuffle or build side that stops fitting.
+      import org.apache.spark.sql.functions._
+      val q1 = Queries.byName("q21_tpch_q1").spark
+      val q5 = Queries.byName("q93_tpch_q5").spark
+      def run(label: String): Unit =
+        for (i <- 1 to 2; (n, q) <- Seq("q1" -> q1, "q5" -> q5)) {
+          val t0 = System.nanoTime()
+          spark.sql(q).queryExecution.toRdd.foreach(_ => ())
+          println(f"$label run$i $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      run("1x")
+      val shift = 100000000L
+      val li = spark.table("lineitem")
+      val ord = spark.table("orders")
+      spark.range(0, 10).crossJoin(li)
+        .withColumn("l_orderkey", col("l_orderkey") + col("id") * shift)
+        .drop("id").createOrReplaceTempView("lineitem")
+      spark.range(0, 10).crossJoin(ord)
+        .withColumn("o_orderkey", col("o_orderkey") + col("id") * shift)
+        .drop("id").createOrReplaceTempView("orders")
+      println(s"lineitem rows: ${spark.table("lineitem").count()}")
+      run("10x")
+      spark.stop(); return
+    }
     if (name == "dot_hoist_vs_fused") {
       // all-pairs cosine scoring: fused expression (re-derives both norms
       // per pair) vs hoisted norms (one dot per pair) — the q72 shape.

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** AQE skew-join handling (SURVEY §4 / the 100 TB posture): when one join
+  * key dominates, the runtime must split the skewed shuffle partition
+  * instead of melting a single reducer. Thresholds are lowered so the
+  * planted skew trips the optimization at test scale; broadcast is disabled
+  * so the join actually shuffles (as it would with two large sides).
+  */
+class SkewSpec extends SparkSpec {
+
+  test("AQE splits a skewed join partition at runtime and keeps results exact") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+
+      // 100k-row fact where key 1 owns 90% of rows; 100-key dim.
+      val fact = spark.range(0, 100000)
+        .select((when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 100)).as("key"),
+          concat(lit("payload_"), col("id")).as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("key"),
+        concat(lit("name_"), col("id")).as("name"))
+      val joined = fact.join(dim, "key")
+
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-key join as skew-handled:\n$plan")
+
+      // skew splitting must not duplicate or drop rows
+      assert(joined.count() === 100000L)
+      val hot = joined.filter(col("key") === 1).count()
+      assert(hot === 90000L, s"hot-key row count wrong: $hot")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+}
