@@ -1933,7 +1933,59 @@ object Queries {
         |FROM events LATERAL VIEW json_tuple(props, 'k') jt AS k_val
         |ORDER BY event_id LIMIT 300""".stripMargin,
       """SELECT event_id, json_extract_string(props, '$.k') AS k_val
-        |FROM events ORDER BY event_id LIMIT 300""".stripMargin)
+        |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+
+    // ---- end-to-end training-data prep pipeline [EXT], one statement:
+    // quality filter (lang + length + duplicate-word fraction) ->
+    // exact dedup keeping the first doc per normalized content hash ->
+    // deterministic md5-bucket train/val/test split -> per-split stats.
+    // Every stage is an operator verified alone (q44/q146/q41/q158); this
+    // chains them the way a corpus build actually runs. ----
+    q2("q180_pipeline_e2e",
+      """WITH scored AS (
+        |  SELECT doc_id, source, lang, text,
+        |    size(split(text, ' ')) AS tokens,
+        |    1.0 - CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+        |        / size(split(text, ' ')) AS dup_frac
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE lang IN ('en', 'es', 'de') AND tokens BETWEEN 10 AND 200 AND dup_frac < 0.6),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |                                 ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |split_assigned AS (
+        |  SELECT tokens,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT tokens,
+        |          CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS b
+        |        FROM deduped) h)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+        |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin,
+      """WITH scored AS (
+        |  SELECT doc_id, source, lang, text,
+        |    len(string_split(text, ' ')) AS tokens,
+        |    1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS dup_frac
+        |  FROM documents),
+        |filtered AS (
+        |  SELECT * FROM scored
+        |  WHERE lang IN ('en', 'es', 'de') AND tokens BETWEEN 10 AND 200 AND dup_frac < 0.6),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |                                 ORDER BY doc_id) AS rn
+        |    FROM filtered) t WHERE rn = 1),
+        |split_assigned AS (
+        |  SELECT tokens,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT tokens,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |        FROM deduped) h)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+        |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap

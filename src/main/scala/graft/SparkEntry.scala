@@ -14,11 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query (TPC-H-Q3-shaped star join) on sf0.001; rows > 0. */
+  /** Flagship query on sf0.001; rows > 0. The end-to-end corpus-prep
+    * pipeline (quality filter -> exact dedup -> deterministic split ->
+    * per-split stats) — one statement chaining the [EXT] operators that
+    * make this engine more than a SQL proxy. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     Tables.register(spark, dir)
-    spark.sql(Queries.byName("q20_star_join").spark)
+    spark.sql(Queries.byName("q180_pipeline_e2e").spark)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
