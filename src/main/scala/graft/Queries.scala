@@ -1985,7 +1985,69 @@ object Queries {
         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |        FROM deduped) h)
         |SELECT split, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
-        |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin)
+        |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin),
+
+    // ---- character-entropy quality signal [EXT] (Shannon entropy over
+    // the char distribution — low-entropy docs are boilerplate/repetition;
+    // both engines fold the same explode -> p log2 p) ----
+    q2("q181_char_entropy",
+      """WITH chars AS (
+        |  SELECT doc_id, explode(split(text, '')) AS ch FROM documents),
+        |freq AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  ROUND(-SUM((f.c / CAST(t.n AS DOUBLE)) * log2(f.c / CAST(t.n AS DOUBLE))), 4) AS entropy
+        |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |freq AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  ROUND(-SUM((f.c / CAST(t.n AS DOUBLE)) * log2(f.c / CAST(t.n AS DOUBLE))), 4) AS entropy
+        |FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+
+    // ---- null-aware NOT IN (the probe side is nullable, so this is the
+    // null-aware anti join, physically distinct from NOT EXISTS' anti) ----
+    q("q182_not_in_null_aware",
+      """SELECT event_id FROM events
+        |WHERE value NOT IN (SELECT value FROM events
+        |                    WHERE event_type = 'click' AND value IS NOT NULL)
+        |ORDER BY event_id LIMIT 200""".stripMargin),
+
+    // ---- tuple IN subquery ((a, b) IN (SELECT x, y ...)) ----
+    q2("q183_tuple_in",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE (l_returnflag, l_linestatus) IN
+        |      (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity = 50)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin,
+      """SELECT l_orderkey, l_linenumber FROM lineitem a
+        |WHERE EXISTS (SELECT 1 FROM lineitem b WHERE b.l_quantity = 50
+        |              AND b.l_returnflag = a.l_returnflag AND b.l_linestatus = a.l_linestatus)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin),
+
+    // ---- EXCEPT ALL (bag-semantics difference; completes q58/q61's
+    // INTERSECT ALL / UNION ALL) ----
+    q("q184_except_all",
+      """SELECT k, COUNT(*) AS c FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier) t
+        |GROUP BY k ORDER BY k""".stripMargin),
+
+    // ---- HAVING on a global aggregate (no GROUP BY) ----
+    q("q185_having_global",
+      """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders HAVING COUNT(*) > 10""".stripMargin),
+
+    // ---- correlated EXISTS as a SELECT-list expression (projected
+    // boolean, not a filter) ----
+    q("q186_exists_projection",
+      """SELECT o_orderkey,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |          WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS has_big_line
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
