@@ -2047,7 +2047,38 @@ object Queries {
       """SELECT o_orderkey,
         |  EXISTS (SELECT 1 FROM lineitem
         |          WHERE l_orderkey = o_orderkey AND l_quantity >= 49) AS has_big_line
-        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin)
+        |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin),
+
+    // ---- PIVOT with multiple aggregates per pivot value (q73 is the
+    // single-agg form; the oracle expands to conditional aggregation) ----
+    q2("q187_pivot_multi_agg",
+      """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
+        |PIVOT (ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS cnt
+        |       FOR l_linestatus IN ('F' AS f, 'O' AS o))
+        |ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity) FILTER (l_linestatus = 'F'), 4) AS f_qty,
+        |  COUNT(*) FILTER (l_linestatus = 'F') AS f_cnt,
+        |  ROUND(SUM(l_quantity) FILTER (l_linestatus = 'O'), 4) AS o_qty,
+        |  COUNT(*) FILTER (l_linestatus = 'O') AS o_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- empty-OVER window (global total share — the everything-in-one-
+    // partition frame, distinct from every partitioned window so far) ----
+    q("q188_global_share",
+      """SELECT o_orderkey,
+        |  ROUND(o_totalprice / SUM(o_totalprice) OVER (), 8) AS share,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- JOIN USING (shared-name equi join with column coalescing;
+    // self-join on the order key) ----
+    q("q189_join_using",
+      """SELECT l_orderkey, COUNT(*) AS n_pairs
+        |FROM (SELECT l_orderkey, l_linenumber FROM lineitem) a
+        |JOIN (SELECT l_orderkey, l_linenumber AS ln2 FROM lineitem) b USING (l_orderkey)
+        |WHERE a.l_linenumber < b.ln2
+        |GROUP BY l_orderkey ORDER BY n_pairs DESC, l_orderkey LIMIT 100""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
