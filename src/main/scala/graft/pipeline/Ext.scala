@@ -16,6 +16,8 @@ object Ext {
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q51c_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -57,6 +59,28 @@ object Ext {
        |)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    // ANN audit: the exact top-10 id list is recomputed cross-engine
+    // (list_cosine_similarity); the IVF recall bound is deterministic
+    // under the fixed seeds (observed 0.7-1.0 at sf0.01, floor 0.6).
+    "q51c_ann_recall" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did,
+        |    round(list_cosine_similarity(q.emb, d.emb), 4) AS cos_sim
+        |  FROM e q JOIN e d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cos_sim DESC, did) AS rnk FROM scored)
+        |SELECT qid, string_agg(did, ',' ORDER BY did) AS exact_top10, true AS ivf_ok
+        |FROM ranked WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // LSH planted-twin audit: the planted count is the vec_id < 20
+    // cardinality; the catch bound is deterministic under the fixed
+    // hyperplanes (per-pair miss probability < 3%, 20 trials, floor 80%).
+    "q51d_lsh_planted_recall" ->
+      "SELECT COUNT(*) AS n_planted, true AS recall_ok FROM embeddings WHERE vec_id < 20",
+
     // Exact all-pairs shingle Jaccard >= 0.5 — the ground truth the
     // banded MinHash/LSH path must reproduce (P[miss | J>=0.98] ~ 1e-9,
     // and both engines are deterministic, so this is a stable equality).

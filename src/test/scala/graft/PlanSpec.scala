@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
       // constant-bounded by construction (scale-safe map-side passes):
       "q64_tfidf",        // CROSS JOIN with a 1-row corpus-count aggregate
       "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
-      "q51b_ann_ivf")     // N x 16-seed broadcast assignment (IVF assign step)
+      "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
+      "q51c_ann_recall")  // exact-top10 audit: 5 broadcast query vectors x corpus
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
