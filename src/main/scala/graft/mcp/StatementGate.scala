@@ -46,6 +46,14 @@ object StatementGate {
     n.endsWith("Command") && n != "ExplainCommand" && !n.startsWith("Show") &&
       !n.startsWith("Describe")
 
+  /** Expression-level denylist: functions that reach OUTSIDE the registered
+    * data no matter what statement wraps them. `reflect`/`java_method`
+    * (CallMethodViaReflection) invoke arbitrary static JVM methods — e.g.
+    * `java_method('java.lang.System','getenv','X')` exfiltrates server
+    * environment through a syntactically pure SELECT. A read-only tool
+    * server must deny these at parse level, like statement classes. */
+  private val deniedFunctions = Set("reflect", "java_method")
+
   /** Returns None if allowed, Some(reason) if denied. */
   def check(spark: SparkSession, sql: String): Option[String] =
     try {
@@ -64,6 +72,10 @@ object StatementGate {
             if (bad.isEmpty && (denied.findFirstIn(n).isDefined || isUnknownCommand(n)))
               bad = Some(n)
             if (bad.isEmpty) p.productIterator.foreach(visit)
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            if (bad.isEmpty && deniedFunctions.contains(f.nameParts.last.toLowerCase))
+              bad = Some(s"function ${f.nameParts.last}")
+            if (bad.isEmpty) f.productIterator.foreach(visit)
           case p: Product => p.productIterator.foreach(visit)
           case s: Iterable[_] => s.foreach(visit)
           case _ => ()

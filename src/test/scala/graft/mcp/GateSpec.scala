@@ -81,4 +81,20 @@ class GateSpec extends SparkSpec {
     denied("DECLARE v INT")
     denied("SET VAR v = 1")
   }
+
+  test("JVM reflection expressions are denied everywhere") {
+    // CallMethodViaReflection = arbitrary static method invocation; a pure
+    // SELECT around it can still exfiltrate server env/properties
+    denied("SELECT java_method('java.lang.System', 'getenv', 'PATH')")
+    denied("SELECT reflect('java.lang.System', 'getProperty', 'user.dir')")
+    denied("SELECT upper(java_method('java.lang.System', 'lineSeparator'))")
+    denied("SELECT * FROM t WHERE x = java_method('java.lang.Math', 'random')")
+    denied("WITH c AS (SELECT reflect('a', 'b') AS r) SELECT * FROM c")
+    denied("SELECT (SELECT java_method('a', 'b') FROM u) FROM t")
+    // qualified name form
+    denied("SELECT builtin.java_method('java.lang.System', 'getenv', 'HOME')")
+    // names that merely contain the token stay allowed
+    allowed("SELECT reflected FROM t")
+    allowed("SELECT t.java_method FROM t")
+  }
 }
