@@ -2078,7 +2078,37 @@ object Queries {
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem) a
         |JOIN (SELECT l_orderkey, l_linenumber AS ln2 FROM lineitem) b USING (l_orderkey)
         |WHERE a.l_linenumber < b.ln2
-        |GROUP BY l_orderkey ORDER BY n_pairs DESC, l_orderkey LIMIT 100""".stripMargin)
+        |GROUP BY l_orderkey ORDER BY n_pairs DESC, l_orderkey LIMIT 100""".stripMargin),
+
+    // ---- corpus observability report [EXT]: one row of the numbers a
+    // pipeline operator watches — volume, language mix, exact-dup rate,
+    // token budget (conditional aggregation over per-doc derivations) ----
+    q2("q190_corpus_report",
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_exact_dups,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin,
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_exact_dups,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin),
+
+    // ---- set-op type coercion (INT branch widens to the DOUBLE branch's
+    // type across UNION ALL; both engines promote identically) ----
+    q("q191_union_coercion",
+      """SELECT v, CAST(v * 2 AS DOUBLE) AS doubled FROM (
+        |  SELECT CAST(n_nationkey AS INT) AS v FROM nation
+        |  UNION ALL
+        |  SELECT CAST(0.5 AS DOUBLE) AS v) t
+        |ORDER BY v""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
