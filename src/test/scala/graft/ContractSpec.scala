@@ -1,0 +1,37 @@
+package graft
+
+/** Guards on the driver contract (SparkEntry): the correctness gate only
+  * checks queries that DECLARE an oracle, so a name drift or a silently
+  * shadowed duplicate would weaken the gate without failing anything.
+  */
+class ContractSpec extends SparkSpec {
+
+  /** The documented rows-only set: by-contract-approximate ANN top-k
+    * (audited via q51c/q51d) and the stub-decoder feature vector. */
+  private val rowsOnly = Set("q51_ann_lsh", "q51b_ann_ivf", "q52_multimodal_features")
+
+  test("query names are unique (ListMap would silently shadow duplicates)") {
+    val sqlNames = Queries.specs.map(_.name)
+    assert(sqlNames.distinct.size == sqlNames.size,
+      s"duplicate spec names: ${sqlNames.diff(sqlNames.distinct).distinct}")
+    val extNames = pipeline.Ext.queries.map(_._1)
+    assert((sqlNames ++ extNames).distinct.size == sqlNames.size + extNames.size,
+      "Ext query names collide with SQL spec names")
+  }
+
+  test("every query has a DuckDB oracle except the documented rows-only set") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == rowsOnly,
+      s"oracle coverage drifted: rows-only should be $rowsOnly, found $noOracle")
+  }
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty, "driver smoke contract: entry must return rows")
+  }
+}
