@@ -160,11 +160,17 @@ object Queries {
     // ---- approx_count_distinct: 5% bound check against an exact count
     // that is itself cross-verified against DuckDB (q96 pattern — the
     // bound's reference value cannot silently drift) ----
+    // Split into two 1-row subqueries: mixing COUNT(DISTINCT) with
+    // approx_count_distinct in ONE aggregate makes Spark pre-group by the
+    // key and carry the rsd=0.01 HLL buffer (1639 longs) per distinct key
+    // through the shuffle (~25M longs at sf0.1, measured 2.3 s); split,
+    // each aggregate plans optimally (one sketch total) — 0.4 s.
     q2("q23_approx_distinct",
-      """SELECT CAST(CASE WHEN ABS(approx_count_distinct(o_custkey, 0.01) - COUNT(DISTINCT o_custkey))
-        |  / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound,
-        |  COUNT(DISTINCT o_custkey) AS exact_nd
-        |FROM orders""".stripMargin,
+      """SELECT CAST(CASE WHEN ABS(a.approx_nd - e.exact_nd)
+        |  / CAST(e.exact_nd AS DOUBLE) < 0.05 THEN 1 ELSE 0 END AS INT) AS within_bound,
+        |  e.exact_nd
+        |FROM (SELECT approx_count_distinct(o_custkey, 0.01) AS approx_nd FROM orders) a
+        |CROSS JOIN (SELECT COUNT(DISTINCT o_custkey) AS exact_nd FROM orders) e""".stripMargin,
       "SELECT CAST(1 AS INT) AS within_bound, COUNT(DISTINCT o_custkey) AS exact_nd FROM orders"),
 
     // ---- conditional agg ----

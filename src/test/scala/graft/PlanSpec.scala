@@ -122,6 +122,7 @@ class PlanSpec extends SparkSpec {
       "q95_time_range_frame", "q35_asof_window",
       // broadcast-small-side nested loops where the broadcast side is
       // constant-bounded by construction (scale-safe map-side passes):
+      "q23_approx_distinct", // 1-row approx agg x 1-row exact agg
       "q64_tfidf",        // CROSS JOIN with a 1-row corpus-count aggregate
       "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
       "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
