@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable-sketch family beyond q111's HLL: count_min_sketch as the
+  * frequency sketch (SQL aggregate → binary → deserialized and queried
+  * driver-side). The SQL layer produces the sketch distributedly (partial
+  * merge per partition, the mergeability that matters at 100 TB); the test
+  * checks the CMS guarantee — estimate >= truth, and within eps * N with
+  * the configured confidence — against exact per-key counts. */
+class SketchSpec extends SparkSpec {
+
+  test("count_min_sketch aggregate: estimates bound exact frequencies") {
+    Tables.register(spark, sfDir)
+    val eps = 0.001
+    val conf = 0.99
+    val bytes = spark.sql(
+      s"SELECT count_min_sketch(o_orderpriority, ${eps}d, ${conf}d, 42) AS s FROM orders")
+      .collect().head.getAs[Array[Byte]]("s")
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+    val exact = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    assert(cms.totalCount() === total)
+
+    exact.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS estimate below truth for $k: $est < $n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"CMS estimate outside eps bound for $k: $est vs $n (N=$total)")
+    }
+  }
+
+  test("count_min_sketch merges across groups like partial aggregation") {
+    Tables.register(spark, sfDir)
+    // one sketch per order status, merged driver-side == one global sketch
+    val parts = spark.sql(
+      """SELECT o_orderstatus, count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42) AS s
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+      .collect().map(_.getAs[Array[Byte]]("s"))
+    val merged = parts.map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce((a, b) => { a.mergeInPlace(b); a })
+    val global = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+      spark.sql("SELECT count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42) AS s FROM orders")
+        .collect().head.getAs[Array[Byte]]("s")))
+    assert(merged.totalCount() === global.totalCount())
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM").foreach { k =>
+      assert(merged.estimateCount(k) === global.estimateCount(k),
+        s"merged CMS disagrees with global CMS for $k")
+    }
+  }
+}
