@@ -2114,7 +2114,57 @@ object Queries {
         |  SELECT CAST(n_nationkey AS INT) AS v FROM nation
         |  UNION ALL
         |  SELECT CAST(0.5 AS DOUBLE) AS v) t
-        |ORDER BY v""".stripMargin)
+        |ORDER BY v""".stripMargin),
+
+    // ---- mask() data redaction (upper->X, lower->x, digit->n; the oracle
+    // expands the rule to regexp_replace chains) ----
+    q2("q192_mask",
+      """SELECT p_partkey, mask(p_name) AS masked, mask(p_brand, 'U', 'l', '#') AS custom
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(regexp_replace(p_name, '[A-Z]', 'X', 'g'),
+        |                                '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+        |  regexp_replace(regexp_replace(regexp_replace(p_brand, '[A-Z]', 'U', 'g'),
+        |                                '[a-z]', 'l', 'g'), '[0-9]', '#', 'g') AS custom
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin),
+
+    // ---- printf / C-style formatting (shared: both engines use the same
+    // format-spec language for these verbs) ----
+    q("q193_printf",
+      """SELECT n_nationkey, printf('%03d|%s|%d', n_nationkey, n_name, n_regionkey) AS line
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- base64 round-trip ----
+    q2("q194_base64",
+      """SELECT n_nationkey, base64(CAST(n_name AS BINARY)) AS b64,
+        |  CAST(unbase64(base64(CAST(n_name AS BINARY))) AS STRING) AS back
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, base64(encode(n_name)) AS b64,
+        |  decode(from_base64(base64(encode(n_name)))) AS back
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- regexp_count (Spark 4; oracle counts extract_all matches) ----
+    q2("q195_regexp_count",
+      """SELECT doc_id, CAST(regexp_count(text, '[0-9]+') AS INT) AS n_nums,
+        |  CAST(regexp_count(text, ' the ') AS INT) AS n_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        |  CAST(len(regexp_extract_all(text, ' the ')) AS INT) AS n_the
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- string predicate functions + quantified LIKE (LIKE ALL / ANY
+    // restated as boolean algebra in the oracle) ----
+    q2("q196_string_predicates",
+      """SELECT n_nationkey, startswith(n_name, 'NATION') AS sw, endswith(n_name, '1') AS ew,
+        |  contains(n_name, '_') AS ct,
+        |  n_name LIKE ALL ('NATION%', '%1%') AS like_all,
+        |  n_name LIKE ANY ('%0', '%5') AS like_any
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, starts_with(n_name, 'NATION') AS sw, ends_with(n_name, '1') AS ew,
+        |  contains(n_name, '_') AS ct,
+        |  (n_name LIKE 'NATION%' AND n_name LIKE '%1%') AS like_all,
+        |  (n_name LIKE '%0' OR n_name LIKE '%5') AS like_any
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
