@@ -2164,7 +2164,110 @@ object Queries {
         |  contains(n_name, '_') AS ct,
         |  (n_name LIKE 'NATION%' AND n_name LIKE '%1%') AS like_all,
         |  (n_name LIKE '%0' OR n_name LIKE '%5') AS like_any
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- URL percent-encoding (url_encode/url_decode, java.net.URLEncoder
+    // semantics: space->'+', reserved chars %XX). DuckDB has no url codec, so
+    // the oracle pins the literals and counts the round-trip law over the
+    // full corpus (decode . encode = id holds for all strings). ----
+    q2("q197_url_codec",
+      """SELECT CAST(SUM(CASE WHEN url_decode(url_encode(text)) = text THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
+        |  COUNT(*) AS n,
+        |  url_encode('a b&c=d/e?f') AS enc, url_decode('a%20b%2Bc%2Fd') AS dec
+        |FROM documents""".stripMargin,
+      """SELECT COUNT(*) AS rt_ok, COUNT(*) AS n,
+        |  'a+b%26c%3Dd%2Fe%3Ff' AS enc, 'a b+c/d' AS dec
+        |FROM documents""".stripMargin),
+
+    // ---- math batch 3: hypot / cbrt / expm1 / factorial (DuckDB lacks
+    // hypot and expm1 — oracle spells sqrt(a^2+b^2) and exp(x)-1; ROUND(,4)
+    // absorbs the last-ulp difference of the fused forms) ----
+    q2("q198_math3",
+      """SELECT o_orderkey,
+        |  ROUND(hypot(o_totalprice / 1000, CAST(o_orderkey % 100 AS DOUBLE)), 4) AS hyp,
+        |  ROUND(cbrt(o_totalprice), 4) AS cb,
+        |  ROUND(expm1(o_totalprice / 200000), 4) AS em1,
+        |  CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fact
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  ROUND(sqrt((o_totalprice/1000)*(o_totalprice/1000) + (o_orderkey%100)*(o_orderkey%100)), 4) AS hyp,
+        |  ROUND(cbrt(o_totalprice), 4) AS cb,
+        |  ROUND(exp(o_totalprice / 200000) - 1, 4) AS em1,
+        |  CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fact
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- date batch 3: dayofyear / next_day / day name (DuckDB lacks
+    // next_day — oracle derives it from isodow: the next strictly-later
+    // Monday) ----
+    q2("q199_date_fns3",
+      """SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  next_day(o_orderdate, 'MO') AS next_mon,
+        |  date_format(o_orderdate, 'EEEE') AS dname
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(o_orderdate AS DATE)
+        |    + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+        |                ELSE (8 - isodow(o_orderdate)) % 7 END AS INT) AS next_mon,
+        |  dayname(o_orderdate) AS dname
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- arrays_zip (positional struct zip; oracle rebuilds by index over
+    // range(), restricted to rows where both slices are full so the two
+    // engines' pad-with-NULL semantics never engage) ----
+    q2("q200_arrays_zip",
+      """SELECT doc_id,
+        |  array_join(transform(arrays_zip(a, b), s -> concat(s.a, ':', s.b)), '|') AS zipped
+        |FROM (SELECT doc_id, slice(split(lower(text), ' '), 1, 4) AS a,
+        |             slice(split(lower(text), ' '), 5, 4) AS b
+        |      FROM documents WHERE size(split(text, ' ')) >= 8)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+      """SELECT doc_id,
+        |  array_to_string(list_transform(range(1, 5), i -> a[i] || ':' || b[i]), '|') AS zipped
+        |FROM (SELECT doc_id, string_split(lower(text), ' ')[1:4] AS a,
+        |             string_split(lower(text), ' ')[5:8] AS b
+        |      FROM documents WHERE len(string_split(text, ' ')) >= 8)
+        |ORDER BY doc_id LIMIT 200""".stripMargin),
+
+    // ---- try_* arithmetic: NULL-on-overflow instead of ANSI error. The
+    // overflow operands are pinned literals (LONG_MAX + positive, 3037000500^2
+    // just past LONG range); the oracle states the NULLs directly and checks
+    // the non-overflowing try_sum/try_avg equal their exact counterparts. ----
+    q2("q201_try_arith",
+      """SELECT l_linenumber,
+        |  CAST(try_sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ts,
+        |  ROUND(try_avg(l_extendedprice), 4) AS ta,
+        |  try_add(9223372036854775807, CAST(MAX(l_orderkey) AS BIGINT)) AS ovf_add,
+        |  try_multiply(CAST(3037000500 AS BIGINT), CAST(3037000500 AS BIGINT)) AS ovf_mul
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
+      """SELECT l_linenumber,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ts,
+        |  ROUND(AVG(l_extendedprice), 4) AS ta,
+        |  CAST(NULL AS BIGINT) AS ovf_add,
+        |  CAST(NULL AS BIGINT) AS ovf_mul
+        |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin),
+
+    // ---- histogram_numeric (Yael Ben-Haim streaming histogram sketch).
+    // Bin centroids are merge-order-dependent, so the oracle checks the
+    // invariants instead: bin count = requested, total weight = row count,
+    // centroids within [min, max]. ----
+    q2("q202_histogram_numeric",
+      """SELECT CAST(size(h) AS INT) AS bins,
+        |  CAST(ROUND(aggregate(h, CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.y), 0) AS BIGINT) AS total_weight,
+        |  CAST(forall(h, s -> s.x >= lo AND s.x <= hi) AS BOOLEAN) AS in_range
+        |FROM (SELECT histogram_numeric(o_totalprice, 16) AS h,
+        |             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)""".stripMargin,
+      "SELECT 16 AS bins, COUNT(*) AS total_weight, TRUE AS in_range FROM orders"),
+
+    // ---- ILIKE (case-insensitive LIKE) + LIKE ... ESCAPE ----
+    q2("q203_ilike_escape",
+      """SELECT c_custkey, c_mktsegment ILIKE 'build%' AS il,
+        |  (c_name || '%' || c_mktsegment) LIKE '%!%BUILDING' ESCAPE '!' AS pct,
+        |  c_mktsegment NOT ILIKE '%ware%' AS nil
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin,
+      """SELECT c_custkey, c_mktsegment ILIKE 'build%' AS il,
+        |  (c_name || '%' || c_mktsegment) LIKE '%!%BUILDING' ESCAPE '!' AS pct,
+        |  c_mktsegment NOT ILIKE '%ware%' AS nil
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
