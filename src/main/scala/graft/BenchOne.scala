@@ -74,7 +74,18 @@ object BenchOne {
     if (name == "ngram_explode_vs_array") {
       // q46 formulations: exploded gram equi-join + groupBy count vs
       // per-doc distinct-gram arrays joined on adjacent id + array_intersect.
-      val exploded = Queries.byName("q46_ngram_jaccard").spark
+      val exploded = """WITH ds AS (
+          SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
+                                                          i -> substr(text, i, 3)))) AS g
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+          FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+        ORDER BY i.a_id"""
       val arrays = """WITH ds AS (
           SELECT doc_id, array_distinct(transform(sequence(1, length(text) - 2),
                                                   i -> substr(text, i, 3))) AS gs
