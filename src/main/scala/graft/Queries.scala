@@ -2267,7 +2267,21 @@ object Queries {
       """SELECT c_custkey, c_mktsegment ILIKE 'build%' AS il,
         |  (c_name || '%' || c_mktsegment) LIKE '%!%BUILDING' ESCAPE '!' AS pct,
         |  c_mktsegment NOT ILIKE '%ware%' AS nil
-        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin)
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin),
+
+    // ---- GROUP BY ALL + ORDER BY ALL shorthand (Spark 4 / modern-SQL
+    // ergonomics; resolves to the non-aggregate output columns) ----
+    q("q207_group_order_all",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS tot
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // ---- IS [NOT] DISTINCT FROM (null-safe comparison as a predicate;
+    // complements the <=> operator form of q173) ----
+    q("q208_is_distinct_from",
+      """SELECT o_orderkey,
+        |  o_orderstatus IS DISTINCT FROM 'F' AS d_f,
+        |  NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS was_o
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap

@@ -21,6 +21,38 @@ object Ext {
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
+    "q204_range_join_binned" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val points = s.table("customer").select(col("c_custkey"), col("c_acctbal"))
+      val intervals = s.table("supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      Ops.rangeJoin(points, intervals, "c_acctbal", "lo", "hi", binWidth = 250.0)
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_cust"))
+        .orderBy("s_suppkey")
+    }),
+    "q205_asof_join_op" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val left = s.table("events").select(col("event_id"), col("user_id"), col("ts"))
+      // one row per (user, ts) so the as-of pick at a tied timestamp is
+      // well-defined in both engines
+      val clicks = s.table("events").where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 4).as("click_v"))
+      Ops.asofJoin(left, clicks, "user_id", "ts", Seq("click_v"))
+        .select("event_id", "user_id", "ts", "asof_click_v")
+        .orderBy("event_id")
+    }),
+    "q206_salted_join_op" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val probe = s.table("lineitem").select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val build = s.table("orders").select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      Ops.saltedJoin(probe, build, "okey", salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(round(sum(col("l_quantity")), 4).as("qty"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   /** DuckDB CTE computing each document's distinct word-3-shingle set —
@@ -59,6 +91,32 @@ object Ext {
        |)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    // The binned equi-join path must reproduce the naive interval theta
+    // join exactly (binning is a partitioning of the match space, not an
+    // approximation).
+    "q204_range_join_binned" ->
+      """SELECT s_suppkey, COUNT(*) AS n_cust
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 500 AND c_acctbal <= s_acctbal + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // The union+window as-of formulation must agree with DuckDB's native
+    // ASOF LEFT JOIN (latest click at-or-before each event, per user).
+    "q205_asof_join_op" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, ROUND(MAX(value), 4) AS click_v
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, c.click_v AS asof_click_v
+        |FROM events e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Salting is an execution-layer rewrite only — the salted join must
+    // aggregate to exactly the plain equi-join's result.
+    "q206_salted_join_op" ->
+      """SELECT o_orderstatus, ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // ANN audit: the exact top-10 id list is recomputed cross-engine
     // (list_cosine_similarity); the IVF recall bound is deterministic
     // under the fixed seeds (observed 0.7-1.0 at sf0.01, floor 0.6).

@@ -55,6 +55,34 @@ object Ops {
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Binned range join: points to intervals with `lo <= point <= hi`.
+    *
+    * A raw interval predicate has no equi-key, so Spark plans it as a
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) and a driver OOM when
+    * neither side broadcasts. Binning restores an equi-key: each point maps
+    * to `floor(point / binWidth)`; each interval explodes to every bin it
+    * overlaps (`sequence(floor(lo/w), floor(hi/w))` — intervals spanning k
+    * bins appear k times). The bucket equi-join shuffle-hash-partitions both
+    * sides, then the exact containment predicate filters bin-mates. Cost is
+    * O(points + intervals·span/binWidth + true matches): pick binWidth near
+    * the median interval span so the fan-out stays small. A point falls in
+    * exactly one bin, so no dedup is needed. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pb = points.withColumn("_bin", floor(col(pointCol) / binWidth))
+    val ib = intervals.withColumn(
+      "_bin", explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    pb.join(ib, Seq("_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** Partitioned parquet ETL sink (SURVEY §2.C.1): hive-style partition
     * directories so later scans prune on `partitionCols`. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

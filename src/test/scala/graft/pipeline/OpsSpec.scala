@@ -57,6 +57,38 @@ class OpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("binned range join equals the naive interval join, including edges and negatives") {
+    import graft.TestSpark.spark.implicits._
+    val points = Seq((1L, -7.5), (2L, 0.0), (3L, 2.5), (4L, 10.0), (5L, 99.0))
+      .toDF("pid", "v")
+    val intervals = Seq(
+      (10L, -10.0, 0.0),  // hits -7.5 and 0.0 (inclusive hi edge)
+      (11L, 0.0, 5.0),    // hits 0.0 (inclusive lo edge) and 2.5
+      (12L, 2.5, 2.5),    // degenerate single-point interval
+      (13L, 50.0, 60.0),  // no matches
+    ).toDF("iid", "lo", "hi")
+    val got = Ops.rangeJoin(points, intervals, "v", "lo", "hi", binWidth = 4.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L)))
+  }
+
+  test("binned range join plans as an equi-join, never a nested loop") {
+    import graft.TestSpark.spark.implicits._
+    val points = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "v")
+    val intervals = (1 to 50).map(i => (i.toLong, i * 2.0 - 1, i * 2.0 + 1)).toDF("iid", "lo", "hi")
+    val plan = Ops.rangeJoin(points, intervals, "v", "lo", "hi", binWidth = 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    // the naive predicate join DOES nested-loop — the rewrite is the point
+    val naive = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("partitioned sink enables partition pruning on read") {
     Tables.register(spark, sfDir)
     val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"
