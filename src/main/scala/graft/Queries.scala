@@ -2281,7 +2281,38 @@ object Queries {
       """SELECT o_orderkey,
         |  o_orderstatus IS DISTINCT FROM 'F' AS d_f,
         |  NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS was_o
-        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin)
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+
+    // ---- collect_set (dedup set agg, order-independent once sorted) +
+    // map_from_arrays keyed lookup ----
+    q2("q209_collect_set_map",
+      """SELECT n_regionkey,
+        |  array_join(array_sort(collect_set(n_name)), ',') AS names_set,
+        |  CAST(size(collect_list(n_name)) AS INT) AS n_all,
+        |  element_at(map_from_arrays(array('rk'), array(CAST(n_regionkey AS STRING))), 'rk') AS rk_str
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list_distinct(list(n_name))), ',') AS names_set,
+        |  CAST(len(list(n_name)) AS INT) AS n_all,
+        |  map([ 'rk' ], [ CAST(n_regionkey AS VARCHAR) ])['rk'][1] AS rk_str
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // ---- approx_percentile per group + multi-quantile array form, each
+    // sketch value bound-checked against the exact per-group percentile
+    // (same contract as the global q96) ----
+    q2("q210_grouped_approx_percentile",
+      """SELECT o_orderstatus,
+        |  CAST(CASE WHEN ABS(approx_percentile(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
+        |    / percentile(o_totalprice, 0.5) < 0.02 THEN 1 ELSE 0 END AS INT) AS med_ok,
+        |  CAST(CASE WHEN ABS(approx_percentile(o_totalprice, array(0.25, 0.75), 10000)[0] - percentile(o_totalprice, 0.25))
+        |    / percentile(o_totalprice, 0.25) < 0.02 THEN 1 ELSE 0 END AS INT) AS p25_ok,
+        |  ROUND(percentile(o_totalprice, 0.5), 4) AS exact_med,
+        |  ROUND(percentile(o_totalprice, 0.25), 4) AS exact_p25
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, CAST(1 AS INT) AS med_ok, CAST(1 AS INT) AS p25_ok,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_med,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS exact_p25
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
