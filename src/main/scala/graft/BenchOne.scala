@@ -13,6 +13,7 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -131,6 +132,39 @@ object BenchOne {
         .drop("id").createOrReplaceTempView("orders")
       println(s"lineitem rows: ${spark.table("lineitem").count()}")
       run("10x")
+      spark.stop(); return
+    }
+    if (name == "range_join_rule") {
+      // interval join: naive BroadcastNestedLoopJoin vs the BinnedRangeJoinRule
+      // rewrite (same SQL, rule enabled via conf). supplier x customer at
+      // sf0.1 = 15M candidate pairs naive.
+      val sql = """SELECT s_suppkey, COUNT(*) AS n_cust
+        FROM supplier JOIN customer
+          ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+        GROUP BY s_suppkey ORDER BY s_suppkey"""
+      def run(scale: String, reps: Int): Unit =
+        for (i <- 1 to reps; (label, width) <- Seq("naive" -> "", "binned" -> "250")) {
+          if (width.isEmpty) spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthKey)
+          else spark.conf.set(graft.plans.BinnedRangeJoinRule.WidthKey, width)
+          val t0 = System.nanoTime()
+          val n = spark.sql(sql).collect().length
+          println(f"$scale run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n groups)")
+        }
+      run("1x", 3)
+      // 10x both sides (1.5B candidate pairs): where the nested loop melts
+      // and the binned rewrite stays near-linear
+      import org.apache.spark.sql.functions._
+      val sup = spark.table("supplier")
+      val cust = spark.table("customer")
+      spark.range(0, 10).crossJoin(sup)
+        .withColumn("s_suppkey", col("s_suppkey") + col("id") * 10000000L)
+        .drop("id").createOrReplaceTempView("supplier")
+      spark.range(0, 10).crossJoin(cust)
+        .withColumn("c_custkey", col("c_custkey") + col("id") * 10000000L)
+        .drop("id").createOrReplaceTempView("customer")
+      println(s"suppliers: ${spark.table("supplier").count()}, customers: ${spark.table("customer").count()}")
+      run("10x", 2)
+      spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthKey)
       spark.stop(); return
     }
     if (name == "dot_hoist_vs_fused") {

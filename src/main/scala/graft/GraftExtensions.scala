@@ -9,9 +9,11 @@ import graft.functions.{CosineSimilarity, DotProduct}
   * `spark.sql.extensions=graft.GraftExtensions` to get the engine's native
   * functions in any session at build time (the runtime path is
   * `CosineSimilarity.register(spark)` / `DotProduct.register(spark)`, done
-  * by Tables.register). */
+  * by Tables.register), plus the binned-range-join optimizer rule
+  * (inert until `spark.graft.rangeJoin.binWidth` is set). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,

@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
+
+/** Auto-rewrite of point-in-interval theta joins into binned equi-joins.
+  *
+  * An inner join whose only cross-side predicates are `lo <= p AND p <= hi`
+  * has no equi-key, so Spark plans a BroadcastNestedLoopJoin —
+  * O(|left|·|right|) compares and a broadcast that OOMs when neither side is
+  * small. This rule (the automatic form of `graft.pipeline.Ops.rangeJoin`)
+  * restores an equi-key: the point side gains `floor(p/w)`, the interval
+  * side explodes to every bin in `[floor(lo/w), floor(hi/w)]`, the join
+  * becomes a hash join on the bin with the original predicate re-applied
+  * exactly. Opt-in via `spark.graft.rangeJoin.binWidth` (a positive double,
+  * chosen near the median interval span); unset ⇒ the rule is inert.
+  *
+  * Guards: inner joins only; both range bounds and the point must be numeric
+  * and each side single-sourced; joins that already carry a cross-side
+  * equality are left to Spark's hash join (this also makes the rule
+  * idempotent — the rewritten join carries `_graft_bin_p = _graft_bin_i`).
+  * Degenerate intervals (`hi < lo` after binning) explode to an empty bin
+  * array, matching the zero rows the raw predicate would produce.
+  */
+object BinnedRangeJoinRule extends Rule[LogicalPlan] {
+  val WidthKey = "spark.graft.rangeJoin.binWidth"
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x => Seq(x)
+  }
+
+  /** A comparison normalized to `small <= large` (strictness is irrelevant:
+    * bins over-approximate and the exact predicate is re-applied). */
+  private case class Norm(small: Expression, large: Expression)
+
+  private def isNumeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+
+  private def normalize(e: Expression): Option[Norm] = e match {
+    case GreaterThanOrEqual(a, b) if isNumeric(a) && isNumeric(b) => Some(Norm(b, a))
+    case GreaterThan(a, b) if isNumeric(a) && isNumeric(b) => Some(Norm(b, a))
+    case LessThanOrEqual(a, b) if isNumeric(a) && isNumeric(b) => Some(Norm(a, b))
+    case LessThan(a, b) if isNumeric(a) && isNumeric(b) => Some(Norm(a, b))
+    case _ => None
+  }
+
+  private def binOf(e: Expression, w: Double): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = try conf.getConfString(WidthKey, "").toDouble catch { case _: Exception => -1.0 }
+    if (w <= 0) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j, cond) =>
+        val preds = splitConj(cond)
+        def sideOf(e: Expression): Option[LogicalPlan] =
+          if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some(left)
+          else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some(right)
+          else None
+        // find (point, lo, hi): point is the `large` of one comparison and
+        // the `small` of another, bounds both from the opposite side
+        val norms = preds.flatMap(normalize)
+        val hit = norms.flatMap { c1 =>
+          norms.collect {
+            case c2 if c1.large.semanticEquals(c2.small) =>
+              (c1.large, c1.small, c2.large) // (point, lo, hi)
+          }
+        }.collectFirst {
+          case (p, lo, hi)
+            if sideOf(p).isDefined && sideOf(lo).isDefined &&
+               sideOf(lo) == sideOf(hi) && sideOf(p) != sideOf(lo) => (p, lo, hi)
+        }
+        hit match {
+          case None => j
+          case Some((p, lo, hi)) =>
+            val pointPlan = sideOf(p).get
+            val intervalPlan = sideOf(lo).get
+            val pBin = Alias(binOf(p, w), "_graft_bin_p")()
+            val newPoint = Project(pointPlan.output :+ pBin, pointPlan)
+            val loBin = binOf(lo, w)
+            val hiBin = binOf(hi, w)
+            // Sequence is TimeZoneAwareExpression: without an explicit zone it
+            // stays unresolved and the optimizer's plan-integrity check fails
+            val bins = If(GreaterThanOrEqual(hiBin, loBin),
+              Sequence(loBin, hiBin, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+              Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
+            val iBin = AttributeReference("_graft_bin_i", LongType, nullable = false)()
+            val newInterval = Generate(Explode(bins), Nil, outer = false, None, Seq(iBin), intervalPlan)
+            val (newLeft, newRight) =
+              if (pointPlan eq left) (newPoint, newInterval) else (newInterval, newPoint)
+            val newCond = And(EqualTo(pBin.toAttribute, iBin), cond)
+            Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+        }
+    }
+  }
+
+  /** Cheap pre-check: inner join, a range pair plausible, and no cross-side
+    * equality (equality ⇒ Spark already hash-joins; also the idempotence
+    * guard, since the rewrite introduces one). */
+  private def eligible(j: Join, cond: Expression): Boolean = {
+    val preds = splitConj(cond)
+    def cross(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(j.left.outputSet) && a.references.nonEmpty &&
+        b.references.subsetOf(j.right.outputSet) && b.references.nonEmpty) ||
+      (a.references.subsetOf(j.right.outputSet) && a.references.nonEmpty &&
+        b.references.subsetOf(j.left.outputSet) && b.references.nonEmpty)
+    val hasEqui = preds.exists {
+      case EqualTo(a, b) => cross(a, b)
+      case EqualNullSafe(a, b) => cross(a, b)
+      case _ => false
+    }
+    !hasEqui && preds.flatMap(normalize).size >= 2
+  }
+}

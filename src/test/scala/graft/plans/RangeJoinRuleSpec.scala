@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+
+class RangeJoinRuleSpec extends SparkSpec {
+
+  private val WidthKey = BinnedRangeJoinRule.WidthKey
+
+  private def withWidth[A](w: String)(body: => A): A = {
+    spark.conf.set(WidthKey, w)
+    try body finally spark.conf.unset(WidthKey)
+  }
+
+  private val intervalSql =
+    """SELECT s_suppkey, COUNT(*) AS n_cust
+      |FROM supplier JOIN customer
+      |  ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  test("interval join rewrites to a binned equi-join with identical results") {
+    Tables.register(spark, sfDir)
+    val naive = spark.sql(intervalSql)
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val naiveRows = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    withWidth("250") {
+      val binned = spark.sql(intervalSql)
+      val plan = binned.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule did not fire:\n$plan")
+      val got = binned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == naiveRows)
+    }
+  }
+
+  test("equi-joins and missing-bound joins are left untouched") {
+    Tables.register(spark, sfDir)
+    withWidth("250") {
+      val equi = spark.sql(
+        "SELECT COUNT(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey")
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+      // only one bound -> no (lo, hi) pair -> untouched
+      val half = spark.sql(
+        "SELECT COUNT(*) AS n FROM supplier JOIN customer ON c_acctbal >= s_acctbal")
+      assert(!half.queryExecution.optimizedPlan.toString.contains("_graft_bin"))
+    }
+  }
+
+  test("degenerate and null intervals match the naive join") {
+    import graft.TestSpark.spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 12.0), (3L, -3.0)).toDF("pid", "v")
+    val intervals = Seq(
+      (10L, Some(0.0), Some(10.0)),   // hits 5.0
+      (11L, Some(20.0), Some(1.0)),   // inverted: matches nothing
+      (12L, None, Some(10.0)),        // null lo: matches nothing (inner)
+      (13L, Some(-5.0), None),        // null hi: matches nothing
+    ).toDF("iid", "lo", "hi")
+    points.createOrReplaceTempView("rj_points")
+    intervals.createOrReplaceTempView("rj_intervals")
+    val sql = """SELECT pid, iid FROM rj_points JOIN rj_intervals
+                 ON v >= lo AND v <= hi"""
+    val naive = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withWidth("4") {
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naive)
+      assert(got == Set((1L, 10L)))
+    }
+  }
+}
