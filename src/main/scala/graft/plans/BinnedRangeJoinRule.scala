@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Auto-rewrite of point-in-interval theta joins into binned equi-joins.
   *
@@ -37,7 +37,10 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
     * bins over-approximate and the exact predicate is re-applied). */
   private case class Norm(small: Expression, large: Expression)
 
-  private def isNumeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+  /** Timestamps bin like numerics: CAST(ts AS DOUBLE) = epoch seconds, so
+    * `binWidth` for temporal joins is in seconds. */
+  private def isNumeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType] || e.dataType == TimestampType
 
   private def normalize(e: Expression): Option[Norm] = e match {
     case GreaterThanOrEqual(a, b) if isNumeric(a) && isNumeric(b) => Some(Norm(b, a))

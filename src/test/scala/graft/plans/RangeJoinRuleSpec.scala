@@ -46,6 +46,25 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("timestamp intervals rewrite too (binWidth in seconds)") {
+    Tables.register(spark, sfDir)
+    // events joined to hour-of-day windows derived from a VALUES list
+    spark.sql(
+      """SELECT TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0) AS w_start,
+        |       TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,h+1,0,0) AS w_end, h
+        |FROM VALUES (0),(1),(2),(3),(4),(5) AS t(h)""".stripMargin)
+      .createOrReplaceTempView("rj_windows")
+    val sql = """SELECT h, COUNT(*) AS n FROM events JOIN rj_windows
+                 ON ts >= w_start AND ts < w_end GROUP BY h ORDER BY h"""
+    val naive = spark.sql(sql).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    withWidth("600") {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
+      assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == naive)
+    }
+  }
+
   test("degenerate and null intervals match the naive join") {
     import graft.TestSpark.spark.implicits._
     val points = Seq((1L, 5.0), (2L, 12.0), (3L, -3.0)).toDF("pid", "v")
