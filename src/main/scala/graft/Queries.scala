@@ -2312,7 +2312,213 @@ object Queries {
       """SELECT o_orderstatus, CAST(1 AS INT) AS med_ok, CAST(1 AS INT) AS p25_ok,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_med,
         |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS exact_p25
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- KLL quantile sketch (Apache DataSketches, Spark 4): the
+    // distributed-quantile story at 100 TB — per-partition sketches merged
+    // losslessly in n. The merged-from-groups sketch must (a) track n
+    // EXACTLY and (b) put the median within the 5%-rank window [p45, p55];
+    // the whole-table sketch likewise. ----
+    q2("q211_kll_sketch",
+      """SELECT
+        |  CAST(CASE WHEN kll_sketch_get_quantile_double(w.s, 0.5) BETWEEN e.p45 AND e.p55 THEN 1 ELSE 0 END AS INT) AS med_ok,
+        |  CAST(CASE WHEN kll_sketch_get_quantile_double(m.s, 0.5) BETWEEN e.p45 AND e.p55 THEN 1 ELSE 0 END AS INT) AS merged_ok,
+        |  CAST(kll_sketch_get_n_double(m.s) AS BIGINT) AS n_merged, e.n
+        |FROM (SELECT kll_sketch_agg_double(o_totalprice) AS s FROM orders) w
+        |CROSS JOIN (SELECT kll_merge_agg_double(s) AS s FROM
+        |  (SELECT o_orderstatus, kll_sketch_agg_double(o_totalprice) AS s FROM orders GROUP BY o_orderstatus)) m
+        |CROSS JOIN (SELECT percentile(o_totalprice, 0.45) AS p45, percentile(o_totalprice, 0.55) AS p55,
+        |            COUNT(*) AS n FROM orders) e""".stripMargin,
+      """SELECT CAST(1 AS INT) AS med_ok, CAST(1 AS INT) AS merged_ok,
+        |  COUNT(*) AS n_merged, COUNT(*) AS n FROM orders""".stripMargin),
+
+    // ---- Theta sketch (DataSketches distinct-count with SET ALGEBRA —
+    // union and intersection over sketches, the dedup-across-shards
+    // primitive). Bounds: union RSE ~1.6% at lgK 12 (5% gate); intersection
+    // error is relative to the union stream (15% gate). ----
+    q2("q212_theta_sketch",
+      """WITH s1 AS (SELECT theta_sketch_agg(o_custkey) AS s FROM orders WHERE o_orderstatus = 'O'),
+        |s2 AS (SELECT theta_sketch_agg(o_custkey) AS s FROM orders WHERE o_orderstatus = 'F'),
+        |u AS (SELECT theta_union_agg(s) AS s FROM (SELECT s FROM s1 UNION ALL SELECT s FROM s2)),
+        |e AS (SELECT COUNT(DISTINCT CASE WHEN o_orderstatus IN ('O','F') THEN o_custkey END) AS nu
+        |      FROM orders),
+        |i AS (SELECT COUNT(DISTINCT o_custkey) AS ni FROM orders
+        |      WHERE o_orderstatus = 'O'
+        |        AND o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        |SELECT
+        |  CAST(CASE WHEN ABS(theta_sketch_estimate(u.s) - e.nu) / e.nu < 0.05 THEN 1 ELSE 0 END AS INT) AS union_ok,
+        |  CAST(CASE WHEN ABS(theta_sketch_estimate(theta_intersection(s1.s, s2.s)) - i.ni) / i.ni < 0.15 THEN 1 ELSE 0 END AS INT) AS inter_ok,
+        |  e.nu, i.ni
+        |FROM s1 CROSS JOIN s2 CROSS JOIN u CROSS JOIN e CROSS JOIN i""".stripMargin,
+      """SELECT CAST(1 AS INT) AS union_ok, CAST(1 AS INT) AS inter_ok,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderstatus IN ('O','F')) AS nu,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders WHERE o_orderstatus = 'O'
+        |     AND o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS ni""".stripMargin),
+
+    // ---- HLL merge law: union-of-group-sketches must estimate what the
+    // whole-table sketch estimates — this is what makes per-shard HLLs
+    // reaggregable at any rollup level. Not bit-identical in DataSketches
+    // (the union runs an HLL_8 gadget whose estimator can differ in the
+    // last few ulps from the direct HLL_4 sketch), so the law is a 1%
+    // agreement bound. (q111 checks the global accuracy bound.) ----
+    q2("q213_hll_union_law",
+      """WITH g AS (SELECT o_orderstatus, hll_sketch_agg(o_custkey) AS s FROM orders GROUP BY o_orderstatus),
+        |u AS (SELECT hll_union_agg(s) AS s FROM g),
+        |w AS (SELECT hll_sketch_agg(o_custkey) AS s FROM orders)
+        |SELECT
+        |  CAST(CASE WHEN ABS(hll_sketch_estimate(u.s) - hll_sketch_estimate(w.s))
+        |    / hll_sketch_estimate(w.s) < 0.01 THEN 1 ELSE 0 END AS INT) AS merge_law_ok,
+        |  CAST(CASE WHEN ABS(hll_sketch_estimate(u.s) - e.nd) / e.nd < 0.05 THEN 1 ELSE 0 END AS INT) AS bound_ok,
+        |  e.nd AS exact_nd
+        |FROM u CROSS JOIN w CROSS JOIN (SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders) e""".stripMargin,
+      """SELECT CAST(1 AS INT) AS merge_law_ok, CAST(1 AS INT) AS bound_ok,
+        |  COUNT(DISTINCT o_custkey) AS exact_nd FROM orders""".stripMargin),
+
+    // ---- xpath family over per-row constructed XML (DuckDB has no xpath —
+    // the oracle recomputes each value from the source columns) ----
+    q2("q214_xpath",
+      """SELECT n_nationkey, xpath_string(x, 'r/name') AS xs,
+        |  CAST(xpath_int(x, 'r/key') AS INT) AS xi,
+        |  CAST(size(xpath(x, 'r/tag/text()')) AS INT) AS nt
+        |FROM (SELECT n_nationkey, concat('<r><name>', n_name, '</name><key>', n_nationkey,
+        |             '</key><tag>a</tag><tag>b</tag></r>') AS x FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, n_name AS xs, CAST(n_nationkey AS INT) AS xi, CAST(2 AS INT) AS nt
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- date batch 4: date_add/date_sub/datepart/dayofmonth/weekday/
+    // monthname (Spark monthname = 3-letter ⇒ oracle takes substr of
+    // DuckDB's full name; Spark weekday Mon=0 ⇒ isodow-1) ----
+    q2("q215_date_fns4",
+      """SELECT o_orderkey,
+        |  date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+        |  date_sub(CAST(o_orderdate AS DATE), 7) AS minus7,
+        |  CAST(datepart('month', o_orderdate) AS INT) AS mth,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(weekday(o_orderdate) AS INT) AS wd,
+        |  monthname(o_orderdate) AS mname
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(o_orderdate AS DATE) - 7 AS minus7,
+        |  CAST(datepart('month', o_orderdate) AS INT) AS mth,
+        |  CAST(datepart('day', o_orderdate) AS INT) AS dom,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |  substr(monthname(o_orderdate), 1, 3) AS mname
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- regexp batch 2: regexp_like / RLIKE / regexp_substr /
+    // regexp_instr (instr uses a literal pattern so strpos is its exact
+    // oracle; substr NULL-on-miss vs DuckDB ''-on-miss via NULLIF) ----
+    q2("q216_regexp2",
+      """SELECT p_partkey, regexp_like(p_name, '[aeiou]{2}') AS rl,
+        |  p_name RLIKE 'ee' AS rk,
+        |  regexp_substr(p_name, '[a-z]{5,}') AS rs,
+        |  CAST(regexp_instr(p_name, 'o') AS INT) AS ri
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+      """SELECT p_partkey, regexp_matches(p_name, '[aeiou]{2}') AS rl,
+        |  regexp_matches(p_name, 'ee') AS rk,
+        |  NULLIF(regexp_extract(p_name, '[a-z]{5,}'), '') AS rs,
+        |  CAST(strpos(p_name, 'o') AS INT) AS ri
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin),
+
+    // ---- null-wrapper predicates: count_if / isnull / isnotnull /
+    // equal_null / nullifzero / zeroifnull (oracle restates as CASE) ----
+    q2("q217_null_wrappers",
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS big,
+        |  CAST(count_if(isnull(NULLIF(o_orderpriority, '1-URGENT'))) AS BIGINT) AS urgent,
+        |  CAST(count_if(isnotnull(nullifzero(o_orderkey % 2))) AS BIGINT) AS odd,
+        |  CAST(SUM(zeroifnull(NULLIF(o_orderkey % 3, 2))) AS BIGINT) AS mod3_sum,
+        |  CAST(count_if(equal_null(NULLIF(o_orderstatus, 'O'), NULL)) AS BIGINT) AS was_o
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS odd,
+        |  CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 0 ELSE o_orderkey % 3 END) AS BIGINT) AS mod3_sum,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS was_o
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- epoch batch 2: unix_millis/unix_seconds/unix_date round trips +
+    // timestamp_millis/date_from_unix_date/to_unix_timestamp ----
+    q2("q218_epoch2",
+      """SELECT o_orderkey,
+        |  CAST(timestamp_millis(CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) AS TIMESTAMP_NTZ) AS ts_ms_rt,
+        |  CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+        |  CAST(unix_date(CAST(o_orderdate AS DATE)) AS INT) AS d_days,
+        |  date_from_unix_date(CAST(unix_date(CAST(o_orderdate AS DATE)) AS INT)) AS d_rt,
+        |  CAST(to_unix_timestamp(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS tut
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  o_orderdate AS ts_ms_rt,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d_days,
+        |  CAST(o_orderdate AS DATE) AS d_rt,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS tut
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- AES round trip (ECB = deterministic, so the ciphertext is also
+    // pinnable; GCM would embed a random IV). DuckDB has no AES — the
+    // oracle states the identity and the once-verified literal. ----
+    q2("q219_aes_roundtrip",
+      """SELECT o_orderkey,
+        |  CAST(aes_decrypt(aes_encrypt(CAST(o_orderpriority AS BINARY), '0123456789abcdef', 'ECB'),
+        |                   '0123456789abcdef', 'ECB') AS STRING) AS rt,
+        |  base64(aes_encrypt(CAST('fixed' AS BINARY), '0123456789abcdef', 'ECB')) AS pinned
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey, o_orderpriority AS rt, 'SxhCFBrIRX2xktozsEs3tg==' AS pinned
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- map batch 3: map_keys / map_values / map_contains_key /
+    // transform_keys ----
+    q2("q220_map_fns3",
+      """SELECT n_nationkey,
+        |  array_join(map_keys(m), ',') AS ks,
+        |  array_join(transform(map_values(m), x -> CAST(x AS STRING)), ',') AS vs,
+        |  map_contains_key(m, 'a') AS has_a,
+        |  array_join(map_keys(transform_keys(m, (k, v) -> upper(k))), ',') AS uks
+        |FROM (SELECT n_nationkey, map('a', n_nationkey, 'b', n_regionkey) AS m FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, 'a,b' AS ks,
+        |  CAST(n_nationkey AS VARCHAR) || ',' || CAST(n_regionkey AS VARCHAR) AS vs,
+        |  TRUE AS has_a, 'A,B' AS uks
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- to_char numeric formatting (zero-pad pattern ⇒ deterministic,
+    // oracle via printf) + hex/unhex binary round trip ----
+    q2("q221_to_char_binary",
+      """SELECT o_orderkey,
+        |  to_char(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)), '000000000.00') AS tc,
+        |  CAST(to_binary(hex(o_orderpriority), 'hex') AS STRING) AS hex_rt
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  printf('%012.2f', ROUND(o_totalprice, 2)) AS tc,
+        |  o_orderpriority AS hex_rt
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- string misc: character_length / ucase / btrim / rpad / typeof
+    // (typeof pinned: n_nationkey is int32 in the parquet) ----
+    q2("q222_string_misc",
+      """SELECT n_nationkey, CAST(character_length(n_name) AS INT) AS cl,
+        |  ucase(n_name) AS uc, btrim('  ' || n_name || ' ') AS bt,
+        |  rpad(n_name, 12, '.') AS rp, typeof(n_nationkey) AS ty
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, CAST(length(n_name) AS INT) AS cl,
+        |  upper(n_name) AS uc, trim('  ' || n_name || ' ') AS bt,
+        |  rpad(n_name, 12, '.') AS rp, 'int' AS ty
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- window_time (event-time column of a grouped window = end - 1µs;
+    // the streaming-aggregation output-timestamp helper, batch form) ----
+    q2("q223_window_time",
+      """SELECT w.start AS ws, window_time(w) AS wt, n FROM (
+        |  SELECT window AS w, COUNT(*) AS n FROM events GROUP BY window(ts, '10 minutes'))
+        |ORDER BY ws""".stripMargin,
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+        |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '599999999 microseconds' AS wt,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
