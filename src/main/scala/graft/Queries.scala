@@ -2518,7 +2518,130 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
         |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '599999999 microseconds' AS wt,
         |  COUNT(*) AS n
-        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin),
+
+    // ---- math batch 4: hyperbolics (DuckDB lacks them — oracle spells the
+    // exp/ln identities), cot/csc/sec, log10/log1p, signum,
+    // shiftrightunsigned, fractional pow. x ∈ [0.1, 0.7] keeps atanh/cot
+    // well-conditioned. ----
+    q2("q224_math4",
+      """SELECT o_orderkey,
+        |  ROUND(sinh(x), 4) AS sh, ROUND(cosh(x), 4) AS ch, ROUND(tanh(x), 4) AS th,
+        |  ROUND(asinh(x), 4) AS ash, ROUND(acosh(1 + x), 4) AS ach, ROUND(atanh(x), 4) AS ath,
+        |  ROUND(cot(x), 4) AS ct, ROUND(csc(x), 4) AS cs, ROUND(sec(x), 4) AS sc,
+        |  ROUND(log10(o_totalprice), 4) AS l10, ROUND(log1p(o_totalprice), 4) AS l1p,
+        |  CAST(signum(o_orderkey % 3 - 1) AS DOUBLE) AS sg,
+        |  CAST(shiftrightunsigned(CAST(o_orderkey AS BIGINT), 3) AS BIGINT) AS sru,
+        |  ROUND(pow(o_totalprice, 0.25), 4) AS p4
+        |FROM (SELECT o_orderkey, o_totalprice, (o_orderkey % 7) / 10.0 + 0.1 AS x FROM orders)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  ROUND((exp(x) - exp(-x)) / 2, 4) AS sh, ROUND((exp(x) + exp(-x)) / 2, 4) AS ch,
+        |  ROUND((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 4) AS th,
+        |  ROUND(ln(x + sqrt(x*x + 1)), 4) AS ash,
+        |  ROUND(ln(1 + x + sqrt((1+x)*(1+x) - 1)), 4) AS ach,
+        |  ROUND(0.5 * ln((1 + x) / (1 - x)), 4) AS ath,
+        |  ROUND(cot(x), 4) AS ct, ROUND(1 / sin(x), 4) AS cs, ROUND(1 / cos(x), 4) AS sc,
+        |  ROUND(log10(o_totalprice), 4) AS l10, ROUND(ln(1 + o_totalprice), 4) AS l1p,
+        |  CAST(sign(o_orderkey % 3 - 1) AS DOUBLE) AS sg,
+        |  CAST(o_orderkey // 8 AS BIGINT) AS sru,
+        |  ROUND(pow(o_totalprice, 0.25), 4) AS p4
+        |FROM (SELECT o_orderkey, o_totalprice, (o_orderkey % 7) / 10.0 + 0.1 AS x FROM orders)
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- JSON batch 3: json_array_length / json_object_keys + VARIANT
+    // null-vs-missing semantics (is_variant_null distinguishes JSON null
+    // from an absent path) + try_parse_json on malformed input ----
+    q2("q225_json3",
+      """SELECT n_nationkey,
+        |  CAST(json_array_length(get_json_object(j, '$.arr')) AS INT) AS al,
+        |  array_join(json_object_keys(j), ',') AS ks,
+        |  is_variant_null(variant_get(parse_json(j), '$.nul')) AS json_null,
+        |  variant_get(parse_json(j), '$.missing') IS NULL AS missing_sql_null,
+        |  CAST(variant_get(parse_json(j), '$.k', 'int') AS INT) AS vk,
+        |  try_parse_json('{oops') IS NULL AS bad_is_null
+        |FROM (SELECT n_nationkey, concat('{"k":', n_nationkey, ',"arr":[1,2,', n_nationkey,
+        |             '],"name":"', n_name, '","nul":null}') AS j FROM nation)
+        |ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, CAST(3 AS INT) AS al, 'k,arr,name,nul' AS ks,
+        |  TRUE AS json_null, TRUE AS missing_sql_null,
+        |  CAST(n_nationkey AS INT) AS vk, TRUE AS bad_is_null
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- date parsing: to_date / to_timestamp with patterns (round trips
+    // through date_format) + try_to_date / try_to_timestamp on garbage ----
+    q2("q226_date_parse",
+      """SELECT o_orderkey,
+        |  to_date(date_format(o_orderdate, 'yyyy-MM-dd'), 'yyyy-MM-dd') AS d_rt,
+        |  CAST(to_timestamp(date_format(o_orderdate, 'dd/MM/yyyy HH:mm'), 'dd/MM/yyyy HH:mm') AS TIMESTAMP_NTZ) AS ts_rt,
+        |  try_to_date('not-a-date', 'yyyy-MM-dd') AS bad_d,
+        |  try_to_timestamp('2024-13-45 99:00:00', 'yyyy-MM-dd HH:mm:ss') AS bad_ts
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d_rt,
+        |  date_trunc('minute', o_orderdate) AS ts_rt,
+        |  CAST(NULL AS DATE) AS bad_d,
+        |  CAST(NULL AS TIMESTAMP) AS bad_ts
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- interval constructors: make_dt_interval (day-time),
+    // make_ym_interval (year-month, calendar-aware on DATE),
+    // try_make_interval — each applied to a timestamp so the result is
+    // hashable cross-engine ----
+    q2("q227_make_intervals",
+      """SELECT o_orderkey,
+        |  o_orderdate + make_dt_interval(1, 2, 30, 0) AS plus_dt,
+        |  CAST(o_orderdate AS DATE) + make_ym_interval(0, 2) AS plus_2m,
+        |  o_orderdate + try_make_interval(0, 0, 0, 5, 0, 0, 0) AS plus_5d
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL '1 day 2 hours 30 minutes' AS plus_dt,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        |  o_orderdate + INTERVAL 5 DAY AS plus_5d
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- approx_top_k mergeable form: per-group accumulate → combine →
+    // estimate. 5 distinct priorities ≪ the k=10 buffer, so the merged
+    // estimates are exact and the oracle is the exact frequency top-5. ----
+    q2("q228_approx_topk_merge",
+      """WITH acc AS (SELECT o_orderstatus, approx_top_k_accumulate(o_orderpriority, 10) AS st
+        |             FROM orders GROUP BY o_orderstatus),
+        |comb AS (SELECT approx_top_k_combine(st, 10) AS st FROM acc),
+        |est AS (SELECT explode(approx_top_k_estimate(st, 5)) AS e FROM comb)
+        |SELECT e.item AS item, CAST(e.count AS BIGINT) AS cnt FROM est
+        |ORDER BY cnt DESC, item""".stripMargin,
+      """SELECT o_orderpriority AS item, COUNT(*) AS cnt FROM orders
+        |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 5""".stripMargin),
+
+    // ---- convert_timezone with named IANA zones across a DST boundary
+    // (2024-03-10 10:30 UTC is 02:30 PST pre-spring-forward) ----
+    q2("q229_convert_timezone",
+      """SELECT v AS utc_ts,
+        |  convert_timezone('UTC', 'America/Los_Angeles', v) AS la,
+        |  convert_timezone('UTC', 'Asia/Kolkata', v) AS ind
+        |FROM VALUES (TIMESTAMP_NTZ '2024-01-15 12:00:00'),
+        |            (TIMESTAMP_NTZ '2024-07-15 12:00:00'),
+        |            (TIMESTAMP_NTZ '2024-03-10 10:30:00') AS t(v)
+        |ORDER BY utc_ts""".stripMargin,
+      """SELECT v AS utc_ts,
+        |  CAST(v AT TIME ZONE 'UTC' AT TIME ZONE 'America/Los_Angeles' AS TIMESTAMP) AS la,
+        |  CAST(v AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata' AS TIMESTAMP) AS ind
+        |FROM (VALUES (TIMESTAMP '2024-01-15 12:00:00'),
+        |             (TIMESTAMP '2024-07-15 12:00:00'),
+        |             (TIMESTAMP '2024-03-10 10:30:00')) t(v)
+        |ORDER BY utc_ts""".stripMargin),
+
+    // ---- grouping_id (bit vector over the grouping-set columns;
+    // complements q77's per-column GROUPING()) ----
+    q2("q230_grouping_id",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, COUNT(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, COUNT(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
