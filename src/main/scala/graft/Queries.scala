@@ -2641,7 +2641,57 @@ object Queries {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, COUNT(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ---- UTF-8 validation family: is_valid_utf8 on good and bad byte
+    // sequences, make_valid_utf8 (invalid sequence → U+FFFD), validate_utf8
+    // pass-through on valid input ----
+    q2("q231_utf8",
+      """SELECT n_nationkey,
+        |  is_valid_utf8(CAST(n_name AS BINARY)) AS ok,
+        |  is_valid_utf8(X'C328') AS bad,
+        |  CAST(make_valid_utf8(X'41C32842') AS STRING) AS fixed,
+        |  validate_utf8(n_name) AS same
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+      """SELECT n_nationkey, TRUE AS ok, FALSE AS bad,
+        |  'A' || chr(65533) || '(B' AS fixed, n_name AS same
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- schema inference functions (DDL strings pinned from
+    // once-verified engine output) ----
+    q2("q232_schema_of",
+      """SELECT schema_of_json('{"a":1,"b":[1.5],"c":"x"}') AS sj,
+        |  schema_of_csv('1,x,true') AS sc""".stripMargin,
+      """SELECT 'STRUCT<a: BIGINT, b: ARRAY<DOUBLE>, c: STRING>' AS sj,
+        |  'STRUCT<_c0: INT, _c1: STRING, _c2: BOOLEAN>' AS sc""".stripMargin),
+
+    // ---- variant_explode generator (pos/key/value over a VARIANT object) ----
+    q2("q233_variant_explode",
+      """SELECT n_nationkey, v.pos, v.key, CAST(v.value AS STRING) AS val
+        |FROM nation, LATERAL variant_explode(parse_json(
+        |  concat('{"k":', n_nationkey, ',"r":', n_regionkey, '}'))) AS v
+        |ORDER BY n_nationkey, v.pos""".stripMargin,
+      """SELECT n_nationkey, pos, key, val FROM (
+        |  SELECT n_nationkey, 0 AS pos, 'k' AS key, CAST(n_nationkey AS VARCHAR) AS val FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 1, 'r', CAST(n_regionkey AS VARCHAR) FROM nation)
+        |ORDER BY n_nationkey, pos""".stripMargin),
+
+    // ---- theta sketch set difference (A \ B): customers that never placed
+    // an F-status order, sketch-estimated vs exact (GREATEST guards the
+    // denominator if the difference is empty at small SF) ----
+    q2("q234_theta_difference",
+      """SELECT CAST(CASE WHEN ABS(theta_sketch_estimate(theta_difference(a.s, b.s)) - e.nd)
+        |  / GREATEST(e.nd, 1) < 0.1 THEN 1 ELSE 0 END AS INT) AS diff_ok, e.nd
+        |FROM (SELECT theta_sketch_agg(o_custkey) AS s FROM orders) a
+        |CROSS JOIN (SELECT theta_sketch_agg(CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS s
+        |            FROM orders) b
+        |CROSS JOIN (SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders
+        |            WHERE o_custkey NOT IN
+        |              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) e""".stripMargin,
+      """SELECT CAST(1 AS INT) AS diff_ok,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS nd""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
