@@ -2466,7 +2466,8 @@ object Queries {
         |  CAST(aes_decrypt(aes_encrypt(CAST(o_orderpriority AS BINARY), '0123456789abcdef', 'ECB'),
         |                   '0123456789abcdef', 'ECB') AS STRING) AS rt,
         |  base64(aes_encrypt(CAST('fixed' AS BINARY), '0123456789abcdef', 'ECB')) AS pinned
-        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+        |FROM (SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin,
       """SELECT o_orderkey, o_orderpriority AS rt, 'SxhCFBrIRX2xktozsEs3tg==' AS pinned
         |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
 

@@ -126,7 +126,10 @@ class PlanSpec extends SparkSpec {
       "q64_tfidf",        // CROSS JOIN with a 1-row corpus-count aggregate
       "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
       "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
-      "q51c_ann_recall")  // exact-top10 audit: 5 broadcast query vectors x corpus
+      "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
+      // sketch-law checks: CROSS JOINs of 1-row sketch/exact aggregates
+      "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
+      "q234_theta_difference")
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
