@@ -2692,7 +2692,28 @@ object Queries {
         |              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) e""".stripMargin,
       """SELECT CAST(1 AS INT) AS diff_ok,
         |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
-        |   WHERE o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS nd""".stripMargin)
+        |   WHERE o_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS nd""".stripMargin),
+
+    // ---- try_* stragglers (mod-by-zero, long underflow, malformed
+    // percent-encoding, non-hex to_binary — each NULL instead of error)
+    // + quote() SQL-literal escaping ----
+    q2("q235_try_misc",
+      """SELECT o_orderkey,
+        |  try_mod(o_orderkey, o_orderkey % 5) AS tm,
+        |  try_subtract(-9223372036854775808, CAST(1 AS BIGINT)) AS tsub,
+        |  try_url_decode('%E0%A4%A') AS tud,
+        |  CAST(try_to_binary('xyz', 'hex') AS STRING) AS ttb_bad,
+        |  CAST(try_to_binary(hex(o_orderpriority), 'hex') AS STRING) AS ttb_ok,
+        |  quote(o_orderpriority) AS qt
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey % (o_orderkey % 5) END AS tm,
+        |  CAST(NULL AS BIGINT) AS tsub,
+        |  CAST(NULL AS VARCHAR) AS tud,
+        |  CAST(NULL AS VARCHAR) AS ttb_bad,
+        |  o_orderpriority AS ttb_ok,
+        |  '''' || o_orderpriority || '''' AS qt
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
