@@ -72,11 +72,20 @@ object Bench {
       val ts = passes.flatMap(_.get(name)).filter(_ >= 0)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver keeps only a ~2000-char tail of stdout: a per-query map over
+    // the whole catalog truncates mid-line and parses as null. Full map goes
+    // to a file (+stderr for logs); the final stdout line stays compact —
+    // totals plus the 20 slowest queries — so it always parses.
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full_latest.json"), full + "\n")
+    System.err.println(full)
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(top)},"n_queries":${results.size},"failed":$failed,"queries_full":"BENCH_full_latest.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,16 +151,20 @@ object BenchOne {
           println(f"$scale run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n groups)")
         }
       run("1x", 3)
-      // 10x both sides (1.5B candidate pairs): where the nested loop melts
-      // and the binned rewrite stays near-linear
+      // 10x both sides with acctbal (the join column) shifted per replica so
+      // each replica only range-matches its own copy — per-replica fan-out is
+      // preserved, matching the tpch_scale methodology (a key-only shift
+      // would multiply matches 100x and overstate the naive join's blowup).
       import org.apache.spark.sql.functions._
       val sup = spark.table("supplier")
       val cust = spark.table("customer")
       spark.range(0, 10).crossJoin(sup)
         .withColumn("s_suppkey", col("s_suppkey") + col("id") * 10000000L)
+        .withColumn("s_acctbal", col("s_acctbal") + col("id") * 1000000.0)
         .drop("id").createOrReplaceTempView("supplier")
       spark.range(0, 10).crossJoin(cust)
         .withColumn("c_custkey", col("c_custkey") + col("id") * 10000000L)
+        .withColumn("c_acctbal", col("c_acctbal") + col("id") * 1000000.0)
         .drop("id").createOrReplaceTempView("customer")
       println(s"suppliers: ${spark.table("supplier").count()}, customers: ${spark.table("customer").count()}")
       run("10x", 2)

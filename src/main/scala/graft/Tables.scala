@@ -47,9 +47,10 @@ object Tables {
     }
   }
 
-  /** Reads one table, applying per-table normalization (events ns→µs). */
+  /** Reads one table, applying per-table normalization (events ns→µs).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong` on the session (set once
+    * in [[register]]'s critical section, not per read call). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
@@ -60,6 +61,9 @@ object Tables {
     // skew handling, partition coalescing); UTC for oracle parity.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // ns-parquet read mode: session-level, set once here (inside register's
+    // lock) rather than on every read() call.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Engine-native functions, registered at runtime so driver-provided
     // sessions (no spark.sql.extensions) get them too.
     graft.functions.CosineSimilarity.register(spark)

@@ -50,6 +50,9 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Defense in depth behind StatementGate's file-source deny: even if a
+      // file-backed relation slipped the parse-level gate, analysis refuses it.
+      .config("spark.sql.runSQLOnFiles", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -54,6 +54,16 @@ object StatementGate {
     * server must deny these at parse level, like statement classes. */
   private val deniedFunctions = Set("reflect", "java_method")
 
+  /** Direct file-source table references (`SELECT * FROM parquet.`/path``,
+    * allowed by `spark.sql.runSQLOnFiles` by default) parse as a plain
+    * UnresolvedRelation and would read ANY server-readable file — the same
+    * outside-registered-data escape as `reflect`. Denied at parse level (and
+    * the MCP session additionally sets `spark.sql.runSQLOnFiles=false` as
+    * defense in depth). */
+  private val fileSourceTokens = Set(
+    "parquet", "csv", "json", "orc", "text", "textfile", "binaryfile", "avro",
+    "libsvm", "jdbc", "delta")
+
   /** Returns None if allowed, Some(reason) if denied. */
   def check(spark: SparkSession, sql: String): Option[String] =
     try {
@@ -67,6 +77,11 @@ object StatementGate {
         // plan is a constructor argument somewhere, so recursing through
         // Product/Iterable reaches them all (parse trees are acyclic).
         def visit(a: Any): Unit = a match {
+          case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if r.multipartIdentifier.length >= 2 &&
+                fileSourceTokens.contains(r.multipartIdentifier.head.toLowerCase) =>
+            if (bad.isEmpty)
+              bad = Some(s"file-source relation ${r.multipartIdentifier.head}.`...`")
           case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
             val n = p.getClass.getSimpleName
             if (bad.isEmpty && (denied.findFirstIn(n).isDefined || isUnknownCommand(n)))

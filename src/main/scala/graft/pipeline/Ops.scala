@@ -73,11 +73,26 @@ object Ops {
       pointCol: String,
       loCol: String,
       hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not already have a _bin column")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names $shared — the joined output would be ambiguous")
     val pb = points.withColumn("_bin", floor(col(pointCol) / binWidth))
-    val ib = intervals.withColumn(
-      "_bin", explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor(col(hiCol) / binWidth)
+    // An outlier interval spanning a huge number of bins (or a binWidth far
+    // below the data's spans) would fan out pathologically — or overflow
+    // Sequence's max length. Fail loudly with the fix instead of OOMing;
+    // clamping would silently drop matches, so the predicate stays exact.
+    val guardedHi = when(hiBin - loBin > maxBinsPerInterval,
+      raise_error(concat(lit(s"rangeJoin: interval spans more than $maxBinsPerInterval bins " +
+        s"(binWidth=$binWidth too small for interval ["), col(loCol), lit(", "), col(hiCol),
+        lit("]) — raise binWidth or maxBinsPerInterval")))).otherwise(hiBin)
+    val ib = intervals.withColumn("_bin", explode(sequence(loBin, guardedHi)))
     pb.join(ib, Seq("_bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")

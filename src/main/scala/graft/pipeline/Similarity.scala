@@ -114,6 +114,9 @@ object Similarity {
     val brute = emb.where(col("vec_id") < 5).as("q")
       .join(emb.as("d"), col("q.vec_id") =!= col("d.vec_id"))
       .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
+        // cosine() rounds to 4 decimals, so this ranking key is identical to
+        // the oracle's (round(cos_sim,4) DESC, did) — near-ties at the rank-10
+        // boundary break the same way in both engines.
         cosine("q.embedding", "d.embedding").as("cos_sim"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))))

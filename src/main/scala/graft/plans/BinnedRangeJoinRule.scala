@@ -28,6 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType,
 object BinnedRangeJoinRule extends Rule[LogicalPlan] {
   val WidthKey = "spark.graft.rangeJoin.binWidth"
 
+  /** Fan-out backstop: an interval spanning more than this many bins (an
+    * outlier row, or a binWidth far below the data's spans) raises a clear
+    * runtime error instead of a Sequence-overflow/OOM. Clamping would drop
+    * matches silently, so the rewrite stays exact and fails loudly. */
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
+
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConj(l) ++ splitConj(r)
     case x => Seq(x)
@@ -85,10 +91,21 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
             val newPoint = Project(pointPlan.output :+ pBin, pointPlan)
             val loBin = binOf(lo, w)
             val hiBin = binOf(hi, w)
+            val maxBins =
+              try conf.getConfString(MaxBinsKey, "10000").toLong catch { case _: Exception => 10000L }
+            // Typed LongType so the If stays resolved post-analysis (this rule
+            // runs in the optimizer — no implicit coercion pass after it).
+            val overflow = RaiseError(
+              Literal("USER_RAISED_EXCEPTION"),
+              CreateMap(Seq(Literal("errorMessage"), Literal(
+                s"binned range join: interval spans more than $maxBins bins " +
+                  s"(binWidth=$w too small) — raise $WidthKey or $MaxBinsKey"))),
+              LongType)
+            val guardedHi = If(GreaterThan(Subtract(hiBin, loBin), Literal(maxBins)), overflow, hiBin)
             // Sequence is TimeZoneAwareExpression: without an explicit zone it
             // stays unresolved and the optimizer's plan-integrity check fails
             val bins = If(GreaterThanOrEqual(hiBin, loBin),
-              Sequence(loBin, hiBin, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+              Sequence(loBin, guardedHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
               Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
             val iBin = AttributeReference("_graft_bin_i", LongType, nullable = false)()
             val newInterval = Generate(Explode(bins), Nil, outer = false, None, Seq(iBin), intervalPlan)

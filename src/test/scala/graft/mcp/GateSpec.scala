@@ -76,6 +76,24 @@ class GateSpec extends SparkSpec {
     denied("SELECT (SELECT TRANSFORM(y) USING 'cat' FROM u) FROM t")
   }
 
+  test("direct file-source table references are denied everywhere") {
+    // spark.sql.runSQLOnFiles lets `SELECT * FROM parquet.`/path`` read ANY
+    // server-readable file — same outside-registered-data escape as reflect
+    denied("SELECT * FROM parquet.`/etc/passwd`")
+    denied("SELECT * FROM text.`/etc/passwd`")
+    denied("SELECT * FROM csv.`/root/testdata/sf0.001/nation.parquet`")
+    denied("SELECT * FROM json.`/etc/hostname`")
+    denied("SELECT * FROM orc.`/tmp/x`")
+    denied("SELECT * FROM binaryFile.`/etc/shadow`")
+    // nested under CTE / subquery / set-op
+    denied("WITH c AS (SELECT * FROM text.`/etc/passwd`) SELECT * FROM c")
+    denied("SELECT * FROM t WHERE x IN (SELECT v FROM text.`/etc/passwd`)")
+    denied("SELECT 1 UNION ALL SELECT length(value) FROM text.`/etc/passwd`")
+    // plain table names that merely resemble the tokens stay allowed
+    allowed("SELECT * FROM parquet_files")
+    allowed("SELECT * FROM my.json_docs") // first part not a file-source token
+  }
+
   test("command wrappers that embed unparsed SQL are denied") {
     denied("EXECUTE IMMEDIATE 'DROP TABLE t'")
     denied("DECLARE v INT")

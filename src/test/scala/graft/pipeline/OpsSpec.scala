@@ -89,6 +89,33 @@ class OpsSpec extends SparkSpec {
     assert(naive.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("range join rejects _bin collisions, shared names, and unbounded fan-out") {
+    import graft.TestSpark.spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((10L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    // pre-existing _bin would be silently replaced -> refuse
+    intercept[IllegalArgumentException] {
+      Ops.rangeJoin(points.withColumn("_bin", $"pid"), intervals, "v", "lo", "hi", 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Ops.rangeJoin(points, intervals.withColumn("_bin", $"iid"), "v", "lo", "hi", 2.0)
+    }
+    // shared column names become ambiguous after the join -> refuse
+    intercept[IllegalArgumentException] {
+      Ops.rangeJoin(points, intervals.withColumnRenamed("iid", "pid"), "v", "lo", "hi", 2.0)
+    }
+    // an interval spanning > maxBins bins fails loudly instead of exploding
+    val wide = Seq((10L, 0.0, 1e9)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      Ops.rangeJoin(points, wide, "v", "lo", "hi", binWidth = 0.001, maxBinsPerInterval = 100)
+        .collect()
+    }
+    assert(e.getMessage.contains("rangeJoin"), e.getMessage)
+    // at-the-cap spans still work
+    assert(Ops.rangeJoin(points, intervals, "v", "lo", "hi",
+      binWidth = 0.1, maxBinsPerInterval = 1000).count() == 1)
+  }
+
   test("partitioned sink enables partition pruning on read") {
     Tables.register(spark, sfDir)
     val dir = Files.createTempDirectory("graft_part").toString + "/orders_by_status"

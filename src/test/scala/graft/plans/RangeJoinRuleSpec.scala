@@ -87,4 +87,24 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(got == Set((1L, 10L)))
     }
   }
+
+  test("an interval spanning more than maxBinsPerInterval bins fails loudly") {
+    import graft.TestSpark.spark.implicits._
+    Seq((1L, 5.0)).toDF("pid", "v").createOrReplaceTempView("rj_p2")
+    Seq((10L, 0.0, 1e9)).toDF("iid", "lo", "hi").createOrReplaceTempView("rj_i2")
+    val sql = "SELECT pid, iid FROM rj_p2 JOIN rj_i2 ON v >= lo AND v <= hi"
+    withWidth("0.001") {
+      val prev = spark.conf.getOption(BinnedRangeJoinRule.MaxBinsKey)
+      spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, "100")
+      try {
+        val e = intercept[Exception] { spark.sql(sql).collect() }
+        assert(e.getMessage.contains("binned range join"), e.getMessage)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, v)
+          case None => spark.conf.unset(BinnedRangeJoinRule.MaxBinsKey)
+        }
+      }
+    }
+  }
 }
