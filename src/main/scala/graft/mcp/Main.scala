@@ -4,6 +4,11 @@ import java.io.BufferedReader
 
 import org.apache.spark.sql.SparkSession
 
+/** Parsed launch options: `dataDir` already has CLI-over-env precedence
+  * applied (the reference's rule — entrypoint CLI args beat env vars,
+  * /root/reference/images/snowflake-mcp/entrypoint.sh:104-190). */
+final case class Launch(toolsFile: Option[String], dataDir: Option[String])
+
 /** Server entrypoint, flag-compatible with the reference images
   * (`--stdio`, `--tools-file <yaml>`; SURVEY §3.3):
   *
@@ -14,23 +19,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  def main(args: Array[String]): Unit = {
+  val usage = "usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D]"
+
+  /** Pure flag parse (ConfigMatrixSpec) — exact error strings are part of
+    * the contract, mirroring the reference's structured config errors. */
+  def parseArgs(args: Array[String], env: Map[String, String]): Either[String, Launch] = {
     var toolsFile: Option[String] = None
-    var dataDir: Option[String] = sys.env.get("SPARK_GRAFT_SF_DIR")
+    var dataDirFlag: Option[String] = None
     var stdio = false
+    var err: Option[String] = None
     var i = 0
-    def flagValue(flag: String): String = {
-      if (i + 1 >= args.length) {
-        System.err.println(s"usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D] ($flag needs a value)")
-        sys.exit(2)
-      }
-      args(i + 1)
-    }
-    while (i < args.length) {
+    while (i < args.length && err.isEmpty) {
       args(i) match {
         case "--stdio" => stdio = true
-        case "--tools-file" => toolsFile = Some(flagValue("--tools-file")); i += 1
-        case "--data-dir" => dataDir = Some(flagValue("--data-dir")); i += 1
+        case flag @ ("--tools-file" | "--data-dir") =>
+          if (i + 1 >= args.length) err = Some(s"$flag needs a value")
+          else {
+            if (flag == "--tools-file") toolsFile = Some(args(i + 1))
+            else dataDirFlag = Some(args(i + 1))
+            i += 1
+          }
         // reference-image compat (entrypoints pass `--prebuilt <kind>`): the
         // builtin tools are always present, so the kind name is informational
         case "--prebuilt" => i += 1
@@ -38,10 +46,37 @@ object Main {
       }
       i += 1
     }
-    if (!stdio) {
-      System.err.println("usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D]")
-      sys.exit(2)
+    err match {
+      case Some(e) => Left(e)
+      case None if !stdio => Left("missing required --stdio")
+      case None => Right(Launch(toolsFile, dataDirFlag.orElse(env.get("SPARK_GRAFT_SF_DIR"))))
     }
+  }
+
+  /** Fail-fast existence checks, separated from parsing so the matrix spec
+    * can exercise each error independently. */
+  def validate(l: Launch): Either[String, Launch] = {
+    import java.nio.file.{Files, Paths}
+    l.toolsFile.filterNot(f => Files.isRegularFile(Paths.get(f))) match {
+      case Some(f) => Left(s"tools file not found: $f")
+      case None =>
+        l.dataDir.filterNot(d => Files.isDirectory(Paths.get(d))) match {
+          case Some(d) => Left(s"data dir not found: $d")
+          case None => Right(l)
+        }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val launch = parseArgs(args, sys.env).flatMap(validate) match {
+      case Left(msg) =>
+        System.err.println(s"error: $msg")
+        System.err.println(usage)
+        sys.exit(2)
+      case Right(l) => l
+    }
+    val toolsFile = launch.toolsFile
+    val dataDir = launch.dataDir
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -1,0 +1,108 @@
+package graft.mcp
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Config/launch negative matrix — the A8 analogue of the reference's
+  * deepest suite (snowflake auth-combination matrix,
+  * /root/reference/tests/snowflake/test_mcp.py:399-666): every invalid
+  * launch/config combination must fail fast with a stable, exact message,
+  * and CLI flags must take precedence over environment variables
+  * (entrypoint rule, /root/reference/images/snowflake-mcp/entrypoint.sh:104-190).
+  */
+class ConfigMatrixSpec extends SparkSpec {
+
+  private val env = Map("SPARK_GRAFT_SF_DIR" -> "/env/dir")
+
+  // ---- flag parse negatives ----
+
+  test("--tools-file without a value is a structured error") {
+    assert(Main.parseArgs(Array("--stdio", "--tools-file"), env) ===
+      Left("--tools-file needs a value"))
+  }
+
+  test("--data-dir without a value is a structured error") {
+    assert(Main.parseArgs(Array("--stdio", "--data-dir"), env) ===
+      Left("--data-dir needs a value"))
+  }
+
+  test("missing --stdio is a structured error") {
+    assert(Main.parseArgs(Array("--data-dir", "/tmp"), env) ===
+      Left("missing required --stdio"))
+  }
+
+  // ---- precedence ----
+
+  test("CLI --data-dir overrides the environment") {
+    assert(Main.parseArgs(Array("--stdio", "--data-dir", "/cli/dir"), env) ===
+      Right(Launch(None, Some("/cli/dir"))))
+  }
+
+  test("environment is the fallback when no --data-dir flag is given") {
+    assert(Main.parseArgs(Array("--stdio"), env) ===
+      Right(Launch(None, Some("/env/dir"))))
+    assert(Main.parseArgs(Array("--stdio"), Map.empty) === Right(Launch(None, None)))
+  }
+
+  test("unknown args and --prebuilt <kind> are tolerated (reference-image compat)") {
+    assert(Main.parseArgs(Array("--stdio", "--prebuilt", "bigquery", "--wat"), env) ===
+      Right(Launch(None, Some("/env/dir"))))
+  }
+
+  // ---- existence validation negatives ----
+
+  test("nonexistent tools file fails fast with its path in the message") {
+    assert(Main.validate(Launch(Some("/no/such/tools.yaml"), None)) ===
+      Left("tools file not found: /no/such/tools.yaml"))
+  }
+
+  test("nonexistent data dir fails fast with its path in the message") {
+    assert(Main.validate(Launch(None, Some("/no/such/dir"))) ===
+      Left("data dir not found: /no/such/dir"))
+  }
+
+  test("a valid launch passes both checks") {
+    val f = Files.createTempFile("tools", ".yaml")
+    val d = Files.createTempDirectory("data")
+    val l = Launch(Some(f.toString), Some(d.toString))
+    assert(Main.validate(l) === Right(l))
+  }
+
+  // ---- source config negatives (YAML level) ----
+
+  test("a source whose path came from an unset ${ENV} fails fast, naming the source") {
+    val cfg = Config.parse(Config.substituteEnv(
+      """sources:
+        |  mydata:
+        |    kind: parquet
+        |    path: ${GRAFT_UNSET_VAR_XYZ}
+        |""".stripMargin, Map.empty))
+    val e = intercept[IllegalArgumentException] { cfg.registerSources(spark) }
+    assert(e.getMessage ===
+      "source 'mydata' (kind parquet) has no 'path' — check that its ${ENV} variables are set")
+  }
+
+  test("a source with no path key at all fails the same way") {
+    val cfg = Config.parse("sources:\n  d2:\n    kind: csv\n")
+    val e = intercept[IllegalArgumentException] { cfg.registerSources(spark) }
+    assert(e.getMessage ===
+      "source 'd2' (kind csv) has no 'path' — check that its ${ENV} variables are set")
+  }
+
+  test("an offline-unreachable source kind is skipped, not fatal") {
+    val cfg = Config.parse(
+      """sources:
+        |  pg:
+        |    kind: postgres
+        |    host: localhost
+        |""".stripMargin)
+    cfg.registerSources(spark) // must not throw
+    assert(!spark.catalog.tableExists("pg"))
+  }
+
+  test("${ENV} substitution uses the provided environment verbatim") {
+    val out = Config.substituteEnv("path: ${A}/x/${B}${C}", Map("A" -> "/a", "B" -> "b"))
+    assert(out === "path: /a/x/b") // set vars substituted, unset -> empty
+  }
+}

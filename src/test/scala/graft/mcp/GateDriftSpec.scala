@@ -1,0 +1,86 @@
+package graft.mcp
+
+import graft.SparkSpec
+
+/** Pins the statement gate against Spark-version drift: the denylist in
+  * StatementGate matches logical-plan class NAMES, so an upgrade that renames
+  * a node could silently un-deny it. This spec asserts (a) every curated
+  * write/DDL/DCL statement still parses to a plan the gate denies on the
+  * installed Spark, and (b) the plan classes the denylist was written against
+  * still exist under their expected names — if either fails after an upgrade,
+  * the gate must be re-audited before the failure is suppressed.
+  */
+class GateDriftSpec extends SparkSpec {
+
+  /** statement -> the root/embedded plan class the deny decision rests on. */
+  private val curated: Seq[(String, String)] = Seq(
+    "INSERT INTO t VALUES (1)" -> "org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement",
+    "INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1" -> "org.apache.spark.sql.catalyst.plans.logical.InsertIntoDir",
+    "CREATE TABLE t (x INT)" -> "org.apache.spark.sql.catalyst.plans.logical.CreateTable",
+    "CREATE TABLE t AS SELECT 1" -> "org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect",
+    "CREATE OR REPLACE VIEW v AS SELECT 1" -> "org.apache.spark.sql.catalyst.plans.logical.CreateView",
+    "DROP TABLE t" -> "org.apache.spark.sql.catalyst.plans.logical.DropTable",
+    "DROP VIEW v" -> "org.apache.spark.sql.catalyst.plans.logical.DropView",
+    "ALTER TABLE t ADD COLUMN y INT" -> "org.apache.spark.sql.catalyst.plans.logical.AddColumns",
+    "ALTER TABLE t RENAME TO u" -> "org.apache.spark.sql.catalyst.plans.logical.RenameTable",
+    "DELETE FROM t WHERE x = 1" -> "org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable",
+    "UPDATE t SET x = 2" -> "org.apache.spark.sql.catalyst.plans.logical.UpdateTable",
+    "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE" ->
+      "org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable",
+    "TRUNCATE TABLE t" -> "org.apache.spark.sql.catalyst.plans.logical.TruncateTable",
+    "CACHE TABLE t" -> "org.apache.spark.sql.catalyst.plans.logical.CacheTable",
+    "CACHE TABLE t2 AS SELECT 1" -> "org.apache.spark.sql.catalyst.plans.logical.CacheTableAsSelect",
+    "UNCACHE TABLE t" -> "org.apache.spark.sql.catalyst.plans.logical.UncacheTable",
+    "REFRESH TABLE t" -> "org.apache.spark.sql.catalyst.plans.logical.RefreshTable",
+    "SET spark.sql.shuffle.partitions=1" -> "org.apache.spark.sql.execution.command.SetCommand",
+    "RESET" -> "org.apache.spark.sql.execution.command.ResetCommand",
+    "ANALYZE TABLE t COMPUTE STATISTICS" -> "org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable",
+    "COMMENT ON TABLE t IS 'x'" -> "org.apache.spark.sql.catalyst.plans.logical.CommentOnTable",
+    "SELECT TRANSFORM(x) USING 'cat' FROM t" ->
+      "org.apache.spark.sql.catalyst.plans.logical.ScriptTransformation",
+    "DECLARE v INT" -> "org.apache.spark.sql.catalyst.plans.logical.CreateVariable",
+    "SET VAR v = 1" -> "org.apache.spark.sql.catalyst.plans.logical.SetVariable",
+    "EXECUTE IMMEDIATE 'DROP TABLE t'" ->
+      "org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate",
+  )
+
+  test("every curated write statement is still denied by the installed Spark's parse tree") {
+    val leaks = curated.collect {
+      case (sql, _) if StatementGate.check(spark, sql).isEmpty => sql
+    }
+    assert(leaks.isEmpty,
+      s"statements no longer denied after a Spark upgrade — re-audit the gate: $leaks")
+  }
+
+  test("the plan classes the denylist names still exist in the installed Spark") {
+    val missing = curated.map(_._2).distinct.filterNot { fqcn =>
+      try { Class.forName(fqcn); true }
+      catch { case _: ClassNotFoundException => false }
+    }
+    assert(missing.isEmpty,
+      s"plan classes renamed/removed by a Spark upgrade — re-audit the denylist: $missing")
+  }
+
+  test("each curated statement's parse tree actually contains the class it is pinned to") {
+    val parser = spark.sessionState.sqlParser
+    val mismatches = curated.flatMap { case (sql, fqcn) =>
+      val simple = fqcn.split('.').last
+      try {
+        val plan = parser.parsePlan(sql)
+        var found = false
+        def visit(a: Any): Unit = a match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+            if (p.getClass.getSimpleName == simple) found = true
+            p.productIterator.foreach(visit)
+          case p: Product => p.productIterator.foreach(visit)
+          case s: Iterable[_] => s.foreach(visit)
+          case _ => ()
+        }
+        visit(plan)
+        if (found) None else Some(s"$sql -> expected $simple")
+      } catch { case _: Exception => None } // parse errors are denied anyway
+    }
+    assert(mismatches.isEmpty,
+      s"pin drift — these statements no longer parse to their pinned class: $mismatches")
+  }
+}
