@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * portable SQL, a DuckDB oracle is declared here even though the Spark path
   * is algorithmically different — e.g. q49's banded-LSH candidate generation
   * is checked against an exact all-pairs Jaccard oracle, which proves both
-  * the signature pipeline and the LSH recall on the corpus. Only q51 (ANN —
-  * approximate by contract) and q52 (stubbed decoder) stay rows-only. */
+  * the signature pipeline and the LSH recall on the corpus, and q52's real
+  * BMP/WAV decoders are checked against the media generator's closed form.
+  * Only q51/q51b (ANN — approximate by contract) stay rows-only. */
 object Ext {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
@@ -172,10 +173,51 @@ object Ext {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // Media-pipeline metadata: the binary payload is encode(text), so the
-    // octet length is recomputable from the source table.
+    // Real-decoder check: Spark parses the ACTUAL container bytes (header
+    // layout, row padding, little-endian PCM); the oracle recomputes every
+    // decoded statistic from the generator's closed form. A parser bug in
+    // padding/offset/endianness diverges the means and fails the hash.
+    "q52_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |         64 + doc_id % 64 AS n
+        |  FROM documents),
+        |bmp AS (
+        |  SELECT doc_id,
+        |    CAST(54 + ((3*w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+        |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    ROUND(AVG((doc_id*3 + x.i*29 + y.i*19) % 256), 4) AS mean_r,
+        |    ROUND(AVG((doc_id*11 + x.i*17 + y.i*5) % 256), 4) AS mean_g,
+        |    ROUND(AVG((doc_id*7 + x.i*13 + y.i*31) % 256), 4) AS mean_b
+        |  FROM m, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)
+        |  WHERE doc_id % 2 = 0 GROUP BY doc_id, w, h),
+        |wav AS (
+        |  SELECT doc_id, CAST(44 + 2*n AS INT) AS n_bytes,
+        |    CAST(n AS INT) AS n_samples, 8000 AS sample_rate,
+        |    ROUND(AVG((doc_id*31 + t.i*73) % 4001 - 2000), 4) AS mean_sample,
+        |    CAST(MAX((doc_id*31 + t.i*73) % 4001 - 2000) AS INT) AS peak
+        |  FROM m, UNNEST(range(0, n)) AS t(i)
+        |  WHERE doc_id % 2 = 1 GROUP BY doc_id, n)
+        |SELECT doc_id, 'bmp' AS format, n_bytes, width, height,
+        |       mean_r, mean_g, mean_b,
+        |       CAST(NULL AS INT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+        |       CAST(NULL AS DOUBLE) AS mean_sample, CAST(NULL AS INT) AS peak
+        |FROM bmp
+        |UNION ALL
+        |SELECT doc_id, 'wav', n_bytes, CAST(NULL AS INT), CAST(NULL AS INT),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |       n_samples, sample_rate, mean_sample, peak
+        |FROM wav
+        |ORDER BY doc_id""".stripMargin,
+
+    // Media-pipeline metadata: format by doc_id parity; octet length checked
+    // against the containers' size arithmetic (54 + rowSize*h BMP, 44+2n WAV).
     "q52b_multimodal_meta" ->
-      """SELECT doc_id, 'txt' AS format, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN 54 + ((3*(4 + doc_id % 5) + 3) // 4) * 4 * (3 + doc_id % 3)
+        |       ELSE 44 + 2*(64 + doc_id % 64) END AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Frame sampling: boundaries are a pure function of payload length

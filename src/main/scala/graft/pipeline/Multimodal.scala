@@ -1,49 +1,217 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Multimodal column handling (SURVEY §2.E): media as opaque `binary` columns
-  * with a typed metadata struct, plus a distributed feature-extraction pass.
+  * with a typed metadata struct, plus a distributed decode/feature pass.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (byte histogram standing in for pixel statistics) — the
-  * Spark-side plumbing is the real deliverable: binary column + metadata
-  * struct schema, `mapPartitions` over a typed Dataset (one decoder init per
-  * partition, the shape a real codec needs), fixed-width feature vectors.
-  * Swapping in a real decoder changes only `fakeDecode`.
+  * The decode step is REAL: pure-JVM parsers for two uncompressed containers —
+  * BMP (24-bit, bottom-up rows, 4-byte row padding) and WAV (RIFF chunk walk,
+  * PCM16 mono) — running inside `mapPartitions` over a typed Dataset (one
+  * decoder init per partition, the shape a native codec needs). The media
+  * payloads are synthesized deterministically from `doc_id` (the container has
+  * no image/audio files), so every decoded statistic is independently
+  * recomputable by the DuckDB oracle from the generator's closed form — if the
+  * parser mishandles the header layout, row padding, bottom-up order, or
+  * little-endian samples, the decoded means diverge and q52 fails its oracle.
   */
 object Multimodal {
 
-  private val HistBuckets = 16
+  // ---------------------------------------------------------------- encoders
+  // Deterministic synthesis (the data-generation side, NOT the tested path):
+  // even doc_id -> BMP, odd doc_id -> WAV. All parameters are closed-form in
+  // doc_id so the DuckDB oracle can recompute the decoded stats exactly.
 
-  final case class MediaRow(doc_id: Long, format: String, n_bytes: Int, media: Array[Byte])
-  final case class FeatureRow(doc_id: Long, format: String, n_bytes: Int, features: Array[Double])
-
-  /** STUB decoder: a real implementation would decode image/audio bytes here.
-    * Deterministic byte histogram, L1-normalized. */
-  private def fakeDecode(media: Array[Byte]): Array[Double] = {
-    val h = new Array[Double](HistBuckets)
-    var i = 0
-    while (i < media.length) { h((media(i) & 0xff) % HistBuckets) += 1.0; i += 1 }
-    val n = math.max(media.length, 1).toDouble
-    h.map(_ / n)
+  /** 24-bit uncompressed BMP: width 4..8 (exercises every row-padding case
+    * 0..3), height 3..5, pixel (x, y) channels are affine mod 256. */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 3).toInt
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var yFile = 0
+    while (yFile < h) {
+      val y = h - 1 - yFile // BMP stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        b.put(((id * 7 + x * 13 + y * 31) % 256).toByte)  // B
+        b.put(((id * 11 + x * 17 + y * 5) % 256).toByte)  // G
+        b.put(((id * 3 + x * 29 + y * 19) % 256).toByte)  // R
+        x += 1
+      }
+      var p = 3 * w
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      yFile += 1
+    }
+    b.array()
   }
 
-  /** Typed-metadata slice of the media pipeline: same binary ingestion and
-    * distributed decode pass as `features`, projected to the scalar columns
-    * whose values are engine-independent (doc_id, declared format, octet
-    * length) — this is the oracle-checked row of the multimodal family
-    * (the feature vector itself depends on the stub decoder and stays a
-    * rows-only check in q52). */
-  def meta(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    features(spark, dir).select(col("doc_id"), col("format"), col("n_bytes"))
+  /** PCM16 mono WAV, 8 kHz, 64..127 samples; sample i is affine mod 4001,
+    * centered on zero (range [-2000, 2000]). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val rate = 8000
+    val b = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { b.putShort(((id * 31 + i * 73) % 4001 - 2000).toShort); i += 1 }
+    b.array()
+  }
+
+  // ---------------------------------------------------------------- decoders
+  // The tested path: parse actual bytes, nothing derived from doc_id.
+
+  final case class BmpStats(width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+  final case class WavStats(nSamples: Int, sampleRate: Int, mean: Double, peak: Int)
+
+  /** Parses a 24-bit uncompressed BMP: magic, pixel-data offset, dimensions,
+    * bottom-up rows with 4-byte padding. Rejects anything else loudly. */
+  def decodeBmp(bytes: Array[Byte]): BmpStats = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    val bpp = b.getShort(28)
+    val compression = b.getInt(30)
+    require(bpp == 24 && compression == 0, s"unsupported BMP (bpp=$bpp compression=$compression)")
+    require(w > 0 && h > 0, s"unsupported BMP dimensions ${w}x$h")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    require(bytes.length >= dataOffset + rowSize * h, "truncated BMP pixel data")
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var yFile = 0
+    while (yFile < h) {
+      val row = dataOffset + yFile * rowSize
+      var x = 0
+      while (x < w) {
+        sumB += bytes(row + 3 * x) & 0xff
+        sumG += bytes(row + 3 * x + 1) & 0xff
+        sumR += bytes(row + 3 * x + 2) & 0xff
+        x += 1
+      }
+      yFile += 1
+    }
+    val n = (w.toLong * h).toDouble
+    BmpStats(w, h, sumR / n, sumG / n, sumB / n)
+  }
+
+  /** Parses a RIFF/WAVE container with a generic chunk walk (skips unknown
+    * chunks), then PCM16 mono little-endian samples. */
+  def decodeWav(bytes: Array[Byte]): WavStats = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV")
+    var off = 12
+    var rate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated WAV chunk $id")
+      id match {
+        case "fmt " =>
+          val fmt = b.getShort(off + 8)
+          val channels = b.getShort(off + 10)
+          val bits = b.getShort(off + 22)
+          require(fmt == 1 && channels == 1 && bits == 16,
+            s"unsupported WAV (fmt=$fmt channels=$channels bits=$bits)")
+          rate = b.getInt(off + 12)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => () // skip LIST/INFO/etc
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
+    val n = dataLen / 2
+    var sum = 0L
+    var peak = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val s = b.getShort(dataOff + 2 * i).toInt
+      sum += s
+      if (s > peak) peak = s
+      i += 1
+    }
+    require(n > 0, "empty WAV data chunk")
+    WavStats(n, rate, sum.toDouble / n, peak)
+  }
+
+  // ------------------------------------------------------------ media table
+
+  final case class MediaRow(doc_id: Long, format: String, n_bytes: Int, media: Array[Byte])
+
+  /** The opaque-binary media table: one payload per document, format by
+    * doc_id parity. `n_bytes` is the ACTUAL payload length (so the meta
+    * oracle cross-checks the encoders' container arithmetic too). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    spark.table("documents").select(col("doc_id")).as[Long].map { id =>
+      val (fmt, bytes) = if (id % 2 == 0) ("bmp", encodeBmp(id)) else ("wav", encodeWav(id))
+      MediaRow(id, fmt, bytes.length, bytes)
+    }
+  }
+
+  final case class DecodedRow(
+      doc_id: Long, format: String, n_bytes: Int,
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
+      n_samples: Option[Int], sample_rate: Option[Int],
+      mean_sample: Option[Double], peak: Option[Int])
+
+  /** Distributed media decode (q52): parses every payload's real bytes and
+    * emits per-format statistics; fully oracle-checked against the
+    * generator's closed form. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions { rows =>
+        // per-partition init point for a real codec (native lib handle etc.)
+        rows.map { r =>
+          if (r.format == "bmp") {
+            val s = decodeBmp(r.media)
+            DecodedRow(r.doc_id, r.format, r.n_bytes, Some(s.width), Some(s.height),
+              Some(s.meanR), Some(s.meanG), Some(s.meanB), None, None, None, None)
+          } else {
+            val s = decodeWav(r.media)
+            DecodedRow(r.doc_id, r.format, r.n_bytes, None, None, None, None, None,
+              Some(s.nSamples), Some(s.sampleRate), Some(s.mean), Some(s.peak))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"), round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"), col("n_samples"), col("sample_rate"),
+        round(col("mean_sample"), 4).as("mean_sample"), col("peak"))
       .orderBy("doc_id")
   }
 
+  /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
+    * format, actual octet length — oracle-checked against the containers'
+    * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------- frame sampling (video shape)
+
+  final case class TextRow(doc_id: Long, media: Array[Byte])
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_mean: Double)
 
   private val FrameSize = 256
@@ -52,17 +220,14 @@ object Multimodal {
   /** Frame sampling: one row per sampled fixed-width byte window (every
     * `FrameStride` bytes, `FrameSize`-byte frames — the video-pipeline
     * one-to-many shape: flatMap on a typed Dataset, constant frames-per-byte
-    * fan-out, per-frame stub feature). Frame boundaries are a pure function
-    * of payload length, so the per-doc frame COUNT is oracle-checkable from
-    * octet_length even though the stub per-frame statistic is engine-side. */
+    * fan-out, per-frame byte statistic). Runs over the documents' text bytes
+    * so the per-doc frame COUNT is oracle-checkable from octet_length. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     import spark.implicits._
     val media = spark.table("documents")
-      .select(col("doc_id"), lit("txt").as("format"), encode(col("text"), "UTF-8").as("media"))
-      .withColumn("n_bytes", length(col("media")))
-      .select(col("doc_id"), col("format"), col("n_bytes"), col("media"))
-      .as[MediaRow]
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[TextRow]
     media.flatMap { r =>
       val offsets = 0 until math.max(r.media.length, 1) by FrameStride
       offsets.zipWithIndex.map { case (off, idx) =>
@@ -94,29 +259,5 @@ object Multimodal {
         lit(0.0), (acc, x) => acc + x) / greatest(hi - lo, lit(1)), 4)
     })
     df.withColumn(s"${featuresCol}_resized", pooled)
-  }
-
-  /** Synthesizes a media table from `documents` (text bytes as the opaque
-    * payload) and runs distributed feature extraction. */
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    Tables.register(spark, dir)
-    import spark.implicits._
-    val media = spark.table("documents")
-      .select(col("doc_id"), lit("txt").as("format"), encode(col("text"), "UTF-8").as("media"))
-      .withColumn("n_bytes", length(col("media"))) // octet length, not chars
-      .select(col("doc_id"), col("format"), col("n_bytes"), col("media"))
-      .as[MediaRow]
-    media
-      .mapPartitions { rows =>
-        // per-partition init point for a real codec (native lib handle etc.)
-        rows.map(r => FeatureRow(r.doc_id, r.format, r.n_bytes, fakeDecode(r.media)))
-      }
-      .toDF()
-      // features serialized to a JSON string: the vector stays inspectable
-      // while every output column remains scalar/sortable (the driver's
-      // rows-only check lexsorts all columns — arrays are not orderable).
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        to_json(transform(col("features"), x => round(x, 4))).as("features_json"))
-      .orderBy("doc_id")
   }
 }

@@ -6,41 +6,119 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
+  // ---- codec round-trips (every width 4..8 exercises row padding 0..3) ----
+
+  test("BMP decode recovers dimensions and channel means from real bytes") {
+    for (id <- 0L to 9L) {
+      val bytes = Multimodal.encodeBmp(id)
+      val s = Multimodal.decodeBmp(bytes)
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 3).toInt)
+      assert(s.width == w && s.height == h, s"id=$id")
+      val px = for (x <- 0 until w; y <- 0 until h) yield
+        ((id * 3 + x * 29 + y * 19) % 256, (id * 11 + x * 17 + y * 5) % 256,
+          (id * 7 + x * 13 + y * 31) % 256)
+      def mean(f: ((Long, Long, Long)) => Long) = px.map(f).sum.toDouble / px.size
+      assert(math.abs(s.meanR - mean(_._1)) < 1e-12, s"id=$id meanR")
+      assert(math.abs(s.meanG - mean(_._2)) < 1e-12, s"id=$id meanG")
+      assert(math.abs(s.meanB - mean(_._3)) < 1e-12, s"id=$id meanB")
+      // container size arithmetic: 54-byte headers + padded rows
+      assert(bytes.length == 54 + ((3 * w + 3) / 4) * 4 * h)
+    }
+  }
+
+  test("WAV decode recovers sample count, rate, mean and peak from real bytes") {
+    for (id <- 1L to 9L by 2) {
+      val bytes = Multimodal.encodeWav(id)
+      val s = Multimodal.decodeWav(bytes)
+      val n = (64 + id % 64).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 73) % 4001 - 2000)
+      assert(s.nSamples == n && s.sampleRate == 8000, s"id=$id")
+      assert(math.abs(s.mean - samples.sum.toDouble / n) < 1e-12, s"id=$id mean")
+      assert(s.peak == samples.max, s"id=$id peak")
+      assert(bytes.length == 44 + 2 * n)
+    }
+  }
+
+  test("WAV chunk walk skips unknown chunks before data") {
+    val base = Multimodal.encodeWav(3L)
+    // splice a LIST chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val junk = java.nio.ByteBuffer.allocate(8 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")).putInt(6).put(Array[Byte](1, 2, 3, 4, 5, 6))
+    val spliced = base.take(fmtEnd) ++ junk.array() ++ base.drop(fmtEnd)
+    // fix RIFF size (offset 4): original + 14
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 14)
+    val s = Multimodal.decodeWav(spliced)
+    assert(s == Multimodal.decodeWav(base))
+  }
+
+  test("corrupted containers are rejected loudly, not mis-decoded") {
+    val bmp = Multimodal.encodeBmp(2L)
+    val wav = Multimodal.encodeWav(3L)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(wav) }
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(bmp) }
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp.take(40)) } // truncated header
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(bmp.dropRight(4)) } // truncated pixels
+    val badBpp = bmp.clone(); badBpp(28) = 8 // 8-bit palette BMP unsupported
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp(badBpp) }
+    val stereo = wav.clone(); stereo(22) = 2
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(stereo) }
+  }
+
+  // ---- distributed pipeline ----
+
+  test("features decodes every document's payload, split by parity") {
+    val rows = Multimodal.features(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(1)
+      assert(fmt == (if (id % 2 == 0) "bmp" else "wav"))
+      if (fmt == "bmp") {
+        assert(!r.isNullAt(3) && !r.isNullAt(5) && r.isNullAt(8) && r.isNullAt(10))
+        assert(r.getInt(3) == (4 + id % 5).toInt)
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(5) && !r.isNullAt(8) && !r.isNullAt(10))
+        assert(r.getInt(8) == (64 + id % 64).toInt)
+        assert(r.getInt(9) == 8000)
+      }
+    }
+    val again = Multimodal.features(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("frame sampling: deterministic, indices sequential, last frame may be short") {
     val frames = Multimodal.frameSample(spark, sfDir).collect()
     assert(frames.nonEmpty)
     frames.groupBy(_.getLong(0)).foreach { case (_, fs) =>
       assert(fs.map(_.getInt(1)).sorted.sameElements(fs.indices))
-      // every frame except possibly the last is full-width
       fs.sortBy(_.getInt(1)).dropRight(1).foreach(f => assert(f.getInt(2) == 256))
       fs.foreach(f => assert(f.getInt(2) >= 1 && f.getInt(2) <= 256))
       fs.foreach(f => assert(f.getDouble(3) >= 0.0 && f.getDouble(3) <= 255.0))
     }
-    val again = Multimodal.frameSample(spark, sfDir).collect()
-    assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
 
-  test("frame counts equal ceil(octet_length / stride)") {
+  test("frame counts equal ceil(text octet_length / stride)") {
     val got = Multimodal.frameCounts(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val want = Multimodal.meta(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> math.max((r.getInt(2) + 1023) / 1024, 1)).toMap
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), octet_length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> math.max((r.getInt(1) + 1023) / 1024, 1)).toMap
     assert(got == want)
   }
 
   test("resize pools the feature vector to the target width, preserving scale") {
-    val df = Multimodal.features(spark, sfDir)
-      .select(col("doc_id"),
-        from_json(col("features_json"),
-          org.apache.spark.sql.types.DataType.fromDDL("array<double>")).as("features"))
+    import graft.TestSpark.spark.implicits._
+    val df = Seq((1L, (1 to 16).map(_.toDouble)), (2L, (0 until 16).map(i => i * 0.25)))
+      .toDF("doc_id", "features")
     val resized = Multimodal.resizeFeatures(df, "features", 4)
       .select(col("doc_id"), col("features"), col("features_resized")).collect()
     resized.foreach { r =>
       val full = r.getSeq[Double](1)
       val pooled = r.getSeq[Double](2)
       assert(pooled.length == 4)
-      // average-pooling a 16-bucket L1-normalized histogram into 4 buckets
-      // of 4: each pooled value is the mean of its slice
       pooled.zipWithIndex.foreach { case (v, i) =>
         val want = full.slice(i * 4, i * 4 + 4).sum / 4
         assert(math.abs(v - want) < 1e-3, s"bucket $i: $v vs $want")
