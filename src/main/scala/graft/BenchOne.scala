@@ -171,6 +171,35 @@ object BenchOne {
       spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthKey)
       spark.stop(); return
     }
+    if (name == "neardup_scale") {
+      // 10x embeddings (perturbed replicas): the audit-only exact all-pairs
+      // near-dup (q72 shape) vs the LSH-prefiltered production path (q72b).
+      // All-pairs grows quadratically; the prefilter stays near-linear —
+      // the gap at 10x is the point.
+      import org.apache.spark.sql.functions._
+      val emb = spark.table("embeddings")
+      def run(label: String): Unit = for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val np = pipeline.Similarity.prefilteredNearDup(spark, sfDir).count()
+        println(f"$label run$i prefiltered+verify: ${(System.nanoTime() - t0) / 1e9}%.2f s ($np pairs)")
+        t0 = System.nanoTime()
+        val ne = spark.sql(Queries.byName("q72_embedding_neardup").spark).count()
+        println(f"$label run$i exact all-pairs:    ${(System.nanoTime() - t0) / 1e9}%.2f s ($ne pairs)")
+      }
+      println(s"1x vectors: ${emb.count()}")
+      run("1x")
+      // replica ids shifted by 10M (clear of q72b's +1M planted-twin ids);
+      // per-replica perturbations make same-base replicas legitimate
+      // near-dups, so the 10x corpus also has 10x+ true matches
+      val big = spark.range(0, 10).crossJoin(emb)
+        .select((col("vec_id") + col("id") * 10000000L).as("vec_id"), col("embedding"))
+        .select(col("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x + (((vec_id + j) % 13) - 6) * 0.01 AS FLOAT))").as("embedding"))
+      big.createOrReplaceTempView("embeddings")
+      println(s"10x vectors: ${spark.table("embeddings").count()}")
+      run("10x")
+      spark.stop(); return
+    }
     if (name == "dot_hoist_vs_fused") {
       // all-pairs cosine scoring: fused expression (re-derives both norms
       // per pair) vs hoisted norms (one dot per pair) — the q72 shape.

@@ -601,12 +601,12 @@ object Queries {
         |  FROM scored) r
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
 
-    // ---- [EXT] embedding-cosine near-dup: all verified pairs above a
-    // similarity threshold (the dedup-by-embedding primitive; at 100 TB the
-    // pair generation comes from LSH/IVF candidates — Similarity.lshTopK —
-    // with this exact scoring as the verify stage; the theta join broadcasts
-    // the smaller side, 2M scorings at sf0.1 through the native codegen'd
-    // expression) ----
+    // ---- [EXT] embedding-cosine near-dup — AUDIT-ONLY, sf-pinned: this is
+    // the exact all-pairs ground truth for the near-dup family (deliberate
+    // BNLJ over ~500 vectors; 2.5B pairs at 100x — never the production
+    // path). The scale-safe production operator is q72b (LSH candidates +
+    // exact verify, equi-joins only), oracle-checked against this same
+    // all-pairs semantics over corpus ∪ planted twins. ----
     // norms hoisted: SQRT(dot(x,x)) once per VECTOR, then one dot_product
     // per PAIR — a third of the per-pair arithmetic of a fused cosine
     // (neutral at 64-dim where pair iteration dominates, and an increasing

@@ -19,6 +19,8 @@ object Ext {
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q51c_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
+    "q72b_embedding_neardup_scaled" ->
+      ((s: SparkSession, d: String) => Similarity.prefilteredNearDup(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -172,6 +174,25 @@ object Ext {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Scale-path near-dup vs the full exact all-pairs join over the same
+    // corpus ∪ planted twins (the oracle does all-pairs; Spark must reproduce
+    // it from LSH candidates + exact verify — recall AND scores, both
+    // engines' twins computed with identical rational arithmetic).
+    "q72b_embedding_neardup_scaled" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |p AS (SELECT vec_id + 1000000 AS pid,
+        |        list_transform(range(0, len(emb)), j ->
+        |          CAST(CAST(emb[j + 1] + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0
+        |               AS FLOAT) AS DOUBLE)) AS emb
+        |      FROM e WHERE vec_id < 20),
+        |u AS (SELECT vec_id, emb FROM e UNION ALL SELECT pid AS vec_id, emb FROM p)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.85
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Real-decoder check: Spark parses the ACTUAL container bytes (header
     // layout, row padding, little-endian PCM); the oracle recomputes every

@@ -28,15 +28,19 @@ object Similarity {
     Seq.fill(NumTables * NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** Signed-projection bucket code of table `t` (sign bits of its 8 planes). */
-  private def bucketCode(emb: Column, t: Int): Column =
-    planes.slice(t * NumPlanes, (t + 1) * NumPlanes).zipWithIndex.map { case (p, i) =>
+  /** Sign-bit code over one table's hyperplanes. */
+  private def codeFromPlanes(emb: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       val dot = aggregate(
         zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, lit(1 << i)).otherwise(lit(0)): Column
     }.reduce(_ + _)
+
+  /** Signed-projection bucket code of table `t` (sign bits of its 8 planes). */
+  private def bucketCode(emb: Column, t: Int): Column =
+    codeFromPlanes(emb, planes.slice(t * NumPlanes, (t + 1) * NumPlanes))
 
   /** array<int> of all NumTables bucket codes (computed in one projection;
     * the table id is the array ordinal). */
@@ -168,6 +172,63 @@ object Similarity {
     import spark.implicits._
     Seq((nPlanted, nCaught >= math.ceil(0.8 * nPlanted).toLong))
       .toDF("n_planted", "recall_ok")
+  }
+
+  // Near-dup prefilter construction: more tables x fewer bits than the topk
+  // tables, tuned for the high-cosine regime (cos ~0.94 twins: per-pair miss
+  // probability (1 - 0.89^6)^16 ~ 2e-5 under fixed seeds — deterministic, so
+  // an exact-equality oracle is stable).
+  private val DupTables = 16
+  private val DupBits = 6
+
+  private def dupPlanes: Seq[Array[Double]] = {
+    val rnd = new Random(7)
+    Seq.fill(DupTables * DupBits)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def dupCodes(emb: Column): Column =
+    array((0 until DupTables).map(t =>
+      codeFromPlanes(emb, dupPlanes.slice(t * DupBits, (t + 1) * DupBits))): _*)
+
+  /** Production-path embedding near-dup (q72b) — the scale-safe sibling of
+    * q72's declared-audit-only exact all-pairs join: multi-table sign-LSH
+    * candidate generation (equi-join on (table, code), L x N rows, never
+    * all-pairs) followed by exact cosine verification of candidates only.
+    *
+    * The corpus has no high-cosine pairs (every exact pair sits in
+    * [0.4, 0.6); see [[lshPlantedRecall]]), so ground truth is PLANTED:
+    * each vec_id < 20 gets a deterministically-perturbed twin
+    * (`x + 0.05·((((vec_id+j)·7) mod 11) − 5)/5`, cosine ~0.94 — exact
+    * rational arithmetic, so the DuckDB oracle recomputes the twins
+    * bit-identically; no libm divergence). The oracle is the full exact
+    * all-pairs join over corpus ∪ twins at the same threshold — Spark must
+    * find exactly those pairs WITH matching verified scores, which checks
+    * candidate recall and the scoring stage cross-engine. */
+  def prefilteredNearDup(spark: SparkSession, dir: String, threshold: Double = 0.85): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(x + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0 AS FLOAT))").as("embedding"))
+    val all = emb.unionByName(planted)
+    // Candidate generation on (id, table, code) ONLY — the wide embedding
+    // arrays do not ride through the self-join + dedup shuffles; they are
+    // hash-joined back onto the deduped candidate ids for the verify stage.
+    val coded = all.select(col("vec_id"),
+      posexplode(dupCodes(col("embedding"))).as(Seq("t", "code")))
+    val cand = coded.as("a")
+      .join(coded.as("b"),
+        col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(all.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), "a_id")
+      .join(all.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), "b_id")
+      .select(col("a_id"), col("b_id"), cosine("a_emb", "b_emb").as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("a_id", "b_id")
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == again, "IVF assignment/probing must be deterministic")
   }
 
+  test("prefiltered near-dup finds exactly the planted twins, through equi-joins only") {
+    val rows = Similarity.prefilteredNearDup(spark, sfDir).collect()
+    // ground truth: each vec_id < 20 and its perturbed twin (cos ~0.94);
+    // the corpus itself has no pair above the 0.85 threshold
+    val want = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.85 && r.getDouble(2) <= 1.0))
+    // scale posture: candidate generation must be an equi-join, never a
+    // nested loop (q72's all-pairs form is the declared audit-only oracle)
+    val plan = Similarity.prefilteredNearDup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefiltered near-dup fell back to all-pairs:\n$plan")
+  }
+
   test("IVF probes prune the corpus: scored candidates are a strict subset of all vectors") {
     Tables.register(spark, sfDir)
     val total = spark.table("embeddings").count()
