@@ -32,12 +32,13 @@ object SparkEntry {
         spark.sql(spec.spark)
       }
     }
-    ListMap((sqlQueries ++ pipeline.Ext.queries): _*)
+    ListMap((sqlQueries ++ pipeline.Ext.queries ++ streaming.Streams.queries): _*)
   }
 
   /** DuckDB-equivalent SQL per query; omitted for non-SQL-expressible ops.
     * [EXT] operators whose RESULT is recomputable exactly in portable SQL
     * (near-dup ground truths) carry oracles from Ext.oracles. */
   def oracleSql: Map[String, String] =
-    ListMap((Queries.specs.flatMap(s => s.oracle.map(s.name -> _)) ++ pipeline.Ext.oracles): _*)
+    ListMap((Queries.specs.flatMap(s => s.oracle.map(s.name -> _)) ++ pipeline.Ext.oracles ++
+      streaming.Streams.oracles): _*)
 }

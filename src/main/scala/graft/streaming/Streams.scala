@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Streaming entries for the driver-visible catalog (SURVEY §2.C.9): each
+  * query REALLY executes through Structured Streaming — a file-source
+  * `readStream` over the events parquet, drained with `Trigger.AvailableNow`
+  * into an in-memory sink — and the final table must match the equivalent
+  * batch semantics, checked by the DuckDB oracle. Replay equivalence
+  * (micro-batch splits, watermark drops) is covered in StreamingSpec; these
+  * entries put the streaming engine itself under the driver's
+  * rows+schema+hash gate.
+  *
+  * At scale the same topology is the production shape: file/Kafka source →
+  * windowed/stateful operators → sink; AvailableNow is the batch-drain mode
+  * Spark provides for exactly this backfill pattern.
+  */
+object Streams {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Runs one real streaming drain: readStream(events) → transform → memory
+    * sink, complete or append mode, AvailableNow; returns the sink table. */
+  private def drainEvents(spark: SparkSession, dir: String, mode: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    Tables.register(spark, dir) // session posture (nanosAsLong, UTC, AQE)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema // ts = nanos long
+    // FileStreamSource wants a directory; select just the events file from
+    // the shared testdata dir with a glob filter.
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"graft_stream_sink_${runId.incrementAndGet()}"
+    val q = xform(events).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // Tumbling-window aggregation executed BY the streaming engine (complete
+    // mode; same bucketing the batch q178 verifies against time_bucket).
+    "q250_stream_tumbling_drain" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      }.select(col("window.start").as("w_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
+    // Sliding windows (20-minute window, 10-minute slide): every event lands
+    // in exactly two windows; the oracle replays that with an UNNEST(range).
+    "q251_stream_sliding_drain" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(window(col("ts"), "20 minutes", "10 minutes"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+      }.select(col("window.start").as("w_start"), col("cnt"), col("sum_value"))
+        .orderBy("w_start")),
+
+    // Stream-static join: the stream enriches against a batch dimension
+    // (per-type mean) computed from the same table, then aggregates.
+    "q252_stream_static_join_drain" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val dim = s.table("events").groupBy("event_type").agg(avg("value").as("avg_v"))
+      drainEvents(s, d, "complete") { ev =>
+        ev.join(dim, "event_type")
+          .where(col("value") > col("avg_v"))
+          .groupBy("event_type").agg(count(lit(1)).as("n_above"))
+      }.select(col("event_type"), col("n_above")).orderBy("event_type")
+    }),
+
+    // Stateful streaming dedup (dropDuplicates state store, append mode):
+    // the sink holds one row per distinct (user_id, event_type); WHICH event
+    // survived is arrival-order-dependent, so the checked result is the
+    // order-invariant distinct count per type.
+    "q253_stream_dedup_drain" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "append") { ev =>
+        ev.select(col("user_id"), col("event_type")).dropDuplicates()
+      }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q250_stream_tumbling_drain" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+        |  COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q251_stream_sliding_drain" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) - i.i * (INTERVAL '10 minutes') AS w_start,
+        |  COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM events, UNNEST(range(0, 2)) AS i(i)
+        |GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    "q252_stream_static_join_drain" ->
+      """WITH dim AS (SELECT event_type, AVG(value) AS avg_v FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_above
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE e.value > d.avg_v
+        |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
+
+    "q253_stream_dedup_drain" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+  )
+}
