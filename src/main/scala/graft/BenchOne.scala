@@ -171,6 +171,33 @@ object BenchOne {
       spark.conf.unset(graft.plans.BinnedRangeJoinRule.WidthKey)
       spark.stop(); return
     }
+    if (name == "textdup_scale") {
+      // 10x corpus (tokens salted per copy, ids shifted — replicas are not
+      // cross-copy dups): q46's exploded-trigram equi-join and the banded
+      // SimHash near-dup. Both join on composite equi-keys ((gram, adjacent
+      // id) / (band, bandhash)), so group sizes must stay bounded and the
+      // runtime near-linear as the corpus grows.
+      import org.apache.spark.sql.functions._
+      val docs = spark.table("documents")
+      def run(label: String): Unit = for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val n46 = spark.sql(Queries.byName("q46_ngram_jaccard").spark).count()
+        println(f"$label run$i q46 trigram jaccard: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n46 rows)")
+        t0 = System.nanoTime()
+        val nsh = pipeline.Dedup.simhashNearDup(spark, sfDir).count()
+        println(f"$label run$i simhash neardup:     ${(System.nanoTime() - t0) / 1e9}%.2f s ($nsh pairs)")
+      }
+      println(s"1x docs: ${docs.count()}")
+      run("1x")
+      val big = spark.range(0, 10).crossJoin(docs).select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        concat_ws(" ", expr("transform(split(lower(text), ' '), w -> concat('c', id, '_', w))")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      big.createOrReplaceTempView("documents")
+      println(s"10x docs: ${spark.table("documents").count()}")
+      run("10x")
+      spark.stop(); return
+    }
     if (name == "neardup_scale") {
       // 10x embeddings (perturbed replicas): the audit-only exact all-pairs
       // near-dup (q72 shape) vs the LSH-prefiltered production path (q72b).

@@ -24,5 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProduct.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children.head, children(1))))
+    // lsh_codes carries literal shape args; reuse the runtime builder's
+    // validation by registering through the same construction path.
+    ext.injectFunction((
+      FunctionIdentifier("lsh_codes"),
+      graft.functions.LshCodes.info,
+      graft.functions.LshCodes.builder))
   }
 }

@@ -2713,7 +2713,41 @@ object Queries {
         |  CAST(NULL AS VARCHAR) AS ttb_bad,
         |  o_orderpriority AS ttb_ok,
         |  '''' || o_orderpriority || '''' AS qt
-        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    // ---- seeded TABLESAMPLE as a driver-visible oracle row: the sampled
+    // count is engine-private, so the checked result is the binomial bound
+    // (mean ± 6σ + slack; deterministic under REPEATABLE, failure odds ~1e-9
+    // even for a fresh seed). Bounds derive from COUNT(*), so the same
+    // statement holds at every sf. ----
+    q2("q236_tablesample_bound",
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_total,
+        |  CAST((SELECT COUNT(*) FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)) AS DOUBLE)
+        |    BETWEEN 0.10 * (SELECT COUNT(*) FROM orders)
+        |              - 6 * SQRT((SELECT COUNT(*) FROM orders) * 0.09) - 10
+        |        AND 0.10 * (SELECT COUNT(*) FROM orders)
+        |              + 6 * SQRT((SELECT COUNT(*) FROM orders) * 0.09) + 10
+        |    AS within_bounds""".stripMargin,
+      "SELECT COUNT(*) AS n_total, true AS within_bounds FROM orders"),
+
+    // ---- DISTRIBUTE BY as a driver-visible oracle row: the hash exchange
+    // is an execution property (asserted in QueriesSpec's plan check); the
+    // algebraic invariant — repartitioning never changes an aggregate — is
+    // what an oracle can hold cross-engine. ----
+    q2("q237_distribute_by_invariant",
+      """SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM (SELECT l_returnflag, l_quantity FROM lineitem DISTRIBUTE BY l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- CLUSTER BY (distribute + sort within partitions), same invariant ----
+    q2("q238_cluster_by_invariant",
+      """SELECT l_linestatus, COUNT(*) AS cnt
+        |FROM (SELECT l_linestatus FROM lineitem CLUSTER BY l_linestatus)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+      """SELECT l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap

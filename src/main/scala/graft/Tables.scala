@@ -68,6 +68,7 @@ object Tables {
     // sessions (no spark.sql.extensions) get them too.
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.DotProduct.register(spark)
+    graft.functions.LshCodes.register(spark)
 
     val dfs: Seq[(String, DataFrame)] = tableNames.map { n =>
       val df = read(spark, dir, n)

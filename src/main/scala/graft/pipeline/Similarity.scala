@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,30 +21,13 @@ object Similarity {
   private val NumTables = 8  // independent hash tables (multi-probe recall)
   private val Dim = 64
 
-  /** Deterministic hyperplanes (fixed seed), NumTables x NumPlanes. */
-  private def planes: Seq[Array[Double]] = {
-    val rnd = new Random(42)
-    Seq.fill(NumTables * NumPlanes)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
-
-  /** Sign-bit code over one table's hyperplanes. */
-  private def codeFromPlanes(emb: Column, ps: Seq[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0)): Column
-    }.reduce(_ + _)
-
-  /** Signed-projection bucket code of table `t` (sign bits of its 8 planes). */
-  private def bucketCode(emb: Column, t: Int): Column =
-    codeFromPlanes(emb, planes.slice(t * NumPlanes, (t + 1) * NumPlanes))
-
-  /** array<int> of all NumTables bucket codes (computed in one projection;
-    * the table id is the array ordinal). */
-  private def bucketCodes(emb: Column): Column =
-    array((0 until NumTables).map(t => bucketCode(emb, t)): _*)
+  /** array<int> of all NumTables bucket codes — the native fused expression
+    * (graft.functions.LshCodes, seed 42: the same deterministic Gaussian
+    * plane sequence the previous per-plane HOF projection used, so bucket
+    * assignments are bit-identical; the plan shrinks from ~4k inlined plane
+    * literals to one referenced matrix). The table id is the array ordinal. */
+  private def bucketCodes(embName: String): Column =
+    expr(s"lsh_codes($embName, 42, $NumTables, $NumPlanes, $Dim)")
 
   /** Scoring uses the engine's native codegen'd expression (one fused loop,
     * no per-row intermediate arrays) — see graft.functions.CosineSimilarity. */
@@ -158,7 +140,7 @@ object Similarity {
           .as("embedding"))
     val all = emb.select("vec_id", "embedding").unionByName(planted)
     val codes = all.select(col("vec_id"),
-      posexplode(bucketCodes(col("embedding"))).as(Seq("t", "code")))
+      posexplode(bucketCodes("embedding")).as(Seq("t", "code")))
     val cand = codes.as("a")
       .join(codes.as("b"),
         col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
@@ -177,18 +159,13 @@ object Similarity {
   // Near-dup prefilter construction: more tables x fewer bits than the topk
   // tables, tuned for the high-cosine regime (cos ~0.94 twins: per-pair miss
   // probability (1 - 0.89^6)^16 ~ 2e-5 under fixed seeds — deterministic, so
-  // an exact-equality oracle is stable).
+  // an exact-equality oracle is stable). Seed 7 keeps these planes
+  // independent of the topk tables'.
   private val DupTables = 16
   private val DupBits = 6
 
-  private def dupPlanes: Seq[Array[Double]] = {
-    val rnd = new Random(7)
-    Seq.fill(DupTables * DupBits)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
-
-  private def dupCodes(emb: Column): Column =
-    array((0 until DupTables).map(t =>
-      codeFromPlanes(emb, dupPlanes.slice(t * DupBits, (t + 1) * DupBits))): _*)
+  private def dupCodes(embName: String): Column =
+    expr(s"lsh_codes($embName, 7, $DupTables, $DupBits, $Dim)")
 
   /** Production-path embedding near-dup (q72b) — the scale-safe sibling of
     * q72's declared-audit-only exact all-pairs join: multi-table sign-LSH
@@ -216,7 +193,7 @@ object Similarity {
     // arrays do not ride through the self-join + dedup shuffles; they are
     // hash-joined back onto the deduped candidate ids for the verify stage.
     val coded = all.select(col("vec_id"),
-      posexplode(dupCodes(col("embedding"))).as(Seq("t", "code")))
+      posexplode(dupCodes("embedding")).as(Seq("t", "code")))
     val cand = coded.as("a")
       .join(coded.as("b"),
         col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
@@ -243,7 +220,7 @@ object Similarity {
     // all-pairs.
     val emb = spark.table("embeddings")
       .select(col("vec_id"), col("embedding"),
-        posexplode(bucketCodes(col("embedding"))).as(Seq("t", "code")))
+        posexplode(bucketCodes("embedding")).as(Seq("t", "code")))
     val queries = emb.where(col("vec_id") < 5)
 
     import org.apache.spark.sql.expressions.Window

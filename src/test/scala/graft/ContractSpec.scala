@@ -7,8 +7,9 @@ package graft
 class ContractSpec extends SparkSpec {
 
   /** The documented rows-only set: by-contract-approximate ANN top-k
-    * (audited via q51c/q51d) and the stub-decoder feature vector. */
-  private val rowsOnly = Set("q51_ann_lsh", "q51b_ann_ivf", "q52_multimodal_features")
+    * (audited via q51c/q51d). Everything else — including the multimodal
+    * decode (q52, real codecs since r5) — carries a DuckDB oracle. */
+  private val rowsOnly = Set("q51_ann_lsh", "q51b_ann_ivf")
 
   test("query names are unique (ListMap would silently shadow duplicates)") {
     val sqlNames = Queries.specs.map(_.name)

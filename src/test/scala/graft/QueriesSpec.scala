@@ -21,10 +21,10 @@ class QueriesSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     // the only rows-only entries: ANN (approximate by contract, both LSH
-    // and IVF paths) and the stub-decoder multimodal pass; near-dup ops
-    // carry ground-truth oracles and the multimodal metadata slice is
-    // oracle-checked via q52b
-    assert(q -- o == Set("q51_ann_lsh", "q51b_ann_ivf", "q52_multimodal_features"))
+    // and IVF paths, audited via q51c/q51d); near-dup ops carry exact
+    // ground-truth oracles and the multimodal decode is oracle-checked
+    // against the media generator's closed form (real codecs since r5)
+    assert(q -- o == Set("q51_ann_lsh", "q51b_ann_ivf"))
   }
 
   test("TABLESAMPLE returns a strict, plausible subset and repeats with a fixed seed") {
