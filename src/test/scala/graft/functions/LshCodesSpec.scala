@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.SparkSpec
+
+/** The native lsh_codes expression must be bit-identical to the HOF
+  * formulation it replaced (per-plane `aggregate(zip_with(...))` sign bits
+  * over the same deterministic Gaussian planes) — bucket assignments are
+  * part of the q51/q72b oracle results, so any drift is a correctness bug,
+  * not just a perf change. */
+class LshCodesSpec extends SparkSpec {
+
+  private val dim = 64
+
+  /** The replaced formulation, verbatim semantics: plane p of table t is
+    * Gaussian draw block t*bits+p; bit p set iff dot > 0. */
+  private def hofCodes(v: Array[Float], seed: Int, tables: Int, bits: Int): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val p = planes(t * bits + b)
+        val dot = (0 until dim).map(j => v(j).toDouble * p(j)).sum
+        if (dot > 0) 1 << b else 0
+      }.sum
+    }.toArray
+  }
+
+  private def testVectors: Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(123)
+    Seq.fill(20)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("native codes match the HOF formulation for both deployed shapes") {
+    for ((seed, tables, bits) <- Seq((42, 8, 8), (7, 16, 6)); v <- testVectors) {
+      val native = LshCodes.codes(
+        new GenericArrayData(v.map(_.asInstanceOf[Any])),
+        LshCodes.planes(seed, tables, bits, dim), tables, bits, dim)
+      assert(native.sameElements(hofCodes(v, seed, tables, bits)),
+        s"codes diverged for seed=$seed tables=$tables bits=$bits")
+    }
+  }
+
+  test("SQL surface: registered function, codegen and eval agree") {
+    import graft.TestSpark.spark.implicits._
+    graft.Tables.register(spark, sfDir) // registers lsh_codes
+    val df = testVectors.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "emb")
+      .selectExpr("id", "CAST(emb AS ARRAY<FLOAT>) AS emb")
+    val sql = df.selectExpr("id", s"lsh_codes(emb, 42, 8, 8, $dim) AS codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    testVectors.zipWithIndex.foreach { case (v, i) =>
+      assert(sql(i.toLong) == hofCodes(v, 42, 8, 8).toSeq, s"row $i")
+    }
+  }
+
+  test("length mismatch and null elements produce all-zero codes (HOF null semantics)") {
+    val planes = LshCodes.planes(42, 2, 4, dim)
+    val short = new GenericArrayData(Array.fill[Any](dim - 1)(0.5f))
+    assert(LshCodes.codes(short, planes, 2, 4, dim).forall(_ == 0))
+    val withNull: Array[Any] = Array.fill[Any](dim)(0.5f)
+    withNull(3) = null
+    assert(LshCodes.codes(new GenericArrayData(withNull), planes, 2, 4, dim).forall(_ == 0))
+  }
+
+  test("non-literal shape arguments are rejected at registration") {
+    graft.Tables.register(spark, sfDir)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT lsh_codes(CAST(array(1.0) AS ARRAY<FLOAT>), CAST(rand()*10 AS INT), 8, 8, $dim)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("lsh_codes"),
+      e.getMessage)
+  }
+}
