@@ -21,6 +21,8 @@ object Ext {
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
     "q72b_embedding_neardup_scaled" ->
       ((s: SparkSession, d: String) => Similarity.prefilteredNearDup(s, d)),
+    "q51e_kmeans_cells" ->
+      ((s: SparkSession, d: String) => Similarity.kmeansCells(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -174,6 +176,49 @@ object Ext {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Distributed k-means, recomputed END-TO-END by the oracle: DuckDB runs
+    // the same two unrolled Lloyd iterations (deterministic init, 6-decimal
+    // rounded affinities/centroids, float-cast scoring, ties to the lowest
+    // cell) — assignment logic, per-dimension means, and the final cell
+    // stats must all agree across engines.
+    "q51e_kmeans_cells" -> {
+      // one Lloyd step: assignment vs `cin` centroids, then per-dim means
+      def step(ein: String, cin: String, aout: String, cout: String): String =
+        s"""$aout AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_cosine_similarity(e.emb,
+           |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+           |        c.cell) AS rn
+           |    FROM $ein e, $cin c) WHERE rn = 1),
+           |$cout AS (
+           |  SELECT cell, list(round(m, 6) ORDER BY j) AS cemb FROM (
+           |    SELECT a.cell, t.j, AVG(e.emb[t.j]) AS m
+           |    FROM $aout a JOIN $ein e USING (vec_id),
+           |         UNNEST(range(1, len(e.emb) + 1)) AS t(j)
+           |    GROUP BY a.cell, t.j)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e WHERE vec_id < 8),
+         |${step("e", "c0", "a1", "c1")},
+         |${step("e", "c1", "a2", "c2")},
+         |a3 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_cosine_similarity(e.emb,
+         |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+         |        c.cell) AS rn
+         |    FROM e, c2 c) WHERE rn = 1)
+         |SELECT a3.cell, COUNT(*) AS n_members,
+         |  round(list_sum(c2.cemb), 4) AS centroid_sum,
+         |  round(sqrt(list_sum(list_transform(c2.cemb, x -> x * x))), 4) AS centroid_norm
+         |FROM a3 JOIN c2 USING (cell)
+         |GROUP BY a3.cell, c2.cemb ORDER BY a3.cell""".stripMargin
+    },
 
     // Scale-path near-dup vs the full exact all-pairs join over the same
     // corpus ∪ planted twins (the oracle does all-pairs; Spark must reproduce

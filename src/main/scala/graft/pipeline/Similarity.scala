@@ -85,6 +85,56 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Distributed Lloyd's k-means over the embedding corpus — the
+    * centroid-producer that feeds [[ivfTopK]] at scale (its Scaladoc notes
+    * centroids "would come from a sampled k-means"; this is that operator,
+    * expressed Spark-first). Per iteration:
+    *   1. assignment — centroids broadcast, N×k fused native-cosine
+    *      evaluations, argmax by `max_by` (partial+final aggregate, no
+    *      window sort over the corpus);
+    *   2. update — per-dimension means via `posexplode` + groupBy (one
+    *      shuffle keyed (cell, dim)), reassembled with
+    *      `sort_array(collect_list(struct(dim, mean)))`.
+    * Determinism contract (cross-engine oracle): init = the k lowest
+    * vec_ids; affinities rounded to 6 decimals with ties to the lowest
+    * cell; centroids rounded to 6 decimals each update; centroids cast to
+    * float for scoring (float(double(float)) is exact, so both engines
+    * score identical bits). Output: per final cell, member count + centroid
+    * checksum/norm — recomputed independently by DuckDB running the same
+    * unrolled iterations. */
+  def kmeansCells(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    def assign(cents: DataFrame): DataFrame = {
+      val cf = broadcast(cents.select(col("cell"),
+        expr("transform(cemb, x -> CAST(x AS FLOAT))").as("cf")))
+      val best = emb.crossJoin(cf)
+        .select(col("vec_id"),
+          round(expr("cosine_similarity(embedding, cf)"), 6).as("aff"), col("cell"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"), struct(col("aff"), -col("cell"))).as("cell"))
+      emb.join(best, "vec_id")
+    }
+    var centroids = emb.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cemb"))
+    for (_ <- 1 to iters) {
+      centroids = assign(centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy("cell", "j").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(j, m))), s -> round(s.m, 6))")
+          .as("cemb"))
+    }
+    assign(centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(centroids.select(col("cell"),
+        expr("round(aggregate(cemb, 0D, (a, x) -> a + x), 4)").as("centroid_sum"),
+        expr("round(sqrt(aggregate(cemb, 0D, (a, x) -> a + x * x)), 4)").as("centroid_norm")),
+        Seq("cell"))
+      .orderBy("cell")
+  }
+
   /** ANN recall audit (the q23 bound-check pattern, upgraded to [EXT]):
     * per query vector, the exact brute-force top-10 id list — recomputable
     * by the DuckDB oracle with list_cosine_similarity, a true cross-engine

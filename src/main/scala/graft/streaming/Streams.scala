@@ -77,6 +77,17 @@ object Streams {
       }.select(col("event_type"), col("n_above")).orderBy("event_type")
     }),
 
+    // Session windows computed BY the streaming engine (merging-window
+    // state; complete mode) — same 30-minute-gap rule the batch q177
+    // verifies against DuckDB's exact gaps-and-islands form.
+    "q254_stream_session_drain" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+      }.select(col("user_id"), col("session_window.start").as("s_start"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")),
+
     // Stateful streaming dedup (dropDuplicates state store, append mode):
     // the sink holds one row per distinct (user_id, event_type); WHICH event
     // survived is arrival-order-dependent, so the checked result is the
@@ -110,5 +121,21 @@ object Streams {
     "q253_stream_dedup_drain" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // exact gaps-and-islands sessions (the q177 oracle shape, µs precision)
+    "q254_stream_session_drain" ->
+      """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
   )
 }

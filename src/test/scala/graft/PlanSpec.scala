@@ -126,6 +126,7 @@ class PlanSpec extends SparkSpec {
       "q64_tfidf",        // CROSS JOIN with a 1-row corpus-count aggregate
       "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
       "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
+      "q51e_kmeans_cells", // N x k broadcast-centroid assignment (Lloyd step; k constant)
       "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
       // sketch-law checks: CROSS JOINs of 1-row sketch/exact aggregates
       "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
