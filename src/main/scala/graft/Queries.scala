@@ -874,10 +874,15 @@ object Queries {
         |ORDER BY v""".stripMargin),
 
     // ---- TRY_CAST (error-safe casts -> NULL) + split_part ----
+    // LIMIT pushed below the TRY_CASTs: the always-failing cast costs a
+    // caught exception per row, so evaluating it pre-limit paid 150k throws
+    // at sf0.1 for a 100-row result (same restructure as q219's AES fix)
     q("q91_try_cast",
       """SELECT o_orderkey, TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
         |  TRY_CAST(o_orderstatus AS INT) AS bad
-        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+        |FROM (SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |      ORDER BY o_orderkey LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin),
 
     // ---- INTERVAL arithmetic + week truncation + last_day (week-trunc
     // pinned to DATE: DuckDB returns DATE, Spark TIMESTAMP) ----
