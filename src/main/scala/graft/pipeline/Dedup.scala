@@ -82,6 +82,60 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over the verified near-dup pairs — the
+    * canonical-document-selection step that follows pair generation in a
+    * dedup pipeline: every document in a duplicate cluster maps to the
+    * cluster's lowest doc_id (the survivor), plus the cluster size.
+    *
+    * Iterative min-label propagation: per round, every doc adopts the
+    * minimum label in its neighborhood (one equi-join edges⋈labels + one
+    * groupBy shuffle), converging in at most graph-diameter rounds —
+    * near-dup clusters are dense, so 2–4 in practice; bounded by `maxIters`
+    * with a loud failure, never a silent partial clustering. Edges and each
+    * round's labels are persisted so the loop doesn't re-derive the MinHash
+    * pipeline per iteration. This is the simple form of the
+    * small-star/large-star CC family — the same per-round shuffle shape
+    * scales to 100 TB edge sets.
+    *
+    * Output: (doc_id, canonical_id, cluster_size) for every doc appearing
+    * in a verified pair (cluster_size >= 2 by construction). */
+  def nearDupComponents(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashNearDup(spark, dir).select("a_id", "b_id")
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .where(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"near-dup component propagation did not converge in $maxIters rounds")
+    // final labels are materialized (the convergence count ran them);
+    // the edge cache is no longer needed downstream
+    edges.unpersist()
+    val comp = labels.withColumnRenamed("lbl", "canonical_id")
+    val sizes = comp.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs within hamming distance `maxHamming` (default 3):
     * candidates from 12-bit band equality — by pigeonhole, a pair differing
     * in at most 3 bit positions MUST agree on one of the 4 bands, so recall

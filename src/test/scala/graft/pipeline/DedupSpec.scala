@@ -23,6 +23,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.7 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("near-dup components map every clustered doc to the cluster minimum") {
+    val comp = Dedup.nearDupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Dedup.minhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = docs.map(d => d -> find(d)).toMap
+    val wantSizes = want.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(comp.length == docs.length)
+    comp.foreach { case (d, c, n) =>
+      assert(c == want(d), s"doc $d: got canonical $c, want ${want(d)}")
+      assert(n == wantSizes(c), s"cluster $c size")
+      assert(n >= 2)
+    }
+  }
+
   test("minhash on the fixture corpus finds the planted pairs deterministically") {
     val a = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
