@@ -110,6 +110,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "shingle overlap must be an equi join")
   }
 
+  test("runtime bloom-filter join pruning engages on a selective shuffle join") {
+    // 100 TB posture: when neither side broadcasts, Spark can inject a bloom
+    // filter built from the selective (filtered) side into the probe side's
+    // scan, pruning shuffle input at runtime. Off by default at local scale;
+    // this pins that the engine config path works, so a cluster deployment
+    // can turn it on and get the pruning.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle-join shape
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Tables.register(spark, sfDir)
+      val plan = executedPlan(spark.sql(
+        """SELECT l.l_orderkey, l.l_quantity, o.o_orderdate
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000""".stripMargin))
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"runtime bloom filter not injected into the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("catalog-wide audit: no unintentional cartesian or nested-loop join") {
     // Queries where a non-equi or all-pairs plan IS the declared semantics:
     //   q18 cross join; q19 theta join; q62 VALUES joined on a range
