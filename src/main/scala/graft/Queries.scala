@@ -2752,7 +2752,21 @@ object Queries {
         |FROM (SELECT l_linestatus FROM lineitem CLUSTER BY l_linestatus)
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
       """SELECT l_linestatus, COUNT(*) AS cnt
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // ---- array_agg (ANSI name for collect_list; order pinned via
+    // sort_array + string serialization) and positive/negative sign fns ----
+    q2("q239_array_agg_sign",
+      """SELECT l_returnflag,
+        |  concat_ws(',', sort_array(array_agg(DISTINCT l_linestatus))) AS statuses,
+        |  positive(ROUND(SUM(l_quantity), 4)) AS pos_qty,
+        |  negative(ROUND(SUM(l_tax), 4)) AS neg_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(array_agg(DISTINCT l_linestatus)), ',') AS statuses,
+        |  ROUND(SUM(l_quantity), 4) AS pos_qty,
+        |  -ROUND(SUM(l_tax), 4) AS neg_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
