@@ -97,9 +97,39 @@ object Streams {
         ev.select(col("user_id"), col("event_type")).dropDuplicates()
       }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
+
+    // foreachBatch ETL sink: each micro-batch lands in a parquet dir via the
+    // batch writer (the backfill-to-lake shape); the drained lake must
+    // aggregate to exactly the batch semantics. Fresh output + checkpoint
+    // dirs per call keep reruns deterministic.
+    "q255_stream_foreachbatch_drain" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_febatch_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_febatch_ckpt").toString
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = ev.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q255_stream_foreachbatch_drain" ->
+      """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q250_stream_tumbling_drain" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
         |  COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
