@@ -9,7 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is checked against an exact all-pairs Jaccard oracle, which proves both
   * the signature pipeline and the LSH recall on the corpus, and q52's real
   * BMP/WAV decoders are checked against the media generator's closed form.
-  * Only q51/q51b (ANN — approximate by contract) stay rows-only. */
+  * Even the ANN entries (q51/q51b) are oracle-checked: approximate vs the
+  * TRUE neighbors, but fully deterministic under the fixed seeds, so the
+  * oracle embeds the hyperplane matrix as literals and re-runs the exact
+  * same bucketing + ranking in DuckDB (the q51e unrolling trick). */
 object Ext {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
@@ -97,7 +100,92 @@ object Ext {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
+  /** The LSH plane matrix as a DuckDB VALUES literal — the SAME deterministic
+    * Gaussian sequence graft.functions.LshCodes draws (`Random(seed)` flat
+    * fill), one row per plane: (plane_index, [dim doubles]). Scala's
+    * `Double.toString` emits the shortest round-tripping decimal, which
+    * DuckDB parses back to the identical bits. */
+  private def planesValues(seed: Int, tables: Int, bits: Int, dim: Int): String = {
+    val m = graft.functions.LshCodes.planes(seed, tables, bits, dim)
+    (0 until tables * bits).map { p =>
+      (0 until dim).map(j => m(p * dim + j).toString).mkString(s"($p, [", ", ", "])")
+    }.mkString(",\n")
+  }
+
+  /** Sequential left-fold dot product — bit-identical to the native
+    * expressions' accumulation loop (`list_reduce` folds left starting from
+    * the first element; `0.0 + x == x` for every finite x, so the missing
+    * zero init cannot change the bits). */
+  private def seqDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j]), (acc, x) -> acc + x)"
+
+  /** DuckDB replica of graft.functions.CosineSimilarity, bit-for-bit: same
+    * sequential sums, same `dot / (sqrt(nx) * sqrt(ny))` final expression —
+    * so UNROUNDED affinity comparisons (the IVF argmax assignment) resolve
+    * identically across engines. */
+  private def exactCos(a: String, b: String): String =
+    s"(${seqDot(a, b)} / (sqrt(${seqDot(a, a)}) * sqrt(${seqDot(b, b)})))"
+
   val oracles: Seq[(String, String)] = Seq(
+    // LSH ANN, recomputed END-TO-END by the oracle: the 64 hyperplanes are
+    // embedded as literals (same Random(42) Gaussian sequence as the native
+    // lsh_codes expression), bucket codes are re-derived with a bit-exact
+    // sequential dot, and candidate generation + top-10 ranking re-run in
+    // SQL. Approximate vs the TRUE neighbors, exact vs the algorithm —
+    // deterministic under the fixed seeds, so a full rows+schema+hash check.
+    "q51_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |pl(p, plane) AS (VALUES
+         |${planesValues(42, 8, 8, 64)}),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p // 8 AS t, pl.p % 8 AS b,
+         |         ${seqDot("e.emb", "pl.plane")} AS dot
+         |  FROM e, pl),
+         |codes AS (
+         |  SELECT vec_id, t, SUM(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS code
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS did
+         |  FROM codes q JOIN codes d ON q.t = d.t AND q.code = d.code
+         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.did, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.did),
+         |ranked AS (SELECT qid, did, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rnk FROM scored)
+         |SELECT qid, did, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // IVF ANN, recomputed END-TO-END: deterministic seed cells (vec_id < 16),
+    // argmax assignment re-derived with the bit-exact cosine replica (the
+    // assignment compares UNROUNDED doubles, so the oracle must reproduce the
+    // native expression's exact bits), nprobe=3 probe set, candidate scoring
+    // + top-10 ranking re-run in SQL.
+    "q51b_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |seeds AS (SELECT CAST(vec_id AS INT) AS cell, emb AS semb FROM e WHERE vec_id < 16),
+         |aff AS (
+         |  SELECT e.vec_id, s.cell, ${exactCos("e.emb", "s.semb")} AS aff
+         |  FROM e, seeds s),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS crnk
+         |    FROM aff WHERE vec_id < 5) WHERE crnk <= 3),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS did,
+         |    round(list_cosine_similarity(eq.emb, ed.emb), 4) AS cos_sim
+         |  FROM qprobe q JOIN cells d ON q.cell = d.cell AND q.vec_id <> d.vec_id
+         |  JOIN e eq ON eq.vec_id = q.vec_id JOIN e ed ON ed.vec_id = d.vec_id),
+         |ranked AS (SELECT qid, did, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rnk FROM scored)
+         |SELECT qid, did, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     // The binned equi-join path must reproduce the naive interval theta
     // join exactly (binning is a partitioning of the match space, not an
     // approximation).
