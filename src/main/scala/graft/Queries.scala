@@ -1908,7 +1908,9 @@ object Queries {
         |ORDER BY s""".stripMargin),
 
     // ---- native session_window (the streaming sessionizer in batch form;
-    // oracle = exact µs gaps-and-islands, same rule as q75 but unfloored) ----
+    // oracle = exact µs gaps-and-islands, same rule as q75 but unfloored;
+    // >= because Spark's session window is half-open [start, start+gap):
+    // an event exactly gap after the previous one starts a NEW session) ----
     q2("q177_session_window_native",
       """SELECT user_id, session_window.start AS s_start, COUNT(*) AS n_events
         |FROM events GROUP BY user_id, session_window(ts, '30 minutes')
@@ -1917,7 +1919,7 @@ object Queries {
         |f AS (
         |  SELECT user_id, ts, us,
         |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM x),
         |s AS (SELECT user_id, ts,

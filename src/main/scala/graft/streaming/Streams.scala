@@ -45,6 +45,34 @@ object Streams {
     spark.table(name)
   }
 
+  /** Writes one half of events (split at `cutUs`, µs epoch; columns
+    * event_id/user_id/event_type/value/ts_us) as a single parquet FILE into
+    * `srcDir` — one arriving file per phase of a phased drain. Batch
+    * boundaries come from running a separate AvailableNow drain per phase
+    * over a shared checkpoint (deterministic by construction), not from
+    * rate-limit options. */
+  private def writeHalf(spark: SparkSession, dir: String, srcDir: String,
+      cutUs: Long, oldHalf: Boolean, name: String): Unit = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    val half = if (oldHalf) ev.where(col("ts_us") < cutUs)
+               else ev.where(col("ts_us") >= cutUs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp")
+    half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir).resolve(name))
+  }
+
+  /** Max event time in µs — one distributed aggregate returning a scalar
+    * (the split point the oracle recomputes with the same expression). */
+  private def maxTsUs(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.{expr, max}
+    spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000"))).head.getLong(0)
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // Tumbling-window aggregation executed BY the streaming engine (complete
     // mode; same bucketing the batch q178 verifies against time_bucket).
@@ -98,6 +126,108 @@ object Streams {
       }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
 
+    // Watermark + late data under the gate, as a phased drain: phase 1
+    // drains ONLY the newest two hours of events (advancing the checkpointed
+    // watermark to max(ts) - 30min), then the older file arrives and phase 2
+    // restarts from the same checkpoint — every phase-2 row is provably
+    // behind the persisted watermark, so the engine DROPS all of it, and
+    // append mode emits only windows the watermark finalized. The sink
+    // differs from the no-watermark answer in two checkable ways the oracle
+    // reproduces: late rows excluded from emitted windows, unfinalized tail
+    // windows withheld. (foreachBatch parquet sink: the memory sink cannot
+    // recover from a checkpoint, and the phased restart also pins watermark
+    // persistence across stream restarts.)
+    "q256_stream_watermark_drain" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val tmax = maxTsUs(s, d)
+      val cut = tmax - 7200000000L
+      val src = java.nio.file.Files.createTempDirectory("graft_wm_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_wm_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_ckpt").toString
+      writeHalf(s, d, src, cut, oldHalf = false, "b1.parquet")
+      val schema = s.read.parquet(src).schema
+      def phase(): Unit = {
+        val q = s.readStream.schema(schema).parquet(src)
+          .withColumn("ts", expr("timestamp_micros(ts_us)"))
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("cnt"), col("sum_value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      phase()
+      writeHalf(s, d, src, cut, oldHalf = true, "b2.parquet")
+      phase()
+      s.read.schema("w_start timestamp, cnt bigint, sum_value double").parquet(out)
+        .orderBy("w_start")
+    }),
+
+    // Custom state machine under the gate (flatMapGroupsWithState with a
+    // per-user (last_ts, n_sessions, n_events) state), phased: phase 1
+    // drains the OLDER half of events, then the newer half arrives and
+    // phase 2 restarts from the same checkpoint — its sessionization must
+    // resume from phase 1's persisted state store, so a session spanning
+    // the phase boundary counts once only if the state hand-off is correct.
+    // Update mode appends each phase's running totals to the parquet sink;
+    // totals are monotone, so max() per user selects the final state, which
+    // the oracle recomputes as batch gaps-and-islands (>= gap: the
+    // half-open session rule).
+    "q257_stream_stateful_sessions" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      Tables.register(s, d)
+      val tmax = maxTsUs(s, d)
+      val minTs = s.read.parquet(s"$d/events.parquet")
+        .agg(min(expr("ts div 1000"))).head.getLong(0)
+      val cut = (minTs + tmax) / 2
+      val src = java.nio.file.Files.createTempDirectory("graft_fmg_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_fmg_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fmg_ckpt").toString
+      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
+      val schema = s.read.parquet(src).schema
+      val gapUs = 1800000000L
+      def phase(): Unit = {
+        import s.implicits._
+        val q = s.readStream.schema(schema).parquet(src)
+          .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+            (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+              var (last, ns, ne) = state.getOption.getOrElse((0L, 0L, 0L))
+              // phases arrive chronologically; within a phase the shuffle
+              // order is arbitrary, so sort this group's slice before folding
+              for (us <- rows.map(_._2).toArray.sorted) {
+                if (ne == 0L || us - last >= gapUs) ns += 1
+                ne += 1
+                last = us
+              }
+              state.update((last, ns, ne))
+              Iterator((uid, ns, ne))
+          }.toDF("user_id", "n_sessions", "n_events")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      phase()
+      writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+      phase()
+      s.read.schema("user_id bigint, n_sessions bigint, n_events bigint").parquet(out)
+        .groupBy("user_id")
+        .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // foreachBatch ETL sink: each micro-batch lands in a parquet dir via the
     // batch writer (the backfill-to-lake shape); the drained lake must
     // aggregate to exactly the batch semantics. Fresh output + checkpoint
@@ -127,6 +257,33 @@ object Streams {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Watermark drain: only batch-1 rows (newest 2 hours) in windows the
+    // final watermark passed. The watermark is ms-floored max(ts) - 30min
+    // (Spark tracks event-time stats in milliseconds); the 2-hour split cut
+    // uses raw µs, mirroring the Scala split exactly.
+    "q256_stream_watermark_drain" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) AS tmax_us FROM events),
+        |x AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+        |        epoch_us(ts) AS us, value FROM events)
+        |SELECT w_start, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+        |FROM x, mx
+        |WHERE us >= tmax_us - 7200000000
+        |  AND epoch_us(w_start) + 600000000 <= (tmax_us // 1000) * 1000 - 1800000000
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    // Stateful sessionizer: final per-user state must equal the batch
+    // gaps-and-islands over ALL events (>= gap: half-open session rule) —
+    // correct only if batch 2 resumed from batch 1's persisted state.
+    "q257_stream_stateful_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id,
+        |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM x)
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q255_stream_foreachbatch_drain" ->
       """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
@@ -152,13 +309,14 @@ object Streams {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
-    // exact gaps-and-islands sessions (the q177 oracle shape, µs precision)
+    // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;
+    // >= matches Spark's half-open [start, start+gap) session merge rule)
     "q254_stream_session_drain" ->
       """WITH x AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
         |f AS (
         |  SELECT user_id, ts, us,
         |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |           OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM x),
         |s AS (SELECT user_id, ts,
