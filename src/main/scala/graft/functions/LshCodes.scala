@@ -24,8 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * generated code — smaller plans, faster compile, no per-row garbage. The
   * ANN/near-dup bucketing hot path at 100 TB (SURVEY §2.E).
   *
-  * Null/length semantics mirror the HOF form: a null or length-mismatched
-  * input nulls out every plane dot, so every bit is 0 (code array of zeros).
+  * Null ELEMENT / length-mismatch semantics mirror the HOF form: every bit
+  * is 0 (an all-zero code array). A null top-level array instead yields NULL
+  * (standard unary null propagation) — deliberately stricter than the HOF
+  * form, which coerced null arrays to code 0 in every table: under the
+  * posexplode bucketing a null embedding now emits NO (table, code) rows at
+  * all, rather than piling every null into bucket 0 of every table (a skew
+  * hazard at scale).
   */
 case class LshCodes(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
     extends UnaryExpression {
@@ -77,7 +82,8 @@ object LshCodes {
 
   /** Shared by eval and generated code: one fused pass over the plane
     * matrix. Null elements / length mismatch → all-zero codes (the HOF
-    * null-poisoning semantics). */
+    * null-poisoning semantics); a null top-level array never reaches here
+    * (nullSafeEval/nullSafeCodeGen return NULL first). */
   def codes(x: ArrayData, planes: Array[Double], tables: Int, bits: Int, dim: Int): Array[Int] = {
     val out = new Array[Int](tables)
     if (x.numElements() != dim) return out

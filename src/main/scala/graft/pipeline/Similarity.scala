@@ -119,6 +119,13 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cell"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cemb"))
     for (_ <- 1 to iters) {
+      // Cross-engine assumption at the round(·, 6) below: Spark's partial
+      // aggregate sums doubles in partition order while DuckDB's AVG sums
+      // sequentially, so the two means can differ in the last ulps — the
+      // 6-decimal rounding absorbs that, and only a mean landing exactly on
+      // a 6th-decimal rounding boundary could flake the oracle. If the gate
+      // ever flakes here, widen the margin or sum in a canonical order
+      // (sort_array of (vec_id, x) pairs) before averaging.
       centroids = assign(centroids)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("j", "x")))
         .groupBy("cell", "j").agg(avg(col("x").cast("double")).as("m"))

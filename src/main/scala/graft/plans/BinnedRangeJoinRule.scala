@@ -91,8 +91,15 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
             val newPoint = Project(pointPlan.output :+ pBin, pointPlan)
             val loBin = binOf(lo, w)
             val hiBin = binOf(hi, w)
-            val maxBins =
-              try conf.getConfString(MaxBinsKey, "10000").toLong catch { case _: Exception => 10000L }
+            val maxBins = {
+              val raw = conf.getConfString(MaxBinsKey, "10000")
+              // fail loudly on a typo'd config — silently falling back to the
+              // default would mask misconfiguration (the rule's own stance)
+              try raw.toLong catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"$MaxBinsKey must be a long, got '$raw'")
+              }
+            }
             // Typed LongType so the If stays resolved post-analysis (this rule
             // runs in the optimizer — no implicit coercion pass after it).
             val overflow = RaiseError(

@@ -64,6 +64,16 @@ class LshCodesSpec extends SparkSpec {
     assert(LshCodes.codes(new GenericArrayData(withNull), planes, 2, 4, dim).forall(_ == 0))
   }
 
+  test("a null top-level array yields NULL (no rows under posexplode), not zero codes") {
+    graft.Tables.register(spark, sfDir)
+    val rows = spark.sql(
+      s"SELECT lsh_codes(CAST(NULL AS ARRAY<FLOAT>), 42, 8, 8, $dim) AS codes").collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0), "null array must null the result")
+    val exploded = spark.sql(
+      s"""SELECT posexplode(lsh_codes(CAST(NULL AS ARRAY<FLOAT>), 42, 8, 8, $dim))""").collect()
+    assert(exploded.isEmpty, "a null embedding must emit no (table, code) rows")
+  }
+
   test("non-literal shape arguments are rejected at registration") {
     graft.Tables.register(spark, sfDir)
     val e = intercept[Exception] {

@@ -107,4 +107,24 @@ class RangeJoinRuleSpec extends SparkSpec {
       }
     }
   }
+
+  test("a malformed maxBinsPerInterval value fails loudly, not silently defaulted") {
+    import graft.TestSpark.spark.implicits._
+    Seq((1L, 5.0)).toDF("pid", "v").createOrReplaceTempView("rj_p3")
+    Seq((10L, 4.0, 6.0)).toDF("iid", "lo", "hi").createOrReplaceTempView("rj_i3")
+    val sql = "SELECT pid, iid FROM rj_p3 JOIN rj_i3 ON v >= lo AND v <= hi"
+    withWidth("1.0") {
+      val prev = spark.conf.getOption(BinnedRangeJoinRule.MaxBinsKey)
+      spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, "ten-thousand")
+      try {
+        val e = intercept[Exception] { spark.sql(sql).collect() }
+        assert(e.getMessage.contains(BinnedRangeJoinRule.MaxBinsKey), e.getMessage)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(BinnedRangeJoinRule.MaxBinsKey, v)
+          case None => spark.conf.unset(BinnedRangeJoinRule.MaxBinsKey)
+        }
+      }
+    }
+  }
 }
