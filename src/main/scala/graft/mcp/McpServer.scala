@@ -98,7 +98,10 @@ final class McpServer(
     val id = req.get("id")
     val method = Option(req.get("method")).map(_.asText()).getOrElse("")
     method match {
-      case "initialize" => Some(response(id, initializeResult()))
+      case "initialize" =>
+        val requested = Option(req.get("params")).flatMap(p => Option(p.get("protocolVersion")))
+          .map(_.asText()).getOrElse("")
+        Some(response(id, initializeResult(requested)))
       case "notifications/initialized" => None
       case "ping" => Some(response(id, mapper.createObjectNode()))
       case "tools/list" => Some(response(id, toolsListResult()))
@@ -108,9 +111,17 @@ final class McpServer(
     }
   }
 
-  private def initializeResult(): ObjectNode = {
+  /** Protocol revisions this server speaks — the tools surface is identical
+    * across them, so negotiation is an echo. Per the MCP handshake contract,
+    * a known requested version is echoed back; anything else (including a
+    * missing field) falls back to the server's preferred revision, and the
+    * client decides whether to proceed. */
+  private val SupportedProtocolVersions = Set("2024-11-05", "2025-03-26", "2025-06-18")
+
+  private def initializeResult(requestedVersion: String): ObjectNode = {
     val r = mapper.createObjectNode()
-    r.put("protocolVersion", "2024-11-05")
+    r.put("protocolVersion",
+      if (SupportedProtocolVersions(requestedVersion)) requestedVersion else "2024-11-05")
     val caps = r.putObject("capabilities"); caps.putObject("tools")
     val si = r.putObject("serverInfo")
     si.put("name", "graft-spark-toolbox"); si.put("version", "0.2.0")

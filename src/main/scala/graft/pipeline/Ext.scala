@@ -53,6 +53,23 @@ object Ext {
         .select("event_id", "user_id", "ts", "asof_click_v")
         .orderBy("event_id")
     }),
+    // ETL write -> pruned read-back under the gate: land a hive-partitioned
+    // lake, re-read with a partition filter (OpsSpec asserts the scan's
+    // PartitionFilters actually prune), and aggregate the surviving
+    // partition — the q255 backfill shape without the streaming leg.
+    "q258_etl_partitioned_readback" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_etl_lake").toString
+      Ops.writePartitioned(
+        s.table("orders").select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        out, Seq("o_orderstatus"))
+      s.read.parquet(out)
+        .where(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("o_orderstatus")
+    }),
     "q206_salted_join_op" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -205,6 +222,13 @@ object Ext {
         |FROM events e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // The partitioned lake round-trip must reproduce the direct filtered
+    // aggregate (partitioning is storage layout, not semantics).
+    "q258_etl_partitioned_readback" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Salting is an execution-layer rewrite only — the salted join must
     // aggregate to exactly the plain equi-join's result.

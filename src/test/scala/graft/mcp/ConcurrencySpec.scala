@@ -1,0 +1,84 @@
+package graft.mcp
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.{SparkSpec, Tables}
+
+/** Concurrent MCP sessions against the shared Tables registry: the reference
+  * toolbox serves many simultaneous clients, and on Spark each client maps to
+  * a cloned `SparkSession` (shared SparkContext, isolated temp views + conf).
+  * Pins two thread-safety claims: (1) racing `Tables.register` calls on
+  * independent sessions — concurrent WeakHashMap mutation under the registry
+  * lock — leave every session fully usable; (2) racing register calls on ONE
+  * session are idempotent (exactly-once view creation per (session, dir),
+  * second caller blocks until the views exist). */
+class ConcurrencySpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  test("N concurrent sessions register + execute_sql without interference") {
+    val n = 8
+    val expected = {
+      Tables.register(spark, sfDir)
+      spark.table("lineitem").count()
+    }
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val results = new ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    (1 to n).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            start.await()
+            val sess = spark.newSession()
+            Tables.register(sess, sfDir)
+            val server = new McpServer(sess, ToolboxConfig(Nil, Nil))
+            val resp = mapper.readTree(server.handleLine(
+              """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT count(*) AS n FROM lineitem"}}}""").get)
+            assert(!resp.at("/result/isError").asBoolean(false), resp.toString)
+            val n = mapper.readTree(resp.at("/result/content/0/text").asText()).get("n").asLong()
+            results.add(Right(n))
+          } catch { case t: Throwable => results.add(Left(t)) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "concurrent sessions timed out")
+    val rs = results.asScala.toSeq
+    assert(rs.size == n)
+    rs.foreach {
+      case Left(t) => fail(s"concurrent session failed: $t")
+      case Right(c) => assert(c == expected, s"count $c != $expected")
+    }
+  }
+
+  test("racing register calls on one session are idempotent and leave it usable") {
+    val sess = spark.newSession()
+    val n = 16
+    val pool = Executors.newFixedThreadPool(n)
+    val start = new CountDownLatch(1)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    (1 to n).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            start.await()
+            Tables.register(sess, sfDir)
+            // views must exist the moment register returns, even for the
+            // callers that lost the race and blocked on the lock
+            assert(sess.sql("SELECT count(*) AS n FROM region").head().getLong(0) == 5L)
+          } catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS), "racing registers timed out")
+    assert(errors.isEmpty, s"racing register failed: ${errors.asScala.headOption}")
+  }
+}

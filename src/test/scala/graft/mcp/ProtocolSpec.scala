@@ -25,6 +25,15 @@ class ProtocolSpec extends SparkSpec {
     assert(server.handleLine("""{"jsonrpc":"2.0","method":"notifications/initialized"}""").isEmpty)
   }
 
+  test("initialize echoes a known client protocolVersion, falls back otherwise") {
+    val newer = call("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2025-06-18","clientInfo":{"name":"test","version":"1"}}}""")
+    assert(newer.at("/result/protocolVersion").asText() == "2025-06-18")
+    val unknown = call("""{"jsonrpc":"2.0","id":2,"method":"initialize","params":{"protocolVersion":"1999-01-01","clientInfo":{"name":"test","version":"1"}}}""")
+    assert(unknown.at("/result/protocolVersion").asText() == "2024-11-05")
+    val missing = call("""{"jsonrpc":"2.0","id":3,"method":"initialize","params":{}}""")
+    assert(missing.at("/result/protocolVersion").asText() == "2024-11-05")
+  }
+
   test("pathologically nested statement errors the request, not the server") {
     // deep enough to overflow recursive parse/classification on any stack
     val bomb = "SELECT " + ("(" * 40000) + "1" + (")" * 40000)
