@@ -228,6 +228,61 @@ object Streams {
         .orderBy("user_id")
     }),
 
+    // Stream-stream interval join under the gate (the funnel shape: every
+    // view followed by a same-user click within 30 minutes), phased so the
+    // join's buffered state must survive a checkpoint restart: the cut is
+    // the click time of the LATEST matched pair, so that pair's view arrives
+    // in phase 1, sits in the left join-state buffer, and only matches when
+    // its click arrives after the phase-2 restart. Both sides carry 30-min
+    // watermarks — the state-eviction contract Spark derives from the join's
+    // time-range condition (a view is dropped once the global watermark
+    // passes view.ts + 30min) is exactly what bounds this state at 100 TB —
+    // and the emitted pairs must still equal the full batch join.
+    "q259_stream_stream_join_drain" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val e = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("vus"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("cus"))
+      val cut = v.join(c, col("user_id") === col("c_user") &&
+          col("cus") >= col("vus") && col("cus") <= col("vus") + 1800000000L)
+        .agg(max("cus")).head.getLong(0)
+      val src = java.nio.file.Files.createTempDirectory("graft_ssj_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
+      val schema = s.read.parquet(src).schema
+      def side(tpe: String, idAs: String): DataFrame =
+        s.readStream.schema(schema).parquet(src)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idAs),
+            expr("timestamp_micros(ts_us)").as("ts"))
+          .withWatermark("ts", "30 minutes")
+      def phase(): Unit = {
+        val joined = side("view", "view_id").alias("v")
+          .join(side("click", "click_id").alias("c"),
+            expr("""v.user_id = c.user_id AND
+                    c.ts >= v.ts AND c.ts <= v.ts + interval 30 minutes"""))
+          .select(col("v.user_id").as("user_id"), col("view_id"), col("click_id"))
+        val q = joined.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      phase()
+      writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+      phase()
+      s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // foreachBatch ETL sink: each micro-batch lands in a parquet dir via the
     // batch writer (the backfill-to-lake shape); the drained lake must
     // aggregate to exactly the batch semantics. Fresh output + checkpoint
@@ -257,6 +312,18 @@ object Streams {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Stream-stream join: the drained pairs must equal the batch funnel
+    // join exactly — phase boundaries and watermark evictions are invisible
+    // in the final answer (nothing in phase 2 is late, and the straddling
+    // pair's view is within the derived state-retention bound).
+    "q259_stream_stream_join_drain" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.us >= v.us AND c.us <= v.us + 1800000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
     // Watermark drain: only batch-1 rows (newest 2 hours) in windows the
     // final watermark passed. The watermark is ms-floored max(ts) - 30min
     // (Spark tracks event-time stats in milliseconds); the 2-hour split cut
