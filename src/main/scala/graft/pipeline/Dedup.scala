@@ -43,21 +43,27 @@ object Dedup {
     shingles(spark.table("documents"))
   }
 
-  private[pipeline] def minhashNearDupOn(sh: DataFrame, minJaccard: Double): DataFrame = {
-    // 32 independent hash families: xxhash64(shingle, i). Seeds are literals,
-    // so signatures are deterministic across runs and cluster layouts.
+  /** (doc_id, band, bh) LSH band rows from exploded shingles: 32 MinHash
+    * slots (xxhash64 families with literal seeds — deterministic across runs
+    * and cluster layouts) folded into 8 band hashes. One partial-aggregating
+    * shuffle on doc_id; this is the signature a production corpus would
+    * persist next to the data. */
+  private[pipeline] def bandsOf(sh: DataFrame): DataFrame = {
     val sigAggs: Seq[Column] =
       (0 until NumHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
-
     // One row per (doc, band): band hash folds the band's 4 signature slots.
     val bandCols: Seq[Column] = (0 until Bands).map { b =>
       val slots = (0 until NumHashes / Bands).map(r => col(s"h${b * (NumHashes / Bands) + r}"))
       struct(lit(b).as("band"), xxhash64(slots :+ (lit(b): Column): _*).as("bh"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private[pipeline] def minhashNearDupOn(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val banded = bandsOf(sh)
 
     // Candidates: equi-join on (band, band-hash); a_id < b_id de-dupes pairs.
     val candidates = banded.as("a")
@@ -192,5 +198,54 @@ object Dedup {
       .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)): Column)
       .reduce(_ + _)
     sums.select(col("doc_id"), packed.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Incremental near-dup ingest — the shape a 100 TB corpus actually runs
+    * daily: dedup a NEW batch of documents against an already-deduplicated
+    * corpus without ever touching corpus×corpus pairs. The corpus's band
+    * signatures are computed once (in production: persisted alongside the
+    * corpus and only READ here — the plan downstream of the signature store
+    * is identical); the batch's bands equi-join them for cross candidates,
+    * plus a batch self-join for within-batch dups, and exact Jaccard runs on
+    * candidates only. Batch×corpus work is |batch|-proportional, never
+    * |corpus|² or |batch|×|corpus|.
+    *
+    * Split: batch = doc_id % 10 == 0 (a stand-in for "today's crawl").
+    * Output: (new_id, dup_of, jaccard, scope) — scope 'corpus' for a batch
+    * doc duplicating the corpus, 'batch' for a pair inside the batch (the
+    * higher id dedups against the lower, mirroring arrival order). */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    Tables.register(spark, dir)
+    val sh = shingles(spark.table("documents"))
+    val batchBands = bandsOf(sh.where(col("doc_id") % 10 === 0))
+    val corpusBands = bandsOf(sh.where(col("doc_id") % 10 =!= 0))
+    val crossCand = batchBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+      .withColumn("scope", lit("corpus"))
+    val batchCand = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("dup_of"))
+      .distinct()
+      .withColumn("scope", lit("batch"))
+    val cand = crossCand.unionByName(batchCand)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("dup_of") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .groupBy("new_id", "dup_of", "scope").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("new_id") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("dup_of") === col("nb.doc_id"))
+      .select(col("new_id"), col("dup_of"),
+        round(col("i").cast("double") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"),
+        col("scope"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy("new_id", "dup_of")
   }
 }

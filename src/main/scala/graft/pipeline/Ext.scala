@@ -18,6 +18,8 @@ object Ext {
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
     "q49b_neardup_components" ->
       ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
+    "q49c_incremental_neardup" ->
+      ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
     "q50_simhash" -> (Dedup.simhash _),
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
@@ -276,6 +278,36 @@ object Ext {
          |JOIN sizes nb ON b_id = nb.doc_id
          |WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Incremental ingest dedup: the exact ground truth is the all-pairs
+    // Jaccard restricted to pairs touching the batch (doc_id % 10 = 0) —
+    // the banded incremental path must find every one of them (same recall
+    // contract q49 already pins) and classify the scope by which side(s)
+    // are batch docs.
+    "q49c_incremental_neardup" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |    round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |)
+         |SELECT CASE WHEN b_id % 10 = 0 THEN b_id ELSE a_id END AS new_id,
+         |       CASE WHEN b_id % 10 = 0 THEN a_id ELSE b_id END AS dup_of,
+         |       jaccard,
+         |       CASE WHEN a_id % 10 = 0 AND b_id % 10 = 0 THEN 'batch'
+         |            ELSE 'corpus' END AS scope
+         |FROM pairs
+         |WHERE a_id % 10 = 0 OR b_id % 10 = 0
+         |ORDER BY new_id, dup_of""".stripMargin,
 
     // Canonical-doc selection: DuckDB computes the SAME components via a
     // recursive transitive closure over its own exact pair derivation —

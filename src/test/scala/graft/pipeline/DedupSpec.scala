@@ -75,6 +75,27 @@ class DedupSpec extends SparkSpec {
     assert(truth.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("incremental near-dup equals the batch-restricted slice of the full pair set") {
+    // The incremental path (batch bands vs corpus bands + batch self-join)
+    // must find exactly the full-corpus pairs that touch a batch doc, with
+    // new_id on the batch side and scope classifying the pair.
+    val full = Dedup.minhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = full.flatMap { case (a, b, j) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, true)   => Some((b, a, j, "batch")) // higher id dedups vs lower
+        case (true, false)  => Some((a, b, j, "corpus"))
+        case (false, true)  => Some((b, a, j, "corpus"))
+        case (false, false) => None
+      }
+    }.toSet
+    val got = Dedup.incrementalNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(got == want,
+      s"missed: ${(want -- got).take(5)}; spurious: ${(got -- want).take(5)}")
+    assert(want.exists(_._4 == "corpus"), "fixture should have cross batch/corpus pairs")
+  }
+
   test("simhash banded near-dup equals exact all-pairs ground truth within its radius") {
     val hashes = Dedup.simhash(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
