@@ -72,6 +72,24 @@ object Ext {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
         .orderBy("o_orderstatus")
     }),
+    // Z-order layout round-trip under the gate: cluster events on
+    // (user_id, value), read back through a 2-D box predicate, aggregate.
+    // Layout must be invisible in the answer; the file-skipping win the
+    // layout exists for is measured in LayoutSpec.
+    "q260_zorder_readback" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      Ops.zorderWrite(
+        s.table("events").select("event_id", "user_id", "event_type", "value"),
+        out, "user_id", "value", nFiles = 16)
+      s.read.parquet(out)
+        .where(col("user_id").between(10, 40) && col("value").between(50, 150))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "q206_salted_join_op" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -224,6 +242,14 @@ object Ext {
         |FROM events e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // Z-order is a storage layout: the boxed read-back must equal the
+    // direct filtered aggregate over the source table.
+    "q260_zorder_readback" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The partitioned lake round-trip must reproduce the direct filtered
     // aggregate (partitioning is storage layout, not semantics).

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Data-layout tests: Z-order clustering must (a) preserve semantics and
+  * (b) actually deliver the 2-D file-skipping it exists for — measured from
+  * the real per-file min/max extents of the written parquet, the same
+  * statistics a scan's file/row-group pruning consults at 100 TB. */
+class LayoutSpec extends SparkSpec {
+
+  private def fileExtents(dir: String) =
+    graft.TestSpark.spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"),
+        min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+
+  test("z-order layout prunes more files than either single-column sort on a 2-D box") {
+    // sf0.01 (10k events, 150 users): enough distinct keys that a 64-file
+    // range layout is actually 64 files on every dimension.
+    val dir = "/root/testdata/sf0.01"
+    Tables.register(spark, dir)
+    val ev = Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val nFiles = 64
+
+    val zDir = Files.createTempDirectory("layout_z").toString
+    val uDir = Files.createTempDirectory("layout_u").toString
+    val vDir = Files.createTempDirectory("layout_v").toString
+    Ops.zorderWrite(ev, zDir, "user_id", "value", nFiles)
+    ev.repartitionByRange(nFiles, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(uDir)
+    ev.repartitionByRange(nFiles, col("value")).sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(vDir)
+
+    // a box covering the middle ~20% of each dimension BY RANK (~4% of the
+    // data); quantile bounds, not range fractions — `value` is skewed, and a
+    // range-fraction box would land in a sparse region every layout prunes.
+    val Array(uq, vq) =
+      ev.stat.approxQuantile(Array("user_id", "value"), Array(0.4, 0.6), 0.001)
+    val (ulo, uhi) = (uq(0), uq(1))
+    val (vlo, vhi) = (vq(0), vq(1))
+    // rows scanned = size of the files whose min/max box intersects the
+    // predicate box — the honest proxy for bytes read after file skipping
+    // (file COUNTS mislead when layouts produce different file sizes).
+    def rowsScanned(ldir: String): Long = fileExtents(ldir).collect {
+      case (n, fu0, fu1, fv0, fv1)
+          if fu1 >= ulo && fu0 <= uhi && fv1 >= vlo && fv0 <= vhi => n
+    }.sum
+
+    val (zh, uh, vh) = (rowsScanned(zDir), rowsScanned(uDir), rowsScanned(vDir))
+    info(s"rows scanned: zorder=$zh, sort(user_id)=$uh, sort(value)=$vh")
+    // single-column sort cannot prune on the other dimension: it scans the
+    // full ~20% rank slice; z-order tiles both dimensions and must beat both.
+    assert(zh < uh, s"z-order ($zh rows) should prune better than user_id sort ($uh)")
+    assert(zh < vh, s"z-order ($zh rows) should prune better than value sort ($vh)")
+
+    // layout is invisible in the data: boxed read-back matches the source
+    val cond = col("user_id").between(ulo, uhi) && col("value").between(vlo, vhi)
+    val got = spark.read.parquet(zDir).where(cond)
+      .orderBy("event_id").collect().map(_.getLong(0))
+    val want = ev.where(cond).orderBy("event_id").collect().map(_.getLong(0))
+    assert(got.sameElements(want))
+    assert(want.nonEmpty, "box predicate should select some rows")
+  }
+}
