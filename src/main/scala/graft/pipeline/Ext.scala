@@ -90,6 +90,34 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // Small-file compaction round-trip: fragment events into 50 files (the
+    // per-micro-batch debris a streaming sink leaves), compact by on-disk
+    // bytes, and aggregate the compacted lake — content must be untouched.
+    "q261_compaction_readback" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val small = java.nio.file.Files.createTempDirectory("graft_small").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      s.table("events").select("event_id", "event_type", "value")
+        .repartition(50).write.mode("overwrite").parquet(small)
+      Ops.compact(s, small, out, targetFileBytes = 8L << 20)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // Deterministic stratified sampling (the sample_corpus tool's statement
+    // as a gated query): md5-bucket the doc id, keep buckets < 20 per
+    // source stratum — seedless, so re-runs and both engines agree exactly.
+    "q262_stratified_sample" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql("""SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+              |FROM documents
+              |WHERE CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 20
+              |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     "q206_salted_join_op" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -250,6 +278,20 @@ object Ext {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Compaction is a layout rewrite: the compacted lake must aggregate to
+    // exactly the source table.
+    "q261_compaction_readback" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same md5-bucket arithmetic, DuckDB spelling (hex-literal cast instead
+    // of conv); seedless determinism makes the sample exactly comparable.
+    "q262_stratified_sample" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // The partitioned lake round-trip must reproduce the direct filtered
     // aggregate (partitioning is storage layout, not semantics).

@@ -103,6 +103,25 @@ object Ops {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Lake maintenance: rewrite a directory of (typically many small)
+    * parquet files into ceil(totalBytes / targetFileBytes) files. Streaming
+    * ingest (the q255 foreachBatch sink shape) leaves one file per
+    * micro-batch; at 100 TB scan cost is dominated by per-file overhead
+    * (opens, footer reads, task scheduling), so compaction is a first-class
+    * maintenance op. Sizing comes from the actual on-disk bytes, and the
+    * rewrite is a round-robin repartition — pure layout, no semantic key.
+    * Returns the target file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetFileBytes: Long): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir).repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Morton interleave of two `bits`-bit bucket values — 2·bits
     * codegen-friendly bit terms, no UDF. */
   private def interleaveBits(a: Column, b: Column, bits: Int): Column =

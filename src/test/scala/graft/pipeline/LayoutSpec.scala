@@ -69,4 +69,24 @@ class LayoutSpec extends SparkSpec {
     assert(got.sameElements(want))
     assert(want.nonEmpty, "box predicate should select some rows")
   }
+
+  test("compaction sizes output files from on-disk bytes and preserves content") {
+    Tables.register(spark, sfDir)
+    val small = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    spark.table("events").select("event_id", "event_type", "value")
+      .repartition(50).write.mode("overwrite").parquet(small)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small).length == 50)
+    val totalBytes = parquetFiles(small).map(_.length()).sum
+    val target = totalBytes / 4 // expect ~4-5 output files
+    val n = Ops.compact(spark, small, out, targetFileBytes = target)
+    assert(n == math.ceil(totalBytes.toDouble / target).toInt)
+    assert(parquetFiles(out).length == n)
+    assert(n < 50 && n >= 4, s"expected real consolidation, got $n files")
+    val a = spark.read.parquet(small).orderBy("event_id").collect()
+    val b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
 }
