@@ -30,6 +30,8 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.prefilteredNearDup(s, d)),
     "q51e_kmeans_cells" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCells(s, d)),
+    "q51f_quantized_topk" ->
+      ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -321,6 +323,30 @@ object Ext {
         |    ORDER BY cos_sim DESC, did) AS rnk FROM scored)
         |SELECT qid, string_agg(did, ',' ORDER BY did) AS exact_top10, true AS ivf_ok
         |FROM ranked WHERE rnk <= 10 GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // Int8-quantized top-k: same symmetric quantization in SQL. The codes
+    // are exact integers in both engines (identical double divide + round
+    // half-away), the integer sums are exact in doubles, and IEEE
+    // sqrt/divide are correctly rounded — so ranking and scores hash-match.
+    "q51f_quantized_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS q
+        |  FROM base),
+        |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS qid, d.vec_id AS did,
+        |    list_dot_product(a.q, d.q) / (sqrt(a.n2) * sqrt(d.n2)) AS qcos
+        |  FROM n a JOIN n d ON a.vec_id < 5 AND d.vec_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT qid, did, qcos, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY qcos DESC, did) AS rnk FROM scored)
+        |SELECT qid, rnk, did, round(qcos, 6) AS qcos
+        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     // LSH planted-twin audit: the planted count is the vec_id < 20
     // cardinality; the catch bound is deterministic under the fixed

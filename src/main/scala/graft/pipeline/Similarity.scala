@@ -295,4 +295,40 @@ object Similarity {
       .where(col("rnk") <= 10)
       .orderBy("qid", "rnk")
   }
+
+  /** Int8 scalar quantization + top-k over the quantized codes — the
+    * storage/compute format production vector search runs at 100 TB scale
+    * (4× smaller than float32; integer dot products). Per-vector symmetric
+    * quantization: s = max|x| / 127, code_i = round(x_i / s) ∈ [-127, 127].
+    * The scale cancels in cosine, so the quantized score is PURE INTEGER
+    * arithmetic over the codes — cos_q(a,b) = Σ qa·qb / (√Σqa² · √Σqb²) —
+    * exactly reproducible cross-engine (integer sums ≤ 64·127² are exact in
+    * doubles; IEEE sqrt/divide are correctly rounded), which is why this
+    * entry carries a full rows+schema+hash oracle while the float ANN paths
+    * need recall audits. Top-10 per query (vec_id < 5, as q51c) against the
+    * whole corpus — at scale the quantized codes are what an IVF/LSH
+    * candidate stage would probe; SimilaritySpec audits the quantization's
+    * recall@10 against the exact float ranking. */
+  def quantizedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    Tables.register(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val codes = spark.table("embeddings")
+      .withColumn("s",
+        expr("array_max(transform(embedding, y -> abs(double(y)))) / 127.0"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(double(x) / s) AS BIGINT))").as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+    val scored = codes.where(col("vec_id") < 5).as("a")
+      .join(codes.as("d"), col("a.vec_id") =!= col("d.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("d.vec_id").as("did"),
+        (expr("double(aggregate(zip_with(a.q, d.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v))")
+          / (sqrt(col("a.n2").cast("double")) * sqrt(col("d.n2").cast("double"))))
+          .as("qcos"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("qcos").desc, col("did"))).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("did"), round(col("qcos"), 6).as("qcos"))
+      .orderBy("qid", "rnk")
+  }
 }

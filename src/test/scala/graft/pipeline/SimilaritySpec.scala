@@ -27,6 +27,38 @@ class SimilaritySpec extends SparkSpec {
     common.foreach(k => assert(math.abs(exact(k) - lsh(k)) < 1e-9))
   }
 
+  test("int8-quantized top-10 recalls >= 80% of the exact float top-10") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val exact = emb.where(col("vec_id") < 5).as("q")
+      .join(emb.as("d"), col("q.vec_id") =!= col("d.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
+        expr("cosine_similarity(q.embedding, d.embedding)").as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("did"))))
+      .where(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    info(f"quantized recall@10 = $recall%.2f")
+    assert(recall >= 0.8, f"int8 quantization recall@10 $recall%.2f below 0.8")
+    // quantized scores stay within quantization error of the float cosine
+    val qScores = Similarity.quantizedTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val eScores = emb.where(col("vec_id") < 5).as("q")
+      .join(emb.as("d"), col("q.vec_id") =!= col("d.vec_id"))
+      .select(col("q.vec_id"), col("d.vec_id"),
+        expr("cosine_similarity(q.embedding, d.embedding)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    qScores.foreach { case (k, qc) =>
+      assert(math.abs(qc - eScores(k)) < 0.02,
+        s"pair $k: quantized $qc vs float ${eScores(k)}")
+    }
+  }
+
   test("IVF top-k: per-query ranks sequential, scores agree with exact baseline, deterministic") {
     Tables.register(spark, sfDir)
     val rows = Similarity.ivfTopK(spark, sfDir).collect()
