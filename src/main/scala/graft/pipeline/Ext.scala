@@ -35,6 +35,7 @@ object Ext {
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
+    "q52d_audio_frames" -> (Multimodal.audioFrames _),
     "q204_range_join_binned" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -566,5 +567,30 @@ object Ext {
       """SELECT doc_id,
         |  CAST(CEIL(GREATEST(octet_length(encode(text)), 1) / 1024.0) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Audio frame features: the WAV generator's samples are the affine
+    // closed form (doc_id*31 + i*73) % 4001 - 2000 over n = 64 + doc_id%64
+    // samples, so DuckDB rebuilds every 16-sample frame and recomputes RMS
+    // (integer sum of squares, exact in doubles) and the strict
+    // sign-change count.
+    "q52d_audio_frames" ->
+      """WITH wav AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+        |fr AS (SELECT doc_id, f FROM wav, UNNEST(range(0, n // 16)) t(f)),
+        |s AS (SELECT doc_id, f, i, (doc_id * 31 + i * 73) % 4001 - 2000 AS v
+        |      FROM fr, UNNEST(range(16 * f, 16 * f + 16)) u(i)),
+        |rms AS (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |    round(sqrt(CAST(SUM(v * v) AS DOUBLE) / 16.0), 4) AS rms
+        |  FROM s GROUP BY 1, 2),
+        |zc AS (
+        |  SELECT s1.doc_id, CAST(s1.f AS INT) AS frame_idx,
+        |    CAST(COUNT(*) FILTER (WHERE s1.v * s2.v < 0) AS INT) AS n_zero_cross
+        |  FROM s s1 JOIN s s2
+        |    ON s1.doc_id = s2.doc_id AND s1.f = s2.f AND s2.i = s1.i + 1
+        |  GROUP BY 1, 2)
+        |SELECT rms.doc_id, rms.frame_idx, rms.rms, zc.n_zero_cross
+        |FROM rms JOIN zc ON rms.doc_id = zc.doc_id AND rms.frame_idx = zc.frame_idx
+        |ORDER BY rms.doc_id, rms.frame_idx""".stripMargin,
   )
 }

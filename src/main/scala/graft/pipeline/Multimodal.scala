@@ -108,9 +108,9 @@ object Multimodal {
     BmpStats(w, h, sumR / n, sumG / n, sumB / n)
   }
 
-  /** Parses a RIFF/WAVE container with a generic chunk walk (skips unknown
-    * chunks), then PCM16 mono little-endian samples. */
-  def decodeWav(bytes: Array[Byte]): WavStats = {
+  /** RIFF chunk walk: locates fmt (validating PCM16 mono) and data chunks;
+    * returns (sampleRate, dataOffset, dataLen). */
+  private def wavChunks(bytes: Array[Byte]): (Int, Int, Int) = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
     require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV")
@@ -136,6 +136,14 @@ object Multimodal {
       off += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
     require(rate > 0 && dataOff >= 0, "WAV missing fmt or data chunk")
+    (rate, dataOff, dataLen)
+  }
+
+  /** Parses a RIFF/WAVE container with a generic chunk walk (skips unknown
+    * chunks), then PCM16 mono little-endian samples. */
+  def decodeWav(bytes: Array[Byte]): WavStats = {
+    val (rate, dataOff, dataLen) = wavChunks(bytes)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = dataLen / 2
     var sum = 0L
     var peak = Int.MinValue
@@ -148,6 +156,13 @@ object Multimodal {
     }
     require(n > 0, "empty WAV data chunk")
     WavStats(n, rate, sum.toDouble / n, peak)
+  }
+
+  /** The raw PCM16 samples, via the same chunk walk. */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val (_, dataOff, dataLen) = wavChunks(bytes)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    Array.tabulate(dataLen / 2)(i => b.getShort(dataOff + 2 * i).toInt)
   }
 
   // ------------------------------------------------------------ media table
@@ -246,6 +261,31 @@ object Multimodal {
     frameSample(spark, dir).groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_frames"))
       .orderBy("doc_id")
+
+  /** Frame-level audio features (q52d): decode the real WAV payloads'
+    * PCM16 samples (the only imperative step — the per-partition codec
+    * point), then window into non-overlapping 16-sample frames and compute
+    * per-frame RMS energy and zero-crossing count entirely in codegen array
+    * expressions — the audio-pipeline analogue of frame sampling, and the
+    * standard cheap features (energy/ZCR) a 100 TB audio curation pass
+    * computes before anything model-based. Oracle: the generator's affine
+    * closed form reproduces every sample from doc_id, so DuckDB recomputes
+    * identical frames. */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.format == "wav")
+      .map(r => (r.doc_id, decodeWavSamples(r.media).toSeq))
+      .toDF("doc_id", "samples")
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, int(size(samples) / 16) - 1), f -> slice(samples, f * 16 + 1, 16))"))
+        .as(Seq("frame_idx", "fr")))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("round(sqrt(aggregate(fr, 0L, (a, x) -> a + x * x) / 16.0), 4)").as("rms"),
+        expr("size(filter(zip_with(slice(fr, 1, 15), slice(fr, 2, 15), (a, b) -> a * b < 0), x -> x))")
+          .as("n_zero_cross"))
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** Resize stand-in: average-pool a feature vector to `width` buckets
     * (fixed-output-width contract of a real image resize; pure column

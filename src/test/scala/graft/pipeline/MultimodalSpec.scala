@@ -53,6 +53,24 @@ class MultimodalSpec extends SparkSpec {
     assert(s == Multimodal.decodeWav(base))
   }
 
+  test("WAV sample extraction matches the generator closed form; audio frames agree") {
+    val id = 7L
+    val samples = Multimodal.decodeWavSamples(Multimodal.encodeWav(id))
+    val n = (64 + id % 64).toInt
+    assert(samples.length == n)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == ((id * 31 + i * 73) % 4001 - 2000).toInt, s"sample $i")
+    }
+    // hand-compute frame 0 features and compare against the pipeline
+    val fr0 = samples.take(16)
+    val wantRms = math.rint(math.sqrt(fr0.map(x => x.toLong * x).sum / 16.0) * 10000) / 10000
+    val wantZc = fr0.sliding(2).count(p => p(0) * p(1) < 0)
+    val row = Multimodal.audioFrames(spark, sfDir)
+      .where(s"doc_id = $id AND frame_idx = 0").head()
+    assert(row.getDouble(2) == wantRms, s"rms ${row.getDouble(2)} != $wantRms")
+    assert(row.getInt(3) == wantZc, s"zc ${row.getInt(3)} != $wantZc")
+  }
+
   test("corrupted containers are rejected loudly, not mis-decoded") {
     val bmp = Multimodal.encodeBmp(2L)
     val wav = Multimodal.encodeWav(3L)
