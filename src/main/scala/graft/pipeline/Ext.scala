@@ -93,6 +93,29 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // CDC merge invariant under the gate: events as a change stream keyed
+    // by user (event_type 'error' = delete marker, anything else a full-row
+    // upsert), split into two batches at the midpoint timestamp. Bootstrap
+    // a snapshot from batch 1 on an empty state, merge batch 2 into it —
+    // the result must equal the batch recompute over ALL events (last
+    // change per user wins; users whose last change is a delete are gone).
+    "q263_cdc_merge" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val ch = s.table("events").select(
+        col("user_id"), expr("unix_micros(ts)").as("last_us"), col("event_id"),
+        col("value"), (col("event_type") === "error").as("is_delete"))
+      val bounds = ch.agg(min("last_us"), max("last_us")).head()
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val empty = ch.select("user_id", "value", "last_us").limit(0)
+      val snap1 = Ops.cdcMerge(empty, ch.where(col("last_us") < cut),
+        "user_id", Seq("last_us", "event_id"), "is_delete")
+      Ops.cdcMerge(snap1, ch.where(col("last_us") >= cut),
+        "user_id", Seq("last_us", "event_id"), "is_delete")
+        .select(col("user_id"), round(col("value"), 4).as("value"), col("last_us"))
+        .orderBy("user_id")
+    }),
+
     // Small-file compaction round-trip: fragment events into 50 files (the
     // per-micro-batch debris a streaming sink leaves), compact by on-disk
     // bytes, and aggregate the compacted lake — content must be untouched.
@@ -281,6 +304,19 @@ object Ext {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // CDC merge ≡ batch recompute: last change per user wins; a user whose
+    // final change is a delete marker is absent from the state.
+    "q263_cdc_merge" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |           FROM events),
+        |r AS (SELECT user_id, value, us, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, round(value, 4) AS value, us AS last_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // Compaction is a layout rewrite: the compacted lake must aggregate to
     // exactly the source table.

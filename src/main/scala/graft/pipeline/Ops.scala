@@ -103,6 +103,33 @@ object Ops {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** CDC merge — the lakehouse MERGE INTO shape: apply a batch of keyed
+    * change rows (full-row upserts plus delete markers) to a snapshot,
+    * producing the next snapshot. Within the batch the LAST change per key
+    * wins (ordered by `ordering`, e.g. (commit time, change id)); a key
+    * whose last change is a delete drops out; keys untouched by the batch
+    * keep their snapshot row. Cost at 100 TB: one window shuffle to compact
+    * the batch (tiny vs the snapshot) + one equi-join shuffle on the key —
+    * never a snapshot rewrite per change.
+    *
+    * `changes` must carry the snapshot's payload columns (same names), the
+    * ordering columns, and a boolean `deleteFlag`. Applying a batch to an
+    * EMPTY snapshot bootstraps the state, so `merge(merge(∅, b1), b2)`
+    * must equal the batch recompute over b1 ∪ b2 — the invariant the q263
+    * oracle checks end-to-end. */
+  def cdcMerge(snapshot: DataFrame, changes: DataFrame, key: String,
+      ordering: Seq[String], deleteFlag: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ordering.map(col(_).desc): _*)
+    val last = changes
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val payload = snapshot.columns.filter(_ != key)
+    val present = col(s"c.${ordering.head}").isNotNull
+    snapshot.as("s").join(last.as("c"), Seq(key), "full_outer")
+      .where(when(present, !col(s"c.$deleteFlag")).otherwise(lit(true)))
+      .select(col(key) +: payload.map(p =>
+        when(present, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)): _*)
+  }
+
   /** Lake maintenance: rewrite a directory of (typically many small)
     * parquet files into ceil(totalBytes / targetFileBytes) files. Streaming
     * ingest (the q255 foreachBatch sink shape) leaves one file per

@@ -9,6 +9,28 @@ class OpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("cdc merge: last change wins, deletes drop keys, untouched keys survive, reinsert works") {
+    import graft.TestSpark.spark.implicits._
+    val snapshot = Seq((1L, 10.0, 100L), (2L, 20.0, 100L), (3L, 30.0, 100L))
+      .toDF("k", "v", "seq")
+    val changes = Seq(
+      (1L, 11.0, 200L, 1L, false), (1L, 12.0, 201L, 2L, false), // upsert twice: 12.0 wins
+      (2L, 0.0, 200L, 3L, true),                                // delete key 2
+      (4L, 40.0, 200L, 4L, false),                              // brand-new key
+      (5L, 50.0, 200L, 5L, false), (5L, 0.0, 201L, 6L, true)    // insert then delete: gone
+    ).toDF("k", "v", "seq", "cid", "del")
+    val out = Ops.cdcMerge(snapshot, changes, "k", Seq("seq", "cid"), "del")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 12.0, 201L), (3L, 30.0, 100L), (4L, 40.0, 200L)))
+
+    // a deleted key can be re-inserted by a later batch
+    val snap2 = Ops.cdcMerge(snapshot, changes, "k", Seq("seq", "cid"), "del")
+    val reinsert = Seq((2L, 21.0, 300L, 7L, false)).toDF("k", "v", "seq", "cid", "del")
+    val out2 = Ops.cdcMerge(snap2, reinsert, "k", Seq("seq", "cid"), "del")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out2.toSeq == Seq((1L, 12.0), (2L, 21.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("as-of join picks the latest earlier (or simultaneous) right row per key") {
     import graft.TestSpark.spark.implicits._
     val trades = Seq(
