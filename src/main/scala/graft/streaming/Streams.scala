@@ -283,6 +283,59 @@ object Streams {
         .orderBy("user_id", "view_id", "click_id")
     }),
 
+    // Stream-stream LEFT OUTER join: same funnel topology as q259, but
+    // unmatched views must emit a null-padded row — and only once the
+    // global watermark has evicted their join state (view.ts + 30min range
+    // below watermark). Views still buffered when the source drains NEVER
+    // emit nulls; the oracle reproduces that exact cutoff from the
+    // ms-floored per-side max timestamps. This pins the outer-join
+    // state-eviction contract that bounds memory at 100 TB.
+    "q264_stream_stream_outer_drain" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val e = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("vus"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("us").as("cus"))
+      val cut = v.join(c, col("user_id") === col("c_user") &&
+          col("cus") >= col("vus") && col("cus") <= col("vus") + 1800000000L)
+        .agg(max("cus")).head.getLong(0)
+      val src = java.nio.file.Files.createTempDirectory("graft_sso_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_sso_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sso_ckpt").toString
+      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
+      val schema = s.read.parquet(src).schema
+      def side(tpe: String, idAs: String): DataFrame =
+        s.readStream.schema(schema).parquet(src)
+          .where(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idAs),
+            expr("timestamp_micros(ts_us)").as("ts"))
+          .withWatermark("ts", "30 minutes")
+      def phase(): Unit = {
+        val joined = side("view", "view_id").alias("v")
+          .join(side("click", "click_id").alias("c"),
+            expr("""v.user_id = c.user_id AND
+                    c.ts >= v.ts AND c.ts <= v.ts + interval 30 minutes"""),
+            "left_outer")
+          .select(col("v.user_id").as("user_id"), col("view_id"), col("click_id"))
+        val q = joined.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      phase()
+      writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+      phase()
+      s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // foreachBatch ETL sink: each micro-batch lands in a parquet dir via the
     // batch writer (the backfill-to-lake shape); the drained lake must
     // aggregate to exactly the batch semantics. Fresh output + checkpoint
@@ -350,6 +403,31 @@ object Streams {
         |      FROM x)
         |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Left-outer pairs = all matched pairs, plus a null row for every
+    // unmatched view whose state the FINAL watermark evicted: the global
+    // watermark is the min of the per-side (ms-floored max ts - 30min)
+    // marks, and the left state bound derived from the join range drops a
+    // view once view.ts + 30min falls below it. Buffered-but-unmatched
+    // tail views emit nothing.
+    "q264_stream_stream_outer_drain" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT (max(us) // 1000) * 1000 FROM v),
+        |                    (SELECT (max(us) // 1000) * 1000 FROM c))
+        |               - 1800000000 AS wm_us),
+        |m AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |      FROM v JOIN c ON v.user_id = c.user_id
+        |       AND c.us >= v.us AND c.us <= v.us + 1800000000),
+        |unm AS (SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id
+        |        FROM v, wm
+        |        WHERE v.us + 1800000000 < wm.wm_us
+        |          AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |                AND c.us >= v.us AND c.us <= v.us + 1800000000))
+        |SELECT user_id, view_id, click_id
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM unm)
+        |ORDER BY user_id, view_id, click_id NULLS FIRST""".stripMargin,
 
     "q255_stream_foreachbatch_drain" ->
       """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
