@@ -93,6 +93,27 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // Corpus-level character-bigram language-model quality score — the
+    // cheap-LM filtering step of a curation pipeline (KenLM-style scoring
+    // at reduced fidelity): P(bg) is the corpus-wide bigram frequency, and
+    // a document's score is the mean log-probability of its bigrams. Two
+    // shuffles: one bigram count (the "model", small enough to broadcast
+    // at any corpus scale — char-bigram vocabulary is bounded), one
+    // per-doc aggregate after the broadcast-shaped join.
+    "q265_bigram_lm_score" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+              |           WHERE length(text) >= 2),
+              |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+              |                              i -> substr(t, i, 2))) AS bg FROM t),
+              |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+              |tot AS (SELECT SUM(c) AS n FROM cnt)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |  ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+              |FROM bg JOIN cnt USING (bg) CROSS JOIN tot
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     // CDC merge invariant under the gate: events as a change stream keyed
     // by user (event_type 'error' = delete marker, anything else a full-row
     // upsert), split into two batches at the midpoint timestamp. Bootstrap
@@ -304,6 +325,21 @@ object Ext {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Bigram LM: same corpus model and scoring in DuckDB (AVG summation
+    // order differs across engines only at ulp scale; round(4) absorbs it,
+    // the q51e precedent).
+    "q265_bigram_lm_score" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, substr(t, i, 2) AS bg
+        |       FROM t, UNNEST(range(1, length(t))) u(i)),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c) AS n FROM cnt)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |FROM bg JOIN cnt USING (bg) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // CDC merge ≡ batch recompute: last change per user wins; a user whose
     // final change is a delete marker is absent from the state.
