@@ -38,7 +38,7 @@ object Dedup {
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
     minhashNearDupOn(sh = shinglesOf(spark, dir), minJaccard = 0.5)
 
-  private def shinglesOf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shinglesOf(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     shingles(spark.table("documents"))
   }
@@ -48,7 +48,7 @@ object Dedup {
     * and cluster layouts) folded into 8 band hashes. One partial-aggregating
     * shuffle on doc_id; this is the signature a production corpus would
     * persist next to the data. */
-  private[pipeline] def bandsOf(sh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
     val sigAggs: Seq[Column] =
       (0 until NumHashes).map(i => min(xxhash64(col("g"), lit(i))).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -218,8 +218,17 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     Tables.register(spark, dir)
     val sh = shingles(spark.table("documents"))
-    val batchBands = bandsOf(sh.where(col("doc_id") % 10 === 0))
-    val corpusBands = bandsOf(sh.where(col("doc_id") % 10 =!= 0))
+    incrementalNearDupFrom(sh,
+      bandsOf(sh.where(col("doc_id") % 10 === 0)),
+      bandsOf(sh.where(col("doc_id") % 10 =!= 0)), minJaccard)
+  }
+
+  /** Core of the incremental path with the signature inputs explicit, so
+    * the scale harness (BenchOne incremental_scale) can pre-materialize the
+    * corpus bands — in production they are READ from the signature store,
+    * not recomputed per batch. */
+  private[graft] def incrementalNearDupFrom(sh: DataFrame, batchBands: DataFrame,
+      corpusBands: DataFrame, minJaccard: Double): DataFrame = {
     val crossCand = batchBands.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

@@ -9,7 +9,9 @@ class ContractSpec extends SparkSpec {
   /** The documented rows-only set: by-contract-approximate ANN top-k
     * (audited via q51c/q51d). Everything else — including the multimodal
     * decode (q52, real codecs since r5) — carries a DuckDB oracle. */
-  private val rowsOnly = Set("q51_ann_lsh", "q51b_ann_ivf")
+  // Since the q51/q51b oracles landed (seeded hyperplanes / Lloyd unrolling
+  // embedded as literals), EVERY entry carries a DuckDB oracle.
+  private val rowsOnly = Set.empty[String]
 
   test("query names are unique (ListMap would silently shadow duplicates)") {
     val sqlNames = Queries.specs.map(_.name)

@@ -156,6 +156,8 @@ class PlanSpec extends SparkSpec {
       "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
       "q51e_kmeans_cells", // N x k broadcast-centroid assignment (Lloyd step; k constant)
       "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
+      "q51f_quantized_topk", // 5 broadcast quantized queries x corpus (brute-force verifier)
+      "q265_bigram_lm_score", // CROSS JOIN with the 1-row corpus-total aggregate
       // sketch-law checks: CROSS JOINs of 1-row sketch/exact aggregates
       "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
       "q234_theta_difference")

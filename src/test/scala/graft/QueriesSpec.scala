@@ -20,11 +20,11 @@ class QueriesSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
-    // the only rows-only entries: ANN (approximate by contract, both LSH
-    // and IVF paths, audited via q51c/q51d); near-dup ops carry exact
-    // ground-truth oracles and the multimodal decode is oracle-checked
-    // against the media generator's closed form (real codecs since r5)
-    assert(q -- o == Set("q51_ann_lsh", "q51b_ann_ivf"))
+    // every entry carries an oracle: the formerly rows-only ANN paths got
+    // exact oracles once the seeded hyperplanes / unrolled Lloyd iterations
+    // were embedded as SQL literals (and their recall is audited separately
+    // via q51c/q51d)
+    assert(q -- o == Set.empty[String])
   }
 
   test("TABLESAMPLE returns a strict, plausible subset and repeats with a fixed seed") {

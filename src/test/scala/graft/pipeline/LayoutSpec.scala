@@ -23,10 +23,12 @@ class LayoutSpec extends SparkSpec {
 
   test("z-order layout prunes more files than either single-column sort on a 2-D box") {
     // sf0.01 (10k events, 150 users): enough distinct keys that a 64-file
-    // range layout is actually 64 files on every dimension.
-    val dir = "/root/testdata/sf0.01"
-    Tables.register(spark, dir)
-    val ev = Tables.read(spark, dir, "events")
+    // range layout is actually 64 files on every dimension. Register the
+    // default dir only (for session conf) and read sf0.01 directly —
+    // registering another SF's views here would leak into the shared
+    // session and poison suites that count the default fixtures.
+    Tables.register(spark, sfDir)
+    val ev = Tables.read(spark, "/root/testdata/sf0.01", "events")
       .select(col("event_id"), col("user_id"), col("value"))
     val nFiles = 64
 
