@@ -93,6 +93,39 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // BM25 ranking (Lucene IDF form, k1=1.2, b=0.75) for a fixed term query
+    // — the lexical half of a retrieval stack. Shuffle shape: one tf
+    // groupBy, a broadcastable df/stats side, one per-doc score aggregate.
+    "q266_bm25_topk" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql(bm25Sql(limit = 10))
+    }),
+
+    // Reciprocal-rank fusion of the lexical (BM25 top-50) and vector
+    // (int8-quantized cosine top-50 for query vector 0) rankings —
+    // rrf = Σ 1/(60 + rank) over the lists a doc appears in; the standard
+    // hybrid-retrieval combiner. Both input rankings are deterministic
+    // cross-engine (rounded BM25, integer-exact quantized cosine), and the
+    // fusion arithmetic is two correctly-rounded double divisions.
+    "q267_rrf_fusion" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.register(s, d)
+      val vec = Similarity.quantizedTopK(s, d, k = 50)
+        .where(col("qid") === 0)
+        .select(col("did").as("doc_id"), col("rnk").as("vrank"))
+      val bm = s.sql(bm25Sql(limit = 50)).select(col("doc_id"), col("rnk").as("brank"))
+      vec.join(bm, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("brank")), lit(0.0))).as("rrf"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+        .where(col("rnk") <= 10)
+        .select(col("rnk"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("rnk")
+    }),
+
     // Corpus-level character-bigram language-model quality score — the
     // cheap-LM filtering step of a curation pipeline (KenLM-style scoring
     // at reduced fidelity): P(bg) is the corpus-wide bigram frequency, and
@@ -179,6 +212,51 @@ object Ext {
 
   /** DuckDB CTE computing each document's distinct word-3-shingle set —
     * mirrors Dedup.shingles (1-based list indexing vs Spark's 0-based). */
+  /** Spark-dialect BM25 (Lucene IDF, k1=1.2, b=0.75) over `documents` for
+    * the fixed query terms (hash, join, scan): (rnk, doc_id, score ROUND 6).
+    * Ranking is on the ROUNDED score (ties → doc_id) so both engines break
+    * near-ties identically; the DuckDB mirror lives in [[oracles]]. */
+  private def bm25Sql(limit: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents)
+       |  WHERE tok IN ('hash', 'join', 'scan')),
+       |lens AS (SELECT doc_id, size(split(lower(text), ' ')) AS len FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM lens),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+       |sc AS (SELECT tf.doc_id,
+       |         ROUND(SUM(LN((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tfreq * 2.2 /
+       |           (tfreq + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS score
+       |       FROM tf JOIN df USING (tok)
+       |       JOIN lens ON tf.doc_id = lens.doc_id
+       |       CROSS JOIN stats
+       |       GROUP BY tf.doc_id),
+       |r AS (SELECT doc_id, score,
+       |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |SELECT rnk, doc_id, score FROM r WHERE rnk <= $limit ORDER BY rnk""".stripMargin
+
+  /** DuckDB-dialect BM25, identical math (string_split/unnest/len). */
+  private def bm25DuckSql(limit: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+       |  WHERE tok IN ('hash', 'join', 'scan')),
+       |lens AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS len FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM lens),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tfreq FROM toks GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+       |sc AS (SELECT tf.doc_id,
+       |         ROUND(SUM(LN((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tfreq * 2.2 /
+       |           (tfreq + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS score
+       |       FROM tf JOIN df USING (tok)
+       |       JOIN lens ON tf.doc_id = lens.doc_id
+       |       CROSS JOIN stats
+       |       GROUP BY tf.doc_id),
+       |r AS (SELECT doc_id, score,
+       |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc
+       |      QUALIFY rnk <= $limit)""".stripMargin
+
   private val shingleCte =
     """WITH w AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -325,6 +403,40 @@ object Ext {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // BM25: identical math in DuckDB dialect; ranking on the rounded score.
+    "q266_bm25_topk" ->
+      s"""WITH ${bm25DuckSql(limit = 10)}
+         |SELECT rnk, doc_id, score FROM r ORDER BY rnk""".stripMargin,
+
+    // RRF: DuckDB recomputes both input rankings (BM25 top-50 and the
+    // int8-quantized cosine top-50 for query vector 0 — the q51f pipeline
+    // filtered to qid 0) and fuses with 1/(60+rank).
+    "q267_rrf_fusion" ->
+      s"""WITH ${bm25DuckSql(limit = 50)},
+         |qbase AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 AS s
+         |  FROM embeddings),
+         |qq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / s) AS BIGINT)) AS q
+         |  FROM qbase),
+         |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM qq),
+         |qscored AS (
+         |  SELECT d.vec_id AS did,
+         |    list_dot_product(a.q, d.q) / (sqrt(a.n2) * sqrt(d.n2)) AS qcos
+         |  FROM qn a JOIN qn d ON a.vec_id = 0 AND d.vec_id <> a.vec_id),
+         |vrankt AS (
+         |  SELECT did AS doc_id, ROW_NUMBER() OVER (ORDER BY qcos DESC, did) AS vrank
+         |  FROM qscored QUALIFY vrank <= 50),
+         |fused AS (
+         |  SELECT COALESCE(v.doc_id, r.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60 + v.vrank), 0.0) + COALESCE(1.0 / (60 + r.rnk), 0.0) AS rrf
+         |  FROM vrankt v FULL OUTER JOIN r ON v.doc_id = r.doc_id)
+         |SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk, doc_id,
+         |  ROUND(rrf, 6) AS rrf
+         |FROM fused QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin,
 
     // Bigram LM: same corpus model and scoring in DuckDB (AVG summation
     // order differs across engines only at ulp scale; round(4) absorbs it,

@@ -158,6 +158,8 @@ class PlanSpec extends SparkSpec {
       "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
       "q51f_quantized_topk", // 5 broadcast quantized queries x corpus (brute-force verifier)
       "q265_bigram_lm_score", // CROSS JOIN with the 1-row corpus-total aggregate
+      "q266_bm25_topk",   // CROSS JOIN with the 1-row corpus-stats aggregate
+      "q267_rrf_fusion",  // contains the q51f + q266 shapes above
       // sketch-law checks: CROSS JOINs of 1-row sketch/exact aggregates
       "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
       "q234_theta_difference")
