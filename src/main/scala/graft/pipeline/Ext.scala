@@ -93,6 +93,38 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // Blocked fuzzy join — the entity-resolution shape: a cheap equi
+    // blocking key (nation) bounds the candidate space, an edit-distance
+    // verify runs only on blocked pairs (residual filter on the hash join,
+    // never a nested loop over the cross product). At 100 TB blocking is
+    // what makes record linkage joinable at all.
+    "q268_blocked_fuzzy_join" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql("""SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_matches
+              |FROM customer c JOIN supplier s
+              |  ON c.c_nationkey = s.s_nationkey
+              | AND levenshtein(substr(c.c_name, -4), substr(s.s_name, -4)) <= 1
+              |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin)
+    }),
+
+    // Partial-aggregate rollup — the materialized-view maintenance law:
+    // daily (day, type) partials merge into per-type totals that must
+    // equal the direct aggregate over raw events (cnt=Σcnt, sum=Σsum,
+    // min=min(min), max=max(max), avg re-derived). This decomposability
+    // is what makes incremental MV refresh valid at 100 TB.
+    "q269_partial_agg_rollup" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql("""WITH daily AS (
+              |  SELECT to_date(ts) AS d, event_type,
+              |         COUNT(*) AS cnt, SUM(value) AS sv,
+              |         MIN(value) AS mn, MAX(value) AS mx
+              |  FROM events GROUP BY to_date(ts), event_type)
+              |SELECT event_type, SUM(cnt) AS cnt, ROUND(SUM(sv), 4) AS sum_value,
+              |       ROUND(MIN(mn), 4) AS min_value, ROUND(MAX(mx), 4) AS max_value,
+              |       ROUND(SUM(sv) / SUM(cnt), 4) AS avg_value
+              |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // BM25 ranking (Lucene IDF form, k1=1.2, b=0.75) for a fixed term query
     // — the lexical half of a retrieval stack. Shuffle shape: one tf
     // groupBy, a broadcastable df/stats side, one per-doc score aggregate.
@@ -403,6 +435,22 @@ object Ext {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Fuzzy blocked join: DuckDB's levenshtein agrees with Spark's
+    // (classic DP edit distance, no weights) on these ASCII names.
+    "q268_blocked_fuzzy_join" ->
+      """SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_matches
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        | AND levenshtein(substr(c.c_name, -4), substr(s.s_name, -4)) <= 1
+        |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin,
+
+    // MV law: the rolled-up partials must equal the direct aggregate.
+    "q269_partial_agg_rollup" ->
+      """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,
+        |       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value,
+        |       ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // BM25: identical math in DuckDB dialect; ranking on the rounded score.
     "q266_bm25_topk" ->
