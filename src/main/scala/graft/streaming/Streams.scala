@@ -250,9 +250,17 @@ object Streams {
       val cut = v.join(c, col("user_id") === col("c_user") &&
           col("cus") >= col("vus") && col("cus") <= col("vus") + 1800000000L)
         .agg(max("cus")).head.getLong(0)
+      // Stateful-join state is partitioned by the shuffle-partition count at
+      // FIRST run and pinned in the checkpoint; at this fixture scale 32
+      // partitions are pure state-store file-IO overhead (4 stores x 2
+      // phases x N partitions), so run the drains at 8. Restored after the
+      // drains; the final batch read-back uses the session default.
       val src = java.nio.file.Files.createTempDirectory("graft_ssj_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
       val schema = s.read.parquet(src).schema
       def side(tpe: String, idAs: String): DataFrame =
@@ -279,6 +287,7 @@ object Streams {
       phase()
       writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
       phase()
+      } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts) }
       s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
         .orderBy("user_id", "view_id", "click_id")
     }),
@@ -305,6 +314,10 @@ object Streams {
       val src = java.nio.file.Files.createTempDirectory("graft_sso_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_sso_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sso_ckpt").toString
+      // Same state-partition sizing rationale as q259.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
       val schema = s.read.parquet(src).schema
       def side(tpe: String, idAs: String): DataFrame =
@@ -332,6 +345,7 @@ object Streams {
       phase()
       writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
       phase()
+      } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts) }
       s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
         .orderBy("user_id", "view_id", "click_id")
     }),
