@@ -14,6 +14,7 @@ import graft.functions.{CosineSimilarity, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       CosineSimilarity.info,

@@ -58,6 +58,20 @@ object Ext {
         .select("event_id", "user_id", "ts", "asof_click_v")
         .orderBy("event_id")
     }),
+    // The SAME as-of query through the custom physical operator
+    // (plans/AsOfJoinExec): one streaming merge pass after co-partitioned
+    // sorts, against the identical DuckDB native-ASOF oracle as q205.
+    "q205b_asof_join_native" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val left = s.table("events").select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = s.table("events").where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 4).as("click_v"))
+      Ops.asofJoinNative(left, clicks, "user_id", "ts", Seq("click_v"))
+        .select("event_id", "user_id", "ts", "asof_click_v")
+        .orderBy("event_id")
+    }),
+
     // ETL write -> pruned read-back under the gate: land a hive-partitioned
     // lake, re-read with a partition filter (OpsSpec asserts the scan's
     // PartitionFilters actually prune), and aggregate the surviving
@@ -420,6 +434,17 @@ object Ext {
     // The union+window as-of formulation must agree with DuckDB's native
     // ASOF LEFT JOIN (latest click at-or-before each event, per user).
     "q205_asof_join_op" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, ROUND(MAX(value), 4) AS click_v
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts, c.click_v AS asof_click_v
+        |FROM events e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // The custom physical as-of operator must reproduce DuckDB's native
+    // ASOF LEFT JOIN exactly — same oracle as the union+window form.
+    "q205b_asof_join_native" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, ROUND(MAX(value), 4) AS click_v
         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)

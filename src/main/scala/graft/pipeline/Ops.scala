@@ -44,6 +44,34 @@ object Ops {
     filled.where(col("_tag") === 1).drop("_tag")
   }
 
+  /** As-of join through the engine's custom physical operator
+    * (plans/AsOfJoinExec — LogicalPlan + SparkStrategy + SparkPlan): same
+    * semantics and same shuffle envelope as [[asofJoin]], but a single
+    * streaming merge pass instead of union widening + window buffering.
+    * The strategy self-registers on the session (idempotent) so
+    * driver-provided plain sessions work; build-time injection is also
+    * available via GraftExtensions. The right side is re-aliased so a
+    * self-join (both sides from one table) can't leak duplicate
+    * attribute ids into the custom node. */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.forall(!left.columns.contains(_)),
+      s"payload columns ${payloadCols.filter(left.columns.contains(_))} collide with left-side columns")
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val rFresh = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val plan = graft.plans.AsOfJoinPlan(
+      left.queryExecution.analyzed, rFresh.queryExecution.analyzed,
+      keyCol, timeCol, payloadCols)
+    org.apache.spark.sql.GraftShims.ofRows(spark, plan)
+  }
+
   /** Salted equi-join for skewed keys: explodes the build side `salt` ways
     * and scatters the probe side, so one hot key spreads over `salt`
     * reducers instead of melting a single task. AQE's skew-join handles the

@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator extension point (SURVEY §2 preference order (c)): a
+  * native AS-OF JOIN as a custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, the alternative to the union+window formulation in
+  * `Ops.asofJoin`. Semantics are identical: for every left row, the latest
+  * right row with `right.time <= left.time` on the same key (simultaneous
+  * rows visible); unmatched left rows get null payload (left-outer).
+  *
+  * Physical shape — the classic merge as-of: both sides hash-clustered on
+  * the key (one shuffle each, exactly what the window form pays) and sorted
+  * (key, time) within partitions; then one streaming merge pass emits each
+  * left row with the last visible right payload. No window buffering, no
+  * union widening: the merge keeps O(1) state per key. Null keys/times
+  * never match (SQL comparison semantics): null-keyed left rows emit null
+  * payload, null right rows are skipped.
+  *
+  * Keys/time/payload are carried by NAME (resolved positionally against
+  * each child's output at execution), so attribute rewrites during
+  * optimization can't detach them; the fresh `payloadOut` attributes are
+  * declared `producedAttributes` so the analyzer accepts the node. */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keyCol: String,
+    timeCol: String,
+    payloadCols: Seq[String],
+    payloadOut: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Builds the node with fresh nullable output attributes `asof_<col>`. */
+  def apply(left: LogicalPlan, right: LogicalPlan, keyCol: String,
+      timeCol: String, payloadCols: Seq[String]): AsOfJoinPlan = {
+    val pOut = payloadCols.map { c =>
+      val a = right.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"payload column $c not on the right side"))
+      AttributeReference(s"asof_$c", a.dataType, nullable = true)()
+    }
+    new AsOfJoinPlan(left, right, keyCol, timeCol, payloadCols, pOut)
+  }
+}
+
+/** Planner strategy: maps the logical as-of node 1:1 onto its exec. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(p.left), planLater(p.right),
+        p.keyCol, p.timeCol, p.payloadCols, p.payloadOut) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    keyCol: String,
+    timeCol: String,
+    payloadCols: Seq[String],
+    payloadOut: Seq[Attribute])
+  extends BinaryExecNode {
+
+  private def attrOf(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalStateException(s"column $name missing from ${side.output.map(_.name)}"))
+  private def lKey = attrOf(left, keyCol)
+  private def lTime = attrOf(left, timeCol)
+  private def rKey = attrOf(right, keyCol)
+  private def rTime = attrOf(right, timeCol)
+
+  override def output: Seq[Attribute] = left.output ++ payloadOut
+  override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+
+  // One shuffle per side on the key (EnsureRequirements co-partitions the
+  // pair), sorted (key, time) within partitions — the SMJ cost envelope.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(lKey)) :: ClusteredDistribution(Seq(rKey)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(lKey, Ascending), SortOrder(lTime, Ascending)),
+      Seq(SortOrder(rKey, Ascending), SortOrder(rTime, Ascending)))
+  // The merge emits left rows in their incoming order.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyType = lKey.dataType
+    val timeType = lTime.dataType
+    val lKeyIdx = left.output.indexWhere(_.name == keyCol)
+    val lTimeIdx = left.output.indexWhere(_.name == timeCol)
+    val rKeyIdx = right.output.indexWhere(_.name == keyCol)
+    val rTimeIdx = right.output.indexWhere(_.name == timeCol)
+    val pIdx = payloadCols.map(c => right.output.indexWhere(_.name == c)).toArray
+    val pTypes = payloadOut.map(_.dataType).toArray
+    val outTypes = output.map(_.dataType).toArray
+    val nPay = pIdx.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val kOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val payloadRow = new GenericInternalRow(nPay)
+      val nullRow = new GenericInternalRow(nPay)
+      val rBuf = rIter.buffered
+      var payKey: Any = null
+      var hasPay = false
+      lIter.map { l =>
+        val lk = if (l.isNullAt(lKeyIdx)) null else l.get(lKeyIdx, keyType)
+        val lt = if (l.isNullAt(lTimeIdx)) null else l.get(lTimeIdx, timeType)
+        if (lk != null && lt != null) {
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = if (r.isNullAt(rKeyIdx)) null else r.get(rKeyIdx, keyType)
+            val rt = if (r.isNullAt(rTimeIdx)) null else r.get(rTimeIdx, timeType)
+            if (rk == null || rt == null) rBuf.next() // never matches
+            else if (kOrd.lt(rk, lk)) rBuf.next() // key fully passed by left
+            else if (kOrd.equiv(rk, lk) && tOrd.lteq(rt, lt)) {
+              // visible: remember (and overwrite with later) payload values;
+              // copy — the source row buffer is reused by the iterator
+              var i = 0
+              while (i < nPay) {
+                payloadRow.update(i,
+                  if (r.isNullAt(pIdx(i))) null
+                  else InternalRow.copyValue(r.get(pIdx(i), pTypes(i))))
+                i += 1
+              }
+              payKey = rk
+              hasPay = true
+              rBuf.next()
+            } else continue = false // right is ahead of this left row
+          }
+        }
+        val pay =
+          if (hasPay && lk != null && kOrd.equiv(payKey, lk)) payloadRow else nullRow
+        proj(joined(l, pay))
+      }
+    }
+  }
+}

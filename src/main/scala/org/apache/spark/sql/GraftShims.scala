@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway the engine needs: wrapping a custom
+  * LogicalPlan (graft.plans.AsOfJoinPlan) into a DataFrame. Everything else
+  * in the engine goes through public APIs. */
+object GraftShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

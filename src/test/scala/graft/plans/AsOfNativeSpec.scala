@@ -1,0 +1,75 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.pipeline.Ops
+
+/** The custom physical as-of operator (AsOfJoinPlan/Strategy/Exec) must be
+  * semantically identical to the union+window form, plan through the
+  * custom exec (not a fallback), and honor the null/tie conventions. */
+class AsOfNativeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of picks the latest earlier-or-simultaneous right row per key") {
+    import graft.TestSpark.spark.implicits._
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:03"), "t1"),
+      (1L, ts("2024-01-01 10:00:10"), "t2"),
+      (2L, ts("2024-01-01 10:00:05"), "t3"),
+      (3L, ts("2024-01-01 10:00:01"), "t4"),
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:01"), 100.0),
+      (1L, ts("2024-01-01 10:00:03"), 101.0), // simultaneous with t1 -> visible
+      (1L, ts("2024-01-01 10:00:08"), 102.0),
+      (2L, ts("2024-01-01 10:00:09"), 200.0), // after t3 -> not visible
+    ).toDF("k", "t", "price")
+    val out = Ops.asofJoinNative(trades, quotes, "k", "t", Seq("price"))
+      .orderBy("k", "t").collect()
+    val got = out.map(r => (r.getAs[String]("trade"), Option(r.getAs[Any]("asof_price"))))
+    assert(got.toSeq == Seq(
+      ("t1", Some(101.0)), ("t2", Some(102.0)), ("t3", None), ("t4", None)))
+  }
+
+  test("native as-of equals the union+window form on the events fixture") {
+    Tables.register(spark, sfDir)
+    val left = spark.table("events").select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = spark.table("events").where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(round(max(col("value")), 4).as("click_v"))
+    val a = Ops.asofJoin(left, clicks, "user_id", "ts", Seq("click_v"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), Option(r.get(3))))
+    val b = Ops.asofJoinNative(left, clicks, "user_id", "ts", Seq("click_v"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), Option(r.get(3))))
+    assert(a.sameElements(b))
+    assert(a.exists(_._2.isDefined) && a.exists(_._2.isEmpty))
+  }
+
+  test("plans through AsOfJoinExec with co-partitioned sorted children") {
+    Tables.register(spark, sfDir)
+    val left = spark.table("events").select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = spark.table("events").where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_v"))
+    val plan = Ops.asofJoinNative(left, clicks, "user_id", "ts", Seq("click_v"))
+      .queryExecution.executedPlan.toString
+    // the exec node renders as "AsOfJoin" (TreeNode strips the Exec suffix)
+    assert(plan.contains("AsOfJoin "), plan)
+    assert("Sort \\[".r.findAllIn(plan).size >= 2, s"expected per-side sorts:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly one shuffle per side:\n$plan")
+  }
+
+  test("null keys and times never match: null-keyed left rows get null payload") {
+    import graft.TestSpark.spark.implicits._
+    val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), 42.0), (None, Some(1L), 7.0),
+      (Some(1L), None, 8.0)).toDF("k", "t", "v")
+    val got = Ops.asofJoinNative(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("asof_v"))).toMap
+    assert(got == Map("a" -> Some(42.0), "b" -> None, "c" -> None))
+  }
+}
