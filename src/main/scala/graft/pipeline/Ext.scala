@@ -107,6 +107,28 @@ object Ext {
         .orderBy("event_type")
     }),
 
+    // Schema evolution on read: two ingest batches land with different
+    // schemas (the later one adds a column), and a mergeSchema scan
+    // reconciles them — early rows surface NULL for the added column. The
+    // lake-evolution behavior every long-lived 100 TB dataset depends on.
+    "q270_schema_evolution" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val lake = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val ev = s.table("events")
+      ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$lake/batch=1")
+      ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$lake/batch=2")
+      s.read.option("mergeSchema", "true").parquet(lake)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"),
+          count(col("user_id")).as("n_with_user"))
+        .orderBy("event_type")
+    }),
+
     // Blocked fuzzy join — the entity-resolution shape: a cheap equi
     // blocking key (nation) bounds the candidate space, an edit-distance
     // verify runs only on blocked pairs (residual filter on the hash join,
@@ -459,6 +481,15 @@ object Ext {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 10 AND 40 AND value BETWEEN 50 AND 150
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Schema evolution: pre-evolution rows must read as NULL in the added
+    // column — so the per-type user counts are 0 for the old batch and
+    // full for the new one.
+    "q270_schema_evolution" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+        |  CASE WHEN event_type = 'click' THEN COUNT(*) ELSE 0 END AS n_with_user
+        |FROM events WHERE event_type IN ('view', 'click')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Fuzzy blocked join: DuckDB's levenshtein agrees with Spark's

@@ -37,6 +37,13 @@ case class AsOfJoinPlan(
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
+  // The key/time (and right payload) columns are consumed by NAME in the
+  // exec, invisibly to QueryPlan's expression walk — declare them, or
+  // ColumnPruning under a no-column parent (e.g. count()) legally prunes
+  // the children down to empty outputs.
+  override lazy val references: AttributeSet = AttributeSet(
+    Seq(keyCol, timeCol).flatMap(n => left.output.filter(_.name == n)) ++
+      (Seq(keyCol, timeCol) ++ payloadCols).flatMap(n => right.output.filter(_.name == n)))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
