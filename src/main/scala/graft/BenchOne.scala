@@ -51,6 +51,25 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "asof_native_vs_window") {
+      // Same as-of query (q205 shape) through the custom merge operator vs
+      // the union+window formulation; both pay one shuffle per side.
+      import org.apache.spark.sql.functions._
+      val left = spark.table("events").select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = spark.table("events").where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(round(max(col("value")), 4).as("click_v"))
+      for (i <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val n1 = pipeline.Ops.asofJoinNative(left, clicks, "user_id", "ts", Seq("click_v"))
+          .queryExecution.toRdd.count()
+        println(f"run$i native merge: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n1 rows)")
+        t0 = System.nanoTime()
+        val n2 = pipeline.Ops.asofJoin(left, clicks, "user_id", "ts", Seq("click_v"))
+          .queryExecution.toRdd.count()
+        println(f"run$i union+window: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n2 rows)")
+      }
+      spark.stop(); return
+    }
     if (name == "incremental_scale") {
       // 20x corpus (salted per copy, as minhash_scale): daily-ingest shape.
       // Compares a FULL re-dedup of the corpus against the incremental path
