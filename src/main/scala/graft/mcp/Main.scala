@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 /** Parsed launch options: `dataDir` already has CLI-over-env precedence
   * applied (the reference's rule — entrypoint CLI args beat env vars,
   * /root/reference/images/snowflake-mcp/entrypoint.sh:104-190). */
-final case class Launch(toolsFile: Option[String], dataDir: Option[String])
+final case class Launch(toolsFile: Option[String], dataDir: Option[String],
+    queryTimeoutMs: Long = 0L)
 
 /** Server entrypoint, flag-compatible with the reference images
   * (`--stdio`, `--tools-file <yaml>`; SURVEY §3.3):
@@ -19,13 +20,14 @@ final case class Launch(toolsFile: Option[String], dataDir: Option[String])
   */
 object Main {
 
-  val usage = "usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D]"
+  val usage = "usage: graft.mcp.Main --stdio [--tools-file F] [--data-dir D] [--query-timeout-ms N]"
 
   /** Pure flag parse (ConfigMatrixSpec) — exact error strings are part of
     * the contract, mirroring the reference's structured config errors. */
   def parseArgs(args: Array[String], env: Map[String, String]): Either[String, Launch] = {
     var toolsFile: Option[String] = None
     var dataDirFlag: Option[String] = None
+    var timeoutMs = 0L
     var stdio = false
     var err: Option[String] = None
     var i = 0
@@ -39,6 +41,13 @@ object Main {
             else dataDirFlag = Some(args(i + 1))
             i += 1
           }
+        case "--query-timeout-ms" =>
+          if (i + 1 >= args.length) err = Some("--query-timeout-ms needs a value")
+          else {
+            try { timeoutMs = args(i + 1).toLong; if (timeoutMs < 0) err = Some("--query-timeout-ms must be >= 0") }
+            catch { case _: NumberFormatException => err = Some(s"--query-timeout-ms is not a number: ${args(i + 1)}") }
+            i += 1
+          }
         // reference-image compat (entrypoints pass `--prebuilt <kind>`): the
         // builtin tools are always present, so the kind name is informational
         case "--prebuilt" => i += 1
@@ -49,7 +58,8 @@ object Main {
     err match {
       case Some(e) => Left(e)
       case None if !stdio => Left("missing required --stdio")
-      case None => Right(Launch(toolsFile, dataDirFlag.orElse(env.get("SPARK_GRAFT_SF_DIR"))))
+      case None => Right(Launch(toolsFile,
+        dataDirFlag.orElse(env.get("SPARK_GRAFT_SF_DIR")), timeoutMs))
     }
   }
 
@@ -96,7 +106,7 @@ object Main {
     dataDir.foreach(d => graft.Tables.register(spark, d))
     config.registerSources(spark)
 
-    val server = new McpServer(spark, config)
+    val server = new McpServer(spark, config, queryTimeoutMs = launch.queryTimeoutMs)
     serve(server, new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     spark.stop()
   }

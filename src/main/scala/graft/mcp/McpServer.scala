@@ -20,9 +20,39 @@ import org.apache.spark.sql.SparkSession
 final class McpServer(
     spark: SparkSession,
     config: ToolboxConfig,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    queryTimeoutMs: Long = 0L) {
 
   private val mapper = new ObjectMapper()
+  private val execCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Runs one tool's row collection under the per-query latency ceiling
+    * (`--query-timeout-ms`; 0 = unlimited — the reference's own posture is
+    * "no toolbox-added limits", but its test harnesses enforce ceilings, and
+    * a shared server needs the runaway-query kill switch). The collection
+    * runs in its own thread inside a Spark job group with
+    * `interruptOnCancel`; on timeout the whole group is cancelled — tasks
+    * die cluster-wide, not just the client wait — and the server stays
+    * serviceable. */
+  private def collectRows(toolName: String, body: => Array[String]): Either[String, Array[String]] =
+    if (queryTimeoutMs <= 0L) Right(body)
+    else {
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val group = s"graft-mcp-${execCounter.incrementAndGet()}"
+      val sc = spark.sparkContext
+      val fut = Future {
+        sc.setJobGroup(group, s"mcp tool $toolName", interruptOnCancel = true)
+        try body finally sc.clearJobGroup()
+      }
+      try Right(Await.result(fut, queryTimeoutMs.millis))
+      catch {
+        case _: TimeoutException =>
+          sc.cancelJobGroup(group)
+          Left(s"query exceeded the ${queryTimeoutMs} ms limit and was cancelled")
+      }
+    }
 
   /** Built-in tools, always present (the "prebuilt" behavior — every backend
     * image provides list_tables + execute_sql, README.md:1716). */
@@ -170,7 +200,10 @@ final class McpServer(
         if (bound.args.nonEmpty)
           spark.sql(bound.sql, bound.args.asInstanceOf[Map[String, Any]])
         else spark.sql(bound.sql)
-      val rows = df.toJSON.take(maxRows)
+      val rows = collectRows(name, df.toJSON.take(maxRows)) match {
+        case Left(reason) => return response(id, errorContent(reason))
+        case Right(r) => r
+      }
       val result = mapper.createObjectNode()
       val content = result.putArray("content")
       rows.foreach { row =>

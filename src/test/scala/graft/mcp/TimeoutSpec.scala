@@ -1,0 +1,55 @@
+package graft.mcp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.{SparkSpec, Tables}
+
+/** Per-query latency ceiling: a runaway query is cancelled (Spark job group
+  * kill, not just a client-side give-up) and the server keeps serving. */
+class TimeoutSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  test("a runaway query times out with isError and the server stays healthy") {
+    Tables.register(spark, sfDir)
+    // warm the fixture read path so the post-cancel health check measures
+    // the server, not first-scan costs (file listing, codegen)
+    spark.sql("SELECT COUNT(*) FROM region").collect()
+    val server = new McpServer(spark, ToolboxConfig(Nil, Nil), queryTimeoutMs = 2000)
+    // a 50-billion-row range aggregate: seconds of work in ordinary tasks
+    // that the job-group cancel reaches promptly (kill-on-interrupt). A
+    // broadcast-heavy plan would be a worse citizen here — its build jobs
+    // run on the broadcast-exchange pool outside the caller's job group —
+    // which is exactly why the ceiling cancels the whole group it owns.
+    val slow = """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT COUNT(*) AS n FROM range(50000000000) WHERE id % 7 = 3"}}}"""
+    val resp = mapper.readTree(server.handleLine(slow).get)
+    assert(resp.at("/result/isError").asBoolean(false), resp.toString)
+    assert(resp.at("/result/content/0/text").asText().contains("cancelled"))
+
+    // the session is still serviceable afterwards
+    val quick = """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT COUNT(*) AS n FROM region"}}}"""
+    val ok = mapper.readTree(server.handleLine(quick).get)
+    assert(!ok.at("/result/isError").asBoolean(false), ok.toString)
+    assert(mapper.readTree(ok.at("/result/content/0/text").asText()).get("n").asLong() == 5L)
+  }
+
+  test("timeout 0 means unlimited (default posture unchanged)") {
+    Tables.register(spark, sfDir)
+    val server = new McpServer(spark, ToolboxConfig(Nil, Nil))
+    val q = """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT COUNT(*) AS n FROM lineitem"}}}"""
+    val resp = mapper.readTree(server.handleLine(q).get)
+    assert(!resp.at("/result/isError").asBoolean(false))
+  }
+
+  test("--query-timeout-ms parses, validates, and reaches the launch config") {
+    assert(Main.parseArgs(Array("--stdio", "--query-timeout-ms", "1500"), Map.empty)
+      .toOption.get.queryTimeoutMs == 1500L)
+    assert(Main.parseArgs(Array("--stdio"), Map.empty).toOption.get.queryTimeoutMs == 0L)
+    assert(Main.parseArgs(Array("--stdio", "--query-timeout-ms"), Map.empty) ==
+      Left("--query-timeout-ms needs a value"))
+    assert(Main.parseArgs(Array("--stdio", "--query-timeout-ms", "abc"), Map.empty) ==
+      Left("--query-timeout-ms is not a number: abc"))
+    assert(Main.parseArgs(Array("--stdio", "--query-timeout-ms", "-5"), Map.empty) ==
+      Left("--query-timeout-ms must be >= 0"))
+  }
+}
