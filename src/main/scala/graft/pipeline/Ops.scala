@@ -177,13 +177,16 @@ object Ops {
     n
   }
 
-  /** Morton interleave of two `bits`-bit bucket values — 2·bits
-    * codegen-friendly bit terms, no UDF. */
-  private def interleaveBits(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  /** Morton interleave of N `bits`-bit bucket values (dimension d's bit i
+    * lands at position i·N + d) — N·bits codegen-friendly bit terms, no
+    * UDF. */
+  private def interleaveBits(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    dims.zipWithIndex.flatMap { case (c, d) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d))
     }.reduce(_ bitwiseOR _)
+  }
 
   /** Rank bucketing into [0, 2^bits): the bucket is the count of quantile
     * boundaries ≤ x (a filter over a small literal array — codegen, no
@@ -210,12 +213,18 @@ object Ops {
     * partitions so row-group stats are tight too, and drop the helper
     * column before writing — layout is storage, not schema. */
   def zorderWrite(df: DataFrame, path: String, d1: String, d2: String,
+      nFiles: Int): Unit =
+    zorderWriteN(df, path, Seq(d1, d2), nFiles)
+
+  /** N-dimensional variant (d-dim bit at position i·N + d); 8 rank-bucket
+    * bits per dimension, so the z-value stays in a long for up to 8 dims. */
+  def zorderWriteN(df: DataFrame, path: String, dims: Seq[String],
       nFiles: Int): Unit = {
+    require(dims.size >= 2 && dims.size <= 8, s"zorder needs 2-8 dims, got ${dims.size}")
     val probs = (1 until 256).map(_.toDouble / 256).toArray
-    val Array(q1, q2) = df.stat.approxQuantile(Array(d1, d2), probs, 0.001)
+    val qs = df.stat.approxQuantile(dims.toArray, probs, 0.001)
     val z = interleaveBits(
-      bucketByQuantiles(col(d1), q1),
-      bucketByQuantiles(col(d2), q2), bits = 8)
+      dims.zip(qs).map { case (d, q) => bucketByQuantiles(col(d), q) }, bits = 8)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -152,6 +152,80 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("event-time timeout closes sessions exactly when the watermark passes the gap") {
+    import graft.TestSpark.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val gapMs = 30L * 60 * 1000
+    val rows = eventsBatch.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    // (session_start_ms, last_ms, n) per user; closed sessions are emitted —
+    // either by an in-batch gap or by the event-time timeout firing once the
+    // watermark passes last + gap (the production session-close mechanism).
+    val sessions = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator((user, start, n))
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            for (ms <- evs.map(_.ts.getTime).toArray.sorted) {
+              cur match {
+                case Some((start, last, n)) if ms - last < gapMs =>
+                  cur = Some((start, ms, n + 1))
+                case Some(done) =>
+                  closed += ((user, done._1, done._3)); cur = Some((ms, ms, 1L))
+                case None => cur = Some((ms, ms, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+    val q = sessions.toDF("user_id", "start_ms", "n_events")
+      .writeStream.format("memory").queryName("et_sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // push the watermark far past every open session's timeout — twice, so
+      // the timeout batch itself has a successor to run in
+      for (bump <- Seq(10L, 20L)) {
+        stream.addData(Ev(-1L, new Timestamp(maxTs + bump * 86400 * 1000), 999999L, "x", 0.0))
+        q.processAllAvailable()
+      }
+    } finally { q.stop() }
+
+    val got = spark.table("et_sessions").where($"user_id" =!= 999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch ground truth: gaps-and-islands with the same >= gap close rule
+    val want = rows.groupBy(_.user_id).flatMap { case (u, es) =>
+      val ts = es.map(_.ts.getTime).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      for (ms <- ts.tail) {
+        if (ms - last < gapMs) { last = ms; n += 1 }
+        else { sessions += ((u, start, n)); start = ms; last = ms; n = 1L }
+      }
+      sessions += ((u, start, n))
+      sessions
+    }.toSet
+    assert(got == want,
+      s"missing: ${(want -- got).take(3)}; spurious: ${(got -- want).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates replayed events") {
     import graft.TestSpark.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
