@@ -32,6 +32,8 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.kmeansCells(s, d)),
     "q51f_quantized_topk" ->
       ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
+    "q271_ivf_kmeans_topk" ->
+      ((s: SparkSession, d: String) => Similarity.ivfKmeansTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -780,6 +782,62 @@ object Ext {
          |  round(sqrt(list_sum(list_transform(c2.cemb, x -> x * x))), 4) AS centroid_norm
          |FROM a3 JOIN c2 USING (cell)
          |GROUP BY a3.cell, c2.cemb ORDER BY a3.cell""".stripMargin
+    },
+
+    // Learned-centroid IVF: DuckDB re-runs the ENTIRE pipeline — the two
+    // unrolled Lloyd iterations (the q51e contract), the nprobe=3 cell
+    // probe, and exact scoring of probed members — and must agree on every
+    // (query, rank, neighbor, score) row.
+    "q271_ivf_kmeans_topk" -> {
+      def step(ein: String, cin: String, aout: String, cout: String): String =
+        s"""$aout AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_cosine_similarity(e.emb,
+           |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+           |        c.cell) AS rn
+           |    FROM $ein e, $cin c) WHERE rn = 1),
+           |$cout AS (
+           |  SELECT cell, list(round(m, 6) ORDER BY j) AS cemb FROM (
+           |    SELECT a.cell, t.j, AVG(e.emb[t.j]) AS m
+           |    FROM $aout a JOIN $ein e USING (vec_id),
+           |         UNNEST(range(1, len(e.emb) + 1)) AS t(j)
+           |    GROUP BY a.cell, t.j)
+           |  GROUP BY cell)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e WHERE vec_id < 8),
+         |${step("e", "c0", "a1", "c1")},
+         |${step("e", "c1", "a2", "c2")},
+         |a3 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_cosine_similarity(e.emb,
+         |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+         |        c.cell) AS rn
+         |    FROM e, c2 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT qid, qemb, cell FROM (
+         |    SELECT q.qid, q.qemb, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        round(list_cosine_similarity(q.qemb,
+         |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+         |        c.cell) AS rn
+         |    FROM q, c2 c) WHERE rn <= 3),
+         |scored AS (
+         |  SELECT p.qid, a3.vec_id AS did,
+         |    round(list_cosine_similarity(p.qemb, e.emb), 4) AS cos_sim
+         |  FROM probes p JOIN a3 ON p.cell = a3.cell JOIN e ON e.vec_id = a3.vec_id
+         |  WHERE a3.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, did, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, did, cos_sim FROM ranked WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
     },
 
     // Scale-path near-dup vs the full exact all-pairs join over the same

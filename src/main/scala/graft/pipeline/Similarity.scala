@@ -103,6 +103,22 @@ object Similarity {
     * checksum/norm — recomputed independently by DuckDB running the same
     * unrolled iterations. */
   def kmeansCells(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val (centroids, assignedF) = kmeansFit(spark, dir, k, iters)
+    assignedF
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(centroids.select(col("cell"),
+        expr("round(aggregate(cemb, 0D, (a, x) -> a + x), 4)").as("centroid_sum"),
+        expr("round(sqrt(aggregate(cemb, 0D, (a, x) -> a + x * x)), 4)").as("centroid_norm")),
+        Seq("cell"))
+      .orderBy("cell")
+  }
+
+  /** The Lloyd fit itself: (final centroids (cell, cemb double[]), final
+    * assignment (vec_id, embedding, cell)) under the q51e determinism
+    * contract — shared by the cell-summary entry (q51e) and the
+    * learned-centroid IVF probe (q271). */
+  private def kmeansFit(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     Tables.register(spark, dir)
     val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
     def assign(cents: DataFrame): DataFrame = {
@@ -133,13 +149,45 @@ object Similarity {
         .agg(expr("transform(sort_array(collect_list(struct(j, m))), s -> round(s.m, 6))")
           .as("cemb"))
     }
-    assign(centroids)
-      .groupBy("cell").agg(count(lit(1)).as("n_members"))
-      .join(centroids.select(col("cell"),
-        expr("round(aggregate(cemb, 0D, (a, x) -> a + x), 4)").as("centroid_sum"),
-        expr("round(sqrt(aggregate(cemb, 0D, (a, x) -> a + x * x)), 4)").as("centroid_norm")),
-        Seq("cell"))
-      .orderBy("cell")
+    (centroids, assign(centroids))
+  }
+
+  /** IVF with LEARNED centroids — the production composition of the two
+    * existing pieces: the distributed Lloyd fit (q51e) produces the coarse
+    * quantizer, queries probe their `nprobe` highest-affinity cells, and
+    * exact cosine scores only the members of probed cells. Fully
+    * deterministic under the q51e contract (rounded affinities, ties to the
+    * lowest cell, rounded centroids, float-cast scoring; final ranking on
+    * the 4-decimal score with ties to the lowest id), so the DuckDB oracle
+    * re-runs the entire fit + probe + scoring end-to-end. At 100 TB:
+    * centroids broadcast (k is small), assignment is the q51e shape, and
+    * the probe is an equi-join on cell — the corpus is never scanned per
+    * query. */
+  def ivfKmeansTopK(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 2, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (centroids, assigned) = kmeansFit(spark, dir, k, iters)
+    val cf = broadcast(centroids.select(col("cell"),
+      expr("transform(cemb, x -> CAST(x AS FLOAT))").as("cf")))
+    val queries = spark.table("embeddings").where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probes = queries.crossJoin(cf)
+      .select(col("qid"), col("qemb"),
+        round(expr("cosine_similarity(qemb, cf)"), 6).as("aff"), col("cell"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("aff").desc, col("cell"))))
+      .where(col("rn") <= nprobe)
+      .select("qid", "qemb", "cell")
+    probes
+      .join(assigned.select(col("vec_id").as("did"),
+        col("embedding").as("demb"), col("cell")), "cell")
+      .where(col("did") =!= col("qid"))
+      .select(col("qid"), col("did"), cosine("qemb", "demb").as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))).cast("bigint"))
+      .where(col("rnk") <= 10)
+      .select("qid", "rnk", "did", "cos_sim")
+      .orderBy("qid", "rnk")
   }
 
   /** ANN recall audit (the q23 bound-check pattern, upgraded to [EXT]):

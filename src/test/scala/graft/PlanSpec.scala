@@ -155,6 +155,7 @@ class PlanSpec extends SparkSpec {
       "q48_cosine_topk",  // 5 broadcast query vectors x corpus scan (exact baseline)
       "q51b_ann_ivf",     // N x 16-seed broadcast assignment (IVF assign step)
       "q51e_kmeans_cells", // N x k broadcast-centroid assignment (Lloyd step; k constant)
+      "q271_ivf_kmeans_topk", // same Lloyd assignment + 5 queries x k-centroid probe
       "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
       "q51f_quantized_topk", // 5 broadcast quantized queries x corpus (brute-force verifier)
       "q265_bigram_lm_score", // CROSS JOIN with the 1-row corpus-total aggregate
