@@ -2768,7 +2768,117 @@ object Queries {
         |  array_to_string(list_sort(array_agg(DISTINCT l_linestatus)), ',') AS statuses,
         |  ROUND(SUM(l_quantity), 4) AS pos_qty,
         |  -ROUND(SUM(l_tax), 4) AS neg_tax
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- [EXT] Gopher-style repetition signals (Rae et al. 2021 §A1.1
+    // "repetition removal"): fraction of words covered by the single most
+    // frequent word-bigram, and fraction of trigram INSTANCES that are
+    // duplicated within the document. Both are pure exploded-n-gram grouped
+    // aggregates — two narrow shuffles keyed (doc_id, gram), no all-pairs,
+    // scale-linear in corpus size. Complements q146 (type-token ratio):
+    // these catch boilerplate/looping text that distinct-word ratios miss. ----
+    q2("q272_gopher_repetition",
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
+        |big AS (SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
+        |                                         i -> concat(ws[i-1], ' ', ws[i]))) AS g
+        |        FROM w WHERE size(ws) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+        |topb AS (SELECT doc_id, MAX(c) AS maxc FROM bc GROUP BY doc_id),
+        |tri AS (SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
+        |                                         i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))) AS g
+        |        FROM w WHERE size(ws) >= 3),
+        |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+        |dup3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n, SUM(c) AS tot
+        |         FROM tc GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(size(w.ws) AS BIGINT) AS n_words,
+        |  ROUND(CAST(2 * topb.maxc AS DOUBLE) / size(w.ws), 4) AS top_bigram_frac,
+        |  ROUND(COALESCE(CAST(dup3.dup_n AS DOUBLE) / dup3.tot, 0.0), 4) AS dup_trigram_frac
+        |FROM w JOIN topb ON w.doc_id = topb.doc_id LEFT JOIN dup3 ON w.doc_id = dup3.doc_id
+        |ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        |        FROM w, UNNEST(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+        |topb AS (SELECT doc_id, MAX(c) AS maxc FROM bc GROUP BY doc_id),
+        |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |        FROM w, UNNEST(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+        |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+        |dup3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n, SUM(c) AS tot
+        |         FROM tc GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  ROUND(CAST(2 * topb.maxc AS DOUBLE) / len(w.ws), 4) AS top_bigram_frac,
+        |  ROUND(COALESCE(CAST(dup3.dup_n AS DOUBLE) / dup3.tot, 0.0), 4) AS dup_trigram_frac
+        |FROM w JOIN topb USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] deterministic weighted sampling WITHOUT replacement
+    // (Efraimidis–Spirakis A-ES, key = u^(1/w)): top-5 docs per source
+    // stratum weighted by n_chars, with u derived from md5(doc_id) so both
+    // engines draw the SAME sample. The production shape for "sample k docs
+    // per domain proportional to quality weight" — one window per stratum,
+    // no global sort, embarrassingly parallel at 100 TB. Ranking is on the
+    // ROUNDED key (12 dp absorbs cross-engine pow() ulp drift; ties →
+    // doc_id) so both engines cut identically. ----
+    q2("q273_weighted_sample",
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROUND(POW(u, 1.0 / n_chars), 12) AS akey,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY ROUND(POW(u, 1.0 / n_chars), 12) DESC, doc_id) AS rnk
+        |  FROM k)
+        |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, CAST(n_chars AS BIGINT) AS n_chars, akey
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0) AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROUND(POW(u, 1.0 / n_chars), 12) AS akey,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY ROUND(POW(u, 1.0 / n_chars), 12) DESC, doc_id) AS rnk
+        |  FROM k)
+        |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, CAST(n_chars AS BIGINT) AS n_chars, akey
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin),
+
+    // ---- [EXT] Johnson–Lindenstrauss random projection 64 -> 8 dims with a
+    // Rademacher (±1) matrix derived from md5(j || '_' || k) — both engines
+    // materialize the IDENTICAL matrix from the hash, no literals to embed.
+    // The scale path for ANN preprocessing: the fold is a sequential HOF
+    // (identical summation order cross-engine, so doubles match bitwise),
+    // stays in whole-stage codegen, and shrinks downstream shuffle width 8x.
+    // ----
+    q2("q274_jl_projection",
+      """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, j,
+        |    aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) ->
+        |      acc + (CASE WHEN CAST(conv(substr(md5(concat(CAST(j AS STRING), '_',
+        |                                 CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
+        |                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |            * element_at(emb, k)) / SQRT(CAST(8 AS DOUBLE)) AS pv
+        |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS j)
+        |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(pv, 4) AS val
+        |FROM p ORDER BY vec_id, dim""".stripMargin,
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, j,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), k ->
+        |      (CASE WHEN ('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |                                  CAST(k AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END) * emb[k])),
+        |      (acc, x) -> acc + x) / sqrt(8.0) AS pv
+        |  FROM e, UNNEST(range(0, 8)) t(j))
+        |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(pv, 4) AS val
+        |FROM p ORDER BY vec_id, dim""".stripMargin)
   )
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
