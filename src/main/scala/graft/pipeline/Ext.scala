@@ -34,6 +34,8 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
     "q271_ivf_kmeans_topk" ->
       ((s: SparkSession, d: String) => Similarity.ivfKmeansTopK(s, d)),
+    "q275_pq_adc_topk" ->
+      ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -838,6 +840,56 @@ object Ext {
          |  FROM scored)
          |SELECT qid, rnk, did, cos_sim FROM ranked WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin
+    },
+
+    // PQ/ADC: DuckDB re-runs the ENTIRE pipeline — subspace split, the two
+    // unrolled Lloyd iterations keyed (sub, cell), code assignment, the
+    // query LUT, and the ADC sum — on exact integer micro-unit distances,
+    // and must agree on every (qid, rnk, did, adist) row.
+    "q275_pq_adc_topk" -> {
+      // assignment of every sub-vector to its nearest centroid of `cin`
+      def assignSql(cin: String, aout: String): String =
+        s"""$aout AS (
+           |  SELECT vec_id, sub, sv, cell FROM (
+           |    SELECT s.vec_id, s.sub, s.sv, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+           |          list_transform(range(1, 17), j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))),
+           |          (acc, x) -> acc + x) * 1e6, 0) AS BIGINT), c.cell) AS rn
+           |    FROM subs s JOIN $cin c USING (sub)) WHERE rn = 1)""".stripMargin
+      def step(cin: String, aout: String, cout: String): String =
+        s"""${assignSql(cin, aout)},
+           |$cout AS (
+           |  SELECT sub, cell, list(round(mv, 6) ORDER BY j) AS cv FROM (
+           |    SELECT a.sub, a.cell, t.j, AVG(a.sv[t.j]) AS mv
+           |    FROM $aout a, UNNEST(range(1, 17)) t(j)
+           |    GROUP BY a.sub, a.cell, t.j)
+           |  GROUP BY sub, cell)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |subs AS (SELECT vec_id, s AS sub, emb[(s*16+1):(s*16+16)] AS sv
+         |         FROM e, UNNEST(range(0, 4)) t(s)),
+         |cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, sv AS cv FROM subs WHERE vec_id < 4),
+         |${step("cb0", "a1", "cb1")},
+         |${step("cb1", "a2", "cb2")},
+         |${assignSql("cb2", "codes")},
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.sub, c.cell,
+         |    CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, 17), j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))),
+         |      (acc, x) -> acc + x) * 1e6, 0) AS BIGINT) AS du
+         |  FROM subs s JOIN cb2 c USING (sub) WHERE s.vec_id < 5),
+         |adc AS (
+         |  SELECT l.qid, c.vec_id AS did, SUM(l.du) AS adist_u
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cell = l.cell
+         |  WHERE c.vec_id <> l.qid
+         |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = 4),
+         |ranked AS (
+         |  SELECT qid, did, adist_u,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, did) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, did, round(adist_u / 1e6, 4) AS adist
+         |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
 
     // Scale-path near-dup vs the full exact all-pairs join over the same

@@ -379,4 +379,80 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("did"), round(col("qcos"), 6).as("qcos"))
       .orderBy("qid", "rnk")
   }
+
+  /** Product-quantization ANN (Jégou et al. 2011): the 64-dim embedding is
+    * split into `m`=4 16-dim subspaces, each sub-quantized to `k`=4 learned
+    * centroids (2 deterministic Lloyd iterations per subspace — the q51e
+    * contract, all subspaces fit in ONE keyed pipeline on (sub, cell)), so
+    * every vector compresses to 4 code ids. Queries score candidates with
+    * asymmetric distance (ADC): a per-query lookup table of query-to-centroid
+    * L2 distances, summed across subspaces by code id — the corpus's raw
+    * embeddings are never touched at query time.
+    *
+    * Determinism contract (what lets the DuckDB oracle re-run the WHOLE
+    * pipeline): every L2 distance is folded in fixed index order with
+    * explicit (a-b)*(a-b) terms, then converted to integer MICRO-UNITS
+    * (round(d*1e6)) — assignment, LUT, and the final ADC ranking all compare
+    * exact integers, so no cross-engine float-ordering hazard exists outside
+    * the documented q51e centroid-mean rounding. Ties: lowest cell / lowest
+    * did.
+    *
+    * At 100 TB: the codebook is m*k = 16 tiny rows (broadcast); encoding is
+    * one broadcast join + one (vec_id, sub) partial-agg argmin; the stored
+    * code table is ~4 bytes/vector (the whole point of PQ); query ADC is a
+    * broadcast LUT join on (sub, code) + one groupBy (qid, did) — corpus
+    * embeddings stay at rest. */
+  def pqTopK(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4,
+      iters: Int = 2, topK: Int = 10): DataFrame = {
+    Tables.register(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val subDim = Dim / m
+    // (vec_id, sub, sv double[subDim]) — exact float->double widening.
+    val subs = spark.table("embeddings")
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, " +
+          s"transform(slice(embedding, s * $subDim + 1, $subDim), x -> CAST(x AS DOUBLE)) AS sv))"))
+        .as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.sv").as("sv"))
+    // integer micro-unit squared L2 between two double arrays (fixed fold order)
+    def l2u(a: String, b: String): Column = expr(
+      s"CAST(round(aggregate(sequence(1, $subDim), 0D, " +
+        s"(acc, j) -> acc + (element_at($a, j) - element_at($b, j)) * (element_at($a, j) - element_at($b, j))) * 1e6, 0) AS BIGINT)")
+    def assign(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("sv"), col("cell"), l2u("sv", "cv").as("du"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("cell"), struct(col("du"), col("cell"))).as("cell"),
+          first(col("sv")).as("sv"))
+    // init: cells 0..k-1 from the sub-vectors of vec_id 0..k-1
+    var codebook = subs.where(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      // same centroid-mean rounding contract (and latent boundary caveat)
+      // as kmeansFit above — see the comment there.
+      codebook = assign(codebook)
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy("sub", "cell", "j").agg(avg(col("x")).as("mv"))
+        .groupBy("sub", "cell")
+        .agg(expr("transform(sort_array(collect_list(struct(j, mv))), s -> round(s.mv, 6))")
+          .as("cv"))
+    }
+    val codes = assign(codebook).select("vec_id", "sub", "cell")
+    // ADC lookup table: query-subvector -> every centroid of that subspace
+    val lut = subs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(broadcast(codebook), "sub")
+      .select(col("qid"), col("sub"), col("cell"), l2u("sv", "cv").as("du"))
+    codes.join(broadcast(lut), Seq("sub", "cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("did"))
+      .agg(sum(col("du")).as("adist_u"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === m) // every subspace must contribute
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist_u"), col("did"))).cast("bigint"))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("did"),
+        round(col("adist_u") / 1e6, 4).as("adist"))
+      .orderBy("qid", "rnk")
+  }
 }
