@@ -2878,8 +2878,137 @@ object Queries {
         |      (acc, x) -> acc + x) / sqrt(8.0) AS pv
         |  FROM e, UNNEST(range(0, 8)) t(j))
         |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(pv, 4) AS val
-        |FROM p ORDER BY vec_id, dim""".stripMargin)
+        |FROM p ORDER BY vec_id, dim""".stripMargin),
+
+    // ---- [EXT] PageRank, 3 unrolled iterations (damping 0.85) over the
+    // user-transition graph derived from `events` (edge = consecutive users
+    // within an event_type, by time). Rank mass is carried in INTEGER
+    // micro-units (1e-12) with integer division for the per-edge split and
+    // the dangling-mass share, so every iteration is EXACTLY deterministic —
+    // BIGINT sums are order-independent, unlike the float PageRank that
+    // would inherit Spark's partial-agg summation order. Per iteration the
+    // plan is one equi-join (ranks x edges) + one groupBy(dst) — the
+    // scale-safe iterative-graph shape (same as q49b's label propagation);
+    // nothing is collected, the rank vector stays distributed. ----
+    q2("q276_pagerank", pagerankSql("DIV"), pagerankSql("//")),
+
+    // ---- [EXT] SCD2 snapshot lookup: LEAD builds (valid_from, valid_to]
+    // intervals over each user's event stream, then 3 fixed snapshot times
+    // read the state as of each instant — the warehouse "point-in-time
+    // dimension" idiom. The snapshot side is a 3-row constant, so the
+    // interval probe is a broadcast pass over the fact stream (intentional
+    // tiny-BNLJ, allowlisted in PlanSpec); at 100 TB the snapshot list stays
+    // constant-bounded while the interval table partitions by user. ----
+    q2("q277_scd2_snapshot",
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events),
+        |snaps AS (SELECT explode(array(TIMESTAMP '2024-01-08 00:00:00',
+        |                               TIMESTAMP '2024-01-15 00:00:00',
+        |                               TIMESTAMP '2024-01-22 00:00:00')) AS snap_ts)
+        |SELECT s.snap_ts, o.user_id, o.event_type AS state_at_snap
+        |FROM snaps s JOIN ordered o
+        |  ON o.ts <= s.snap_ts AND (o.next_ts IS NULL OR o.next_ts > s.snap_ts)
+        |ORDER BY s.snap_ts, o.user_id""".stripMargin,
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events),
+        |snaps AS (SELECT UNNEST([TIMESTAMP '2024-01-08 00:00:00',
+        |                         TIMESTAMP '2024-01-15 00:00:00',
+        |                         TIMESTAMP '2024-01-22 00:00:00']) AS snap_ts)
+        |SELECT s.snap_ts, o.user_id, o.event_type AS state_at_snap
+        |FROM snaps s JOIN ordered o
+        |  ON o.ts <= s.snap_ts AND (o.next_ts IS NULL OR o.next_ts > s.snap_ts)
+        |ORDER BY s.snap_ts, o.user_id""".stripMargin),
+
+    // ---- [EXT] funnel analysis: strict-order view -> click -> purchase
+    // with a 24h step window. Each step is one grouped MIN + one equi-join
+    // on user_id — the scale shape for sequence funnels (never a per-user
+    // sort of the whole stream). ----
+    q2("q278_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS step1_view,
+        |       (SELECT COUNT(*) FROM c) AS step2_click,
+        |       (SELECT COUNT(*) FROM p) AS step3_purchase,
+        |       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM v), 4) AS conversion""".stripMargin,
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS step1_view,
+        |       (SELECT COUNT(*) FROM c) AS step2_click,
+        |       (SELECT COUNT(*) FROM p) AS step3_purchase,
+        |       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        |             / (SELECT COUNT(*) FROM v), 4) AS conversion""".stripMargin),
+
+    // ---- [EXT] cohort retention: users grouped by the week of their FIRST
+    // purchase; n distinct active purchasers per (cohort, weeks-since).
+    // Two grouped aggregations + one equi-join on user_id; both engines
+    // truncate weeks to Monday. ----
+    q2("q279_retention_cohorts",
+      """WITH firsts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        |                WHERE event_type = 'purchase' GROUP BY user_id),
+        |coh AS (SELECT user_id, CAST(date_trunc('week', d0) AS DATE) AS cohort FROM firsts),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+        |        FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.cohort, CAST(datediff(a.w, c.cohort) DIV 7 AS INT) AS week_n,
+        |        COUNT(DISTINCT a.user_id) AS n
+        |      FROM coh c JOIN act a ON c.user_id = a.user_id GROUP BY 1, 2)
+        |SELECT cohort, week_n, n FROM m ORDER BY cohort, week_n""".stripMargin,
+      """WITH firsts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+        |                WHERE event_type = 'purchase' GROUP BY user_id),
+        |coh AS (SELECT user_id, CAST(date_trunc('week', d0) AS DATE) AS cohort FROM firsts),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+        |        FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.cohort, CAST(DATEDIFF('day', c.cohort, a.w) // 7 AS INT) AS week_n,
+        |        COUNT(DISTINCT a.user_id) AS n
+        |      FROM coh c JOIN act a USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort, week_n, n FROM m ORDER BY cohort, week_n""".stripMargin)
   )
+
+  /** Integer-arithmetic PageRank SQL, identical in both dialects except the
+    * integer-division operator (`DIV` in Spark, `//` in DuckDB). */
+  private def pagerankSql(d: String): String = {
+    def step(rin: String, rout: String): String =
+      s"""$rout AS (
+         |  SELECT n.id,
+         |    base.b + (85 * (COALESCE(inc.m, 0) + dang.share)) $d 100 AS r
+         |  FROM nodes n
+         |  CROSS JOIN (SELECT (1000000000000 $d (SELECT COUNT(*) FROM nodes)) * 15 $d 100 AS b) base
+         |  CROSS JOIN (SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) $d (SELECT COUNT(*) FROM nodes) AS share
+         |              FROM $rin r LEFT JOIN outdeg o ON r.id = o.src WHERE o.src IS NULL) dang
+         |  LEFT JOIN (SELECT e.dst AS id, CAST(SUM(r.r $d o.deg) AS BIGINT) AS m
+         |             FROM edges e JOIN $rin r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+         |             GROUP BY e.dst) inc ON n.id = inc.id)""".stripMargin
+    s"""WITH s AS (SELECT event_type, user_id, ts, event_id,
+       |     LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+       |   FROM events),
+       |edges AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM s
+       |          WHERE nxt IS NOT NULL AND nxt <> user_id),
+       |nodes AS (SELECT DISTINCT user_id AS id FROM events),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, 1000000000000 $d (SELECT COUNT(*) FROM nodes) AS r FROM nodes),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT id AS user_id, r AS pr_u,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id) AS INT) AS rnk
+       |FROM r3 ORDER BY rnk, user_id""".stripMargin
+  }
 
   val byName: Map[String, QuerySpec] = specs.map(s => s.name -> s).toMap
 }

@@ -163,7 +163,9 @@ class PlanSpec extends SparkSpec {
       "q267_rrf_fusion",  // contains the q51f + q266 shapes above
       // sketch-law checks: CROSS JOINs of 1-row sketch/exact aggregates
       "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
-      "q234_theta_difference")
+      "q234_theta_difference",
+      "q276_pagerank",     // CROSS JOINs with 1-row base/dangling-mass aggregates
+      "q277_scd2_snapshot") // 3-row constant snapshot list x interval probe
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
