@@ -36,6 +36,8 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.ivfKmeansTopK(s, d)),
     "q275_pq_adc_topk" ->
       ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "q280_ivfpq_topk" ->
+      ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -884,6 +886,95 @@ object Ext {
          |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cell = l.cell
          |  WHERE c.vec_id <> l.qid
          |  GROUP BY l.qid, c.vec_id HAVING COUNT(*) = 4),
+         |ranked AS (
+         |  SELECT qid, did, adist_u,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, did) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, did, round(adist_u / 1e6, 4) AS adist
+         |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+
+    // IVF-PQ composition: the q271 coarse-quantizer fit+probe AND the q275
+    // product-quantizer fit+encode+LUT, re-run end-to-end in DuckDB, joined
+    // exactly as Spark joins them — probed-cell members scored by ADC.
+    "q280_ivfpq_topk" -> {
+      // --- q271's cosine Lloyd fit (identical text; names prefixed i) ---
+      def iStep(ein: String, cin: String, aout: String, cout: String): String =
+        s"""$aout AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        round(list_cosine_similarity(e.emb,
+           |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+           |        c.cell) AS rn
+           |    FROM $ein e, $cin c) WHERE rn = 1),
+           |$cout AS (
+           |  SELECT cell, list(round(m, 6) ORDER BY j) AS cemb FROM (
+           |    SELECT a.cell, t.j, AVG(e.emb[t.j]) AS m
+           |    FROM $aout a JOIN $ein e USING (vec_id),
+           |         UNNEST(range(1, len(e.emb) + 1)) AS t(j)
+           |    GROUP BY a.cell, t.j)
+           |  GROUP BY cell)""".stripMargin
+      // --- q275's L2 micro-unit PQ fit (identical text; names prefixed p) ---
+      def pAssign(cin: String, aout: String): String =
+        s"""$aout AS (
+           |  SELECT vec_id, sub, sv, cell FROM (
+           |    SELECT s.vec_id, s.sub, s.sv, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+           |        CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+           |          list_transform(range(1, 17), j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))),
+           |          (acc, x) -> acc + x) * 1e6, 0) AS BIGINT), c.cell) AS rn
+           |    FROM subs s JOIN $cin c USING (sub)) WHERE rn = 1)""".stripMargin
+      def pStep(cin: String, aout: String, cout: String): String =
+        s"""${pAssign(cin, aout)},
+           |$cout AS (
+           |  SELECT sub, cell, list(round(mv, 6) ORDER BY j) AS cv FROM (
+           |    SELECT a.sub, a.cell, t.j, AVG(a.sv[t.j]) AS mv
+           |    FROM $aout a, UNNEST(range(1, 17)) t(j)
+           |    GROUP BY a.sub, a.cell, t.j)
+           |  GROUP BY sub, cell)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e WHERE vec_id < 8),
+         |${iStep("e", "c0", "ia1", "ic1")},
+         |${iStep("e", "ic1", "ia2", "ic2")},
+         |ia3 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        round(list_cosine_similarity(e.emb,
+         |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+         |        c.cell) AS rn
+         |    FROM e, ic2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cell AS ivf_cell FROM (
+         |    SELECT q.vec_id AS qid, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        round(list_cosine_similarity(q.emb,
+         |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+         |        c.cell) AS rn
+         |    FROM (SELECT vec_id, emb FROM e WHERE vec_id < 5) q, ic2 c) WHERE rn <= 3),
+         |subs AS (SELECT vec_id, s AS sub, emb[(s*16+1):(s*16+16)] AS sv
+         |         FROM e, UNNEST(range(0, 4)) t(s)),
+         |cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, sv AS cv FROM subs WHERE vec_id < 4),
+         |${pStep("cb0", "pa1", "cb1")},
+         |${pStep("cb1", "pa2", "cb2")},
+         |${pAssign("cb2", "codes")},
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.sub, c.cell,
+         |    CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, 17), j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))),
+         |      (acc, x) -> acc + x) * 1e6, 0) AS BIGINT) AS du
+         |  FROM subs s JOIN cb2 c USING (sub) WHERE s.vec_id < 5),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS did
+         |  FROM probes p JOIN ia3 a ON p.ivf_cell = a.cell
+         |  WHERE a.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT cand.qid, cand.did, SUM(l.du) AS adist_u
+         |  FROM cand JOIN codes c ON cand.did = c.vec_id
+         |            JOIN lut l ON l.qid = cand.qid AND l.sub = c.sub AND l.cell = c.cell
+         |  GROUP BY cand.qid, cand.did HAVING COUNT(*) = 4),
          |ranked AS (
          |  SELECT qid, did, adist_u,
          |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist_u, did) AS rnk

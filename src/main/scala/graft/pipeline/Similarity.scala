@@ -404,8 +404,29 @@ object Similarity {
     * embeddings stay at rest. */
   def pqTopK(spark: SparkSession, dir: String, m: Int = 4, k: Int = 4,
       iters: Int = 2, topK: Int = 10): DataFrame = {
-    Tables.register(spark, dir)
     import org.apache.spark.sql.expressions.Window
+    val (codebook, codes, lutOf) = pqFit(spark, dir, m, k, iters)
+    val lut = lutOf(codebook)
+    codes.join(broadcast(lut), Seq("sub", "cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("did"))
+      .agg(sum(col("du")).as("adist_u"), count(lit(1)).as("nsub"))
+      .where(col("nsub") === m) // every subspace must contribute
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist_u"), col("did"))).cast("bigint"))
+      .where(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("did"),
+        round(col("adist_u") / 1e6, 4).as("adist"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The PQ codebook fit + corpus encoding shared by [[pqTopK]] and
+    * [[ivfPqTopK]]: returns (codebook (sub, cell, cv double[]), codes
+    * (vec_id, sub, cell), and the ADC lookup-table builder for query
+    * vectors vec_id < 5). Same determinism contract as pqTopK's Scaladoc. */
+  private def pqFit(spark: SparkSession, dir: String, m: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame, DataFrame => DataFrame) = {
+    Tables.register(spark, dir)
     val subDim = Dim / m
     // (vec_id, sub, sv double[subDim]) — exact float->double widening.
     val subs = spark.table("embeddings")
@@ -439,15 +460,49 @@ object Similarity {
     }
     val codes = assign(codebook).select("vec_id", "sub", "cell")
     // ADC lookup table: query-subvector -> every centroid of that subspace
-    val lut = subs.where(col("vec_id") < 5)
+    def lutOf(cb: DataFrame): DataFrame = subs.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-      .join(broadcast(codebook), "sub")
+      .join(broadcast(cb), "sub")
       .select(col("qid"), col("sub"), col("cell"), l2u("sv", "cv").as("du"))
-    codes.join(broadcast(lut), Seq("sub", "cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id").as("did"))
+    (codebook, codes, lutOf)
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ architecture, both stages learned): the coarse
+    * quantizer is the q271 Lloyd-fit IVF (cosine affinity, nprobe cells per
+    * query), and candidates inside probed cells are scored by the q275
+    * product-quantizer's asymmetric distance over ~4-byte codes — the raw
+    * corpus embeddings are touched by NEITHER stage at query time. Both
+    * stages keep their own determinism contracts, so the DuckDB oracle
+    * re-runs the entire composition. At 100 TB this is THE standard ANN
+    * serving layout: cell inventory partitions the corpus (equi-join on
+    * cell), PQ codes shrink per-vector state to bytes, and the ADC LUT is
+    * (5 queries x m x k) tiny broadcast rows. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nprobe: Int = 3,
+      topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (centroids, assigned) = kmeansFit(spark, dir, 8, 2)
+    val cf = broadcast(centroids.select(col("cell"),
+      expr("transform(cemb, x -> CAST(x AS FLOAT))").as("cf")))
+    val probes = spark.table("embeddings").where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .crossJoin(cf)
+      .select(col("qid"),
+        round(expr("cosine_similarity(qemb, cf)"), 6).as("aff"), col("cell"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("aff").desc, col("cell"))))
+      .where(col("rn") <= nprobe)
+      .select(col("qid"), col("cell").as("ivf_cell"))
+    val (codebook, codes, lutOf) = pqFit(spark, dir, 4, 4, 2)
+    val candidates = probes
+      .join(assigned.select(col("vec_id").as("did"), col("cell").as("ivf_cell")), "ivf_cell")
+      .where(col("did") =!= col("qid"))
+      .select("qid", "did")
+    candidates
+      .join(codes.withColumnRenamed("vec_id", "did"), "did")
+      .join(broadcast(lutOf(codebook)), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "did")
       .agg(sum(col("du")).as("adist_u"), count(lit(1)).as("nsub"))
-      .where(col("nsub") === m) // every subspace must contribute
+      .where(col("nsub") === 4)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist_u"), col("did"))).cast("bigint"))
       .where(col("rnk") <= topK)

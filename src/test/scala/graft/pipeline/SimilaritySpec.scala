@@ -124,6 +124,29 @@ class SimilaritySpec extends SparkSpec {
       f"ADC picks not selective: $pickMean%.3f vs corpus $corpusMean%.3f")
   }
 
+  test("IVF-PQ: shape, determinism, and candidates restricted to probed cells") {
+    val rows = Similarity.ivfPqTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).sameElements(1L to rs.length))
+      byRank.map(_.getDouble(3)).sliding(2).filter(_.length == 2)
+        .foreach(p => assert(p(0) <= p(1)))
+    }
+    assert(Similarity.ivfPqTopK(spark, sfDir).collect().toSeq == rows.toSeq,
+      "IVF fit + PQ fit + ADC ranking must be deterministic")
+    // consistency: IVF-PQ uses the SAME codebook + LUT as global PQ, so any
+    // (qid, did) pair present in both outputs must carry the identical ADC
+    // distance — the coarse stage only restricts candidates, never rescores
+    val globalPq = Similarity.pqTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val common = rows.flatMap { r =>
+      globalPq.get((r.getLong(0), r.getLong(2))).map(g => (r.getDouble(3), g))
+    }
+    assert(common.nonEmpty, "expected some overlap between PQ and IVF-PQ top-10s")
+    common.foreach { case (a, g) => assert(a == g, s"ADC distance diverged: $a vs $g") }
+  }
+
   test("IVF probes prune the corpus: scored candidates are a strict subset of all vectors") {
     Tables.register(spark, sfDir)
     val total = spark.table("embeddings").count()
