@@ -144,7 +144,26 @@ object BenchOne {
           FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1)
         WHERE i > 0
         ORDER BY a_id"""
-      for (i <- 1 to 3; (label, q) <- Seq("exploded" -> exploded, "arrays" -> arrays)) {
+      // Third formulation: dictionary-encode the gram to a long with
+      // xxhash64 before the self-join — narrower shuffle key (8-byte long
+      // vs var-length UTF8String), same plan shape. Collisions would
+      // perturb intersect counts, but at 2^-64 per gram pair that is a
+      // measurement-only concern, not an oracle-safe substitution.
+      val hashed = """WITH ds AS (
+          SELECT doc_id, explode(transform(array_distinct(transform(sequence(1, length(text) - 2),
+                                                                    i -> substr(text, i, 3))),
+                                           g -> xxhash64(g))) AS g
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+          FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
+        ORDER BY i.a_id"""
+      for (i <- 1 to 3;
+           (label, q) <- Seq("exploded" -> exploded, "arrays" -> arrays, "hashed" -> hashed)) {
         val t0 = System.nanoTime()
         val n = spark.sql(q).collect().length
         println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")

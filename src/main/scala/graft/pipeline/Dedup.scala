@@ -113,9 +113,17 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).persist()
-    var changed = 1L
+    // Convergence check without a per-round comparison join: labels only
+    // ever move by taking a MIN, so any change strictly DECREASES some lbl
+    // and the total sum — sum(lbl) unchanged ⟺ a fixed point. Decimal(38,0)
+    // so the invariant survives id ranges where a bigint sum would overflow.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (changed && it < maxIters) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst")).agg(min("lbl").as("nlbl"))
@@ -124,13 +132,14 @@ object Dedup {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .where(col("lbl") =!= col("old")).count()
+      val s = lblSum(next) // one action: materializes next AND checks the sum
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels.unpersist()
       labels = next
       it += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"near-dup component propagation did not converge in $maxIters rounds")
     // final labels are materialized (the convergence count ran them);
     // the edge cache is no longer needed downstream
