@@ -2977,7 +2977,41 @@ object Queries {
         |m AS (SELECT c.cohort, CAST(DATEDIFF('day', c.cohort, a.w) // 7 AS INT) AS week_n,
         |        COUNT(DISTINCT a.user_id) AS n
         |      FROM coh c JOIN act a USING (user_id) GROUP BY 1, 2)
-        |SELECT cohort, week_n, n FROM m ORDER BY cohort, week_n""".stripMargin)
+        |SELECT cohort, week_n, n FROM m ORDER BY cohort, week_n""".stripMargin),
+
+    // ---- [EXT] domain mixing with exact integer quotas: resample the
+    // corpus to a declared language mixture (en .4 / de .2 / fr .2 /
+    // es .1 / zh .1) within a 40%-of-corpus budget. Per-language quota =
+    // floor(budget * weight) capped by availability; the draw is the
+    // md5-ranked deterministic pseudo-random order (the q262/q273 idiom),
+    // so both engines select the identical docs. The production shape for
+    // "hit this mixture in the training set": one window per stratum, no
+    // global sort, quota table broadcast — embarrassingly parallel. ----
+    q2("q282_domain_mix",
+      """WITH tot AS (SELECT CAST(floor(COUNT(*) * 0.4) AS BIGINT) AS budget FROM documents),
+        |w AS (SELECT lang, wt FROM VALUES
+        |        ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1) AS t(lang, wt)),
+        |quota AS (SELECT w.lang, CAST(floor(tot.budget * w.wt) AS BIGINT) AS q FROM w CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+        |FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rk <= q.q
+        |ORDER BY r.lang, r.rk""".stripMargin,
+      """WITH tot AS (SELECT CAST(floor(COUNT(*) * 0.4) AS BIGINT) AS budget FROM documents),
+        |w(lang, wt) AS (VALUES
+        |        ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1)),
+        |quota AS (SELECT w.lang, CAST(floor(tot.budget * w.wt) AS BIGINT) AS q FROM w CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id
+        |FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rk <= q.q
+        |ORDER BY r.lang, r.rk""".stripMargin)
   )
 
   /** Integer-arithmetic PageRank SQL, identical in both dialects except the

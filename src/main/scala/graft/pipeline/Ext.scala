@@ -38,6 +38,8 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
     "q280_ivfpq_topk" ->
       ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "q281_semdedup" ->
+      ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -389,6 +391,39 @@ object Ext {
     * identically across engines. */
   private def exactCos(a: String, b: String): String =
     s"(${seqDot(a, b)} / (sqrt(${seqDot(a, a)}) * sqrt(${seqDot(b, b)})))"
+
+  /** One cosine Lloyd iteration as DuckDB CTE text (assign `aout` +
+    * recenter `cout`) — the q51e determinism contract, identical to the
+    * local `step`/`iStep` defs inside the q271/q280 oracles. Shared so new
+    * compositions (q281 SemDeDup) can't drift from the fit they claim. */
+  private def lloydCosStep(ein: String, cin: String, aout: String, cout: String): String =
+    s"""$aout AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_cosine_similarity(e.emb,
+       |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+       |        c.cell) AS rn
+       |    FROM $ein e, $cin c) WHERE rn = 1),
+       |$cout AS (
+       |  SELECT cell, list(round(m, 6) ORDER BY j) AS cemb FROM (
+       |    SELECT a.cell, t.j, AVG(e.emb[t.j]) AS m
+       |    FROM $aout a JOIN $ein e USING (vec_id),
+       |         UNNEST(range(1, len(e.emb) + 1)) AS t(j)
+       |    GROUP BY a.cell, t.j)
+       |  GROUP BY cell)""".stripMargin
+
+  /** Final Lloyd assignment (no recenter) of every `ein` vector to its
+    * best `cin` cell — rounded float-cast affinity, ties to lowest cell. */
+  private def lloydCosAssign(ein: String, cin: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_cosine_similarity(e.emb,
+       |          list_transform(c.cemb, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))), 6) DESC,
+       |        c.cell) AS rn
+       |    FROM $ein e, $cin c) WHERE rn = 1)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // LSH ANN, recomputed END-TO-END by the oracle: the 64 hyperplanes are
@@ -982,6 +1017,27 @@ object Ext {
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, did, round(adist_u / 1e6, 4) AS adist
          |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
+
+    // SemDeDup: the q271 Lloyd fit re-run end-to-end, then the in-cluster
+    // pair scan and kept/dropped flagging — DuckDB must agree on every
+    // vector's cell AND flag (a drifted clustering would flip cells; a
+    // drifted cosine would flip flags).
+    "q281_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e WHERE vec_id < 8),
+         |${lloydCosStep("e", "c0", "sa1", "sc1")},
+         |${lloydCosStep("e", "sc1", "sa2", "sc2")},
+         |${lloydCosAssign("e", "sc2", "sa3")},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sa3 a JOIN sa3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.35)
+         |SELECT a.vec_id, a.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM sa3 a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Scale-path near-dup vs the full exact all-pairs join over the same
     // corpus ∪ planted twins (the oracle does all-pairs; Spark must reproduce

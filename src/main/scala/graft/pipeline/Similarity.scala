@@ -190,6 +190,40 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** SemDeDup (semantic dedup over embeddings, the SemDeDup-paper shape:
+    * cluster first, dedup only WITHIN clusters): the q51e Lloyd fit
+    * partitions the corpus into k cells, in-cluster pairs with cosine >=
+    * `tau` mark the higher vec_id as a duplicate, and every vector comes
+    * back with its cell and a kept/dropped flag (survivor = lowest id of
+    * its in-cluster duplicate neighborhood's trigger, the standard
+    * deterministic tie-break). The clustering is what makes this scale:
+    * the candidate join is an equi-join on cell, so pair work is
+    * sum(|cell|^2) instead of n^2 — at 100 TB you raise k to keep cells
+    * bounded (k ~ n/20k keeps cells ~20k vectors) and the shape is
+    * unchanged. Cross-cluster duplicates are missed BY DESIGN (that is
+    * SemDeDup's approximation); SimilaritySpec audits the in-cluster
+    * recall against the all-pairs ground truth. Fully deterministic under
+    * the q51e contract, so the oracle re-runs fit + pair scan + flagging
+    * end-to-end. */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.35): DataFrame = {
+    val (_, assigned) = kmeansFit(spark, dir, k, iters)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("aemb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("bemb"))
+    val dropped = a.join(b, "cell")
+      .where(col("a_id") < col("b_id"))
+      .where(round(expr("cosine_similarity(aemb, bemb)"), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("kept", lit(0))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("kept"), lit(1)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** ANN recall audit (the q23 bound-check pattern, upgraded to [EXT]):
     * per query vector, the exact brute-force top-10 id list — recomputable
     * by the DuckDB oracle with list_cosine_similarity, a true cross-engine

@@ -165,7 +165,10 @@ class PlanSpec extends SparkSpec {
       "q211_kll_sketch", "q212_theta_sketch", "q213_hll_union_law",
       "q234_theta_difference",
       "q276_pagerank",     // CROSS JOINs with 1-row base/dangling-mass aggregates
-      "q277_scd2_snapshot") // 3-row constant snapshot list x interval probe
+      "q277_scd2_snapshot", // 3-row constant snapshot list x interval probe
+      "q280_ivfpq_topk",   // 5 queries x k-centroid broadcast probe (q271 shape)
+      "q281_semdedup",     // N x k broadcast-centroid Lloyd assignment (q51e shape)
+      "q282_domain_mix")   // 5-row weight table x 1-row budget aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))

@@ -147,6 +147,35 @@ class SimilaritySpec extends SparkSpec {
     common.foreach { case (a, g) => assert(a == g, s"ADC distance diverged: $a vs $g") }
   }
 
+  test("SemDeDup: covers the corpus, deterministic, drops are a subset of all-pairs dups") {
+    Tables.register(spark, sfDir)
+    val rows = Similarity.semDedup(spark, sfDir).collect()
+    val n = spark.table("embeddings").count()
+    assert(rows.length == n, "one flag row per corpus vector")
+    val dropped = rows.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && dropped.size < n,
+      s"expected a nonempty strict-subset drop set, got ${dropped.size}/$n")
+    assert(Similarity.semDedup(spark, sfDir).collect().toSeq == rows.toSeq,
+      "fit + pair scan + flagging must be deterministic")
+    // Clustering only RESTRICTS the candidate pairs: every clustered drop
+    // must also be an all-pairs drop (higher id of ANY cos>=tau pair), and
+    // the in-cluster recall of the all-pairs drop set should be substantial
+    // (dups are semantically close, so they mostly co-cluster).
+    import org.apache.spark.sql.functions._
+    val e = spark.table("embeddings")
+    val allDropped = e.select(col("vec_id").as("a_id"), col("embedding").as("aemb"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("bemb")),
+        col("a_id") < col("b_id"))
+      .where(round(expr("cosine_similarity(aemb, bemb)"), 6) >= 0.35)
+      .select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(allDropped),
+      s"clustered drops not a subset of all-pairs drops: ${dropped -- allDropped}")
+    val recall = dropped.size.toDouble / allDropped.size
+    assert(recall >= 0.3,
+      f"in-cluster recall of the all-pairs drop set too low: $recall%.2f")
+    info(f"SemDeDup recall of all-pairs drop set = $recall%.2f (${dropped.size}/${allDropped.size})")
+  }
+
   test("IVF probes prune the corpus: scored candidates are a strict subset of all vectors") {
     Tables.register(spark, sfDir)
     val total = spark.table("embeddings").count()
