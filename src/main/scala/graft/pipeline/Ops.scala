@@ -158,6 +158,25 @@ object Ops {
         when(present, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)): _*)
   }
 
+  /** Out-of-order-safe CDC apply: merge a change batch into a snapshot that
+    * RETAINS delete tombstones, keeping per key whichever row wins the
+    * (ordering..., key) comparison — a max, so the merge is associative and
+    * commutative over batches: ANY arrival order of change batches yields
+    * the same final state (unlike [[cdcMerge]], which assumes in-order
+    * batches and lets a late stale batch clobber newer state). Tombstones
+    * must stay in the state so a late upsert older than a delete cannot
+    * resurrect the key; filter `deleteFlag` only when PUBLISHING the
+    * snapshot. The q283 streaming foreachBatch apply uses exactly this
+    * merge; at 100 TB the state is a key-partitioned table and each merge
+    * is one window over state ∪ batch — the merge-on-read compaction
+    * shape. */
+  def cdcMergeUnordered(state: DataFrame, changes: DataFrame, key: String,
+      ordering: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ordering.map(col(_).desc): _*)
+    state.unionByName(changes)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Lake maintenance: rewrite a directory of (typically many small)
     * parquet files into ceil(totalBytes / targetFileBytes) files. Streaming
     * ingest (the q255 foreachBatch sink shape) leaves one file per

@@ -376,9 +376,67 @@ object Streams {
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    // Streaming CDC apply: events fragmented into 4 change files, drained
+    // one file per micro-batch through foreachBatch, each batch merged into
+    // a parquet snapshot with Ops.cdcMergeUnordered — the tombstone-
+    // retaining max-merge, so the file arrival order the source happens to
+    // pick CANNOT change the final state (a late stale batch can't clobber,
+    // a late upsert can't resurrect a deleted key). The published snapshot
+    // (tombstones filtered) must equal the batch recompute over all events
+    // — the q263 invariant, now through the real streaming engine. At scale
+    // the per-batch snapshot rewrite becomes a key-partitioned merge-on-
+    // read table; the merge itself is already the scale shape (one window
+    // over state ∪ batch).
+    "q283_stream_cdc_apply" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val src = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+      val snap = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val ver = new AtomicInteger(0)
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("user_id"), col("value"), col("ts_us").as("last_us"),
+          col("event_id"), (col("event_type") === "error").as("is_delete"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val v = ver.get()
+          val state = if (v == 0) batch.limit(0) else s.read.parquet(s"$snap/v$v")
+          graft.pipeline.Ops.cdcMergeUnordered(state, batch,
+              "user_id", Seq("last_us", "event_id"))
+            .write.mode("overwrite").parquet(s"$snap/v${v + 1}")
+          ver.incrementAndGet(): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$snap/v${ver.get()}")
+        .where(!col("is_delete"))
+        .select(col("user_id"), round(col("value"), 4).as("value"), col("last_us"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Streaming CDC apply must equal the batch recompute (the q263
+    // invariant): last change per user wins, users whose last change is a
+    // delete marker are gone. Arrival order is irrelevant by construction
+    // (max-merge), so the oracle needs no batch-boundary modeling.
+    "q283_stream_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |           FROM events),
+        |r AS (SELECT user_id, value, us, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY us DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, round(value, 4) AS value, us AS last_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // Stream-stream join: the drained pairs must equal the batch funnel
     // join exactly — phase boundaries and watermark evictions are invisible
     // in the final answer (nothing in phase 2 is late, and the straddling

@@ -31,6 +31,29 @@ class OpsSpec extends SparkSpec {
     assert(out2.toSeq == Seq((1L, 12.0), (2L, 21.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("unordered cdc merge: any batch arrival order yields the same state; tombstones block resurrection") {
+    import graft.TestSpark.spark.implicits._
+    def df(rows: Seq[(Long, Double, Long, Long, Boolean)]) =
+      rows.toDF("k", "v", "seq", "cid", "del")
+    val b1 = Seq((1L, 11.0, 200L, 1L, false), (2L, 20.0, 100L, 2L, false))
+    val b2 = Seq((1L, 12.0, 300L, 3L, false), (2L, 0.0, 250L, 4L, true))
+    val b3 = Seq((2L, 25.0, 150L, 5L, false), (3L, 30.0, 100L, 6L, false)) // stale upsert for 2
+    val empty = df(b1).limit(0)
+    def applyAll(order: Seq[Seq[(Long, Double, Long, Long, Boolean)]]) =
+      order.foldLeft(empty)((st, b) => Ops.cdcMergeUnordered(st, df(b), "k", Seq("seq", "cid")))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(4))).toSeq
+    val forward = applyAll(Seq(b1, b2, b3))
+    // key 1: 12.0@300 wins; key 2: tombstone@250 wins over the stale 25.0@150
+    // arriving LAST; key 3 untouched
+    assert(forward == Seq((1L, 12.0, 300L, false), (2L, 0.0, 250L, true), (3L, 30.0, 100L, false)))
+    for (perm <- Seq(b1, b2, b3).permutations)
+      assert(applyAll(perm) == forward, s"order-dependent state for $perm")
+    // publishing filters tombstones: key 2 is gone
+    val pub = applyAll(Seq(b1, b2, b3)).filter(!_._4).map(_._1)
+    assert(pub == Seq(1L, 3L))
+  }
+
   test("as-of join picks the latest earlier (or simultaneous) right row per key") {
     import graft.TestSpark.spark.implicits._
     val trades = Seq(
