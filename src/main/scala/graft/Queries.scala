@@ -3011,8 +3011,88 @@ object Queries {
         |  FROM documents)
         |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id
         |FROM ranked r JOIN quota q ON r.lang = q.lang AND r.rk <= q.q
-        |ORDER BY r.lang, r.rk""".stripMargin)
+        |ORDER BY r.lang, r.rk""".stripMargin),
+
+    // ---- [EXT] BPE vocabulary learning, 3 unrolled merge iterations
+    // (Sennrich subword BPE over the whitespace-tokenized corpus, weighted
+    // by word frequency; corpus verified pure-ASCII so character semantics
+    // agree cross-engine). Each iteration: adjacent-pair counts (explode +
+    // groupBy — one shuffle over word-distinct symbol lists, NOT the raw
+    // corpus), argmax pair kept IN-PLAN as a 1-row sort-limit broadcast
+    // (ties -> lexicographic), and the merge applied by a left-to-right
+    // greedy fold (non-overlapping, the BPE contract) — a sequential HOF,
+    // so both engines produce identical token arrays. At 100 TB the
+    // word-frequency table is tiny relative to the corpus (Heaps' law), so
+    // iteration cost is decoupled from corpus size — the standard
+    // vocabulary-learning shape. ----
+    q2("q284_bpe_merges", bpeSparkSql, bpeDuckSql)
   )
+
+  /** Spark dialect of the q284 BPE unroll. */
+  private def bpeSparkSql: String = {
+    def step(win: String, p: String, b: String, wout: String): String =
+      s"""$p AS (
+         |  SELECT element_at(syms, i) AS l, element_at(syms, i + 1) AS r, SUM(cnt) AS c
+         |  FROM (SELECT * FROM $win WHERE size(syms) >= 2) w
+         |  LATERAL VIEW explode(sequence(1, size(syms) - 1)) t AS i
+         |  GROUP BY 1, 2),
+         |$b AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM $p ORDER BY c DESC, l, r LIMIT 1),
+         |$wout AS (
+         |  SELECT word, cnt,
+         |    aggregate(syms, CAST(array() AS array<string>),
+         |      (out, x) -> IF(size(out) > 0 AND get(out, size(out) - 1) = l AND x = r,
+         |                     concat(slice(out, 1, size(out) - 1), array(concat(l, r))),
+         |                     concat(out, array(x)))) AS syms
+         |  FROM $win CROSS JOIN $b)""".stripMargin
+    s"""WITH wd AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS (SELECT word, cnt,
+       |  transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS syms FROM wd),
+       |${step("w0", "p1", "b1", "w1")},
+       |${step("w1", "p2", "b2", "w2")},
+       |${step("w2", "p3", "b3", "w3")}
+       |SELECT step, l AS left_sym, r AS right_sym, c AS pair_count FROM (
+       |  SELECT 1 AS step, * FROM b1
+       |  UNION ALL SELECT 2, * FROM b2
+       |  UNION ALL SELECT 3, * FROM b3)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB dialect of the q284 BPE unroll — the same pair counts, argmax,
+    * and greedy fold (list_reduce over single-element lists with a
+    * prepended empty-list accumulator, DuckDB's empty-init idiom). */
+  private def bpeDuckSql: String = {
+    def step(win: String, p: String, b: String, wout: String): String =
+      s"""$p AS (
+         |  SELECT w.syms[t.i] AS l, w.syms[t.i + 1] AS r, SUM(w.cnt) AS c
+         |  FROM (SELECT * FROM $win WHERE len(syms) >= 2) w,
+         |       UNNEST(range(1, len(w.syms))) t(i)
+         |  GROUP BY 1, 2),
+         |$b AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM $p ORDER BY c DESC, l, r LIMIT 1),
+         |$wout AS (
+         |  SELECT word, cnt,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |      (out, x) -> CASE WHEN len(out) > 0 AND out[-1] = l AND x[1] = r
+         |                  THEN list_append(out[1:len(out) - 1], l || r)
+         |                  ELSE list_append(out, x[1]) END) AS syms
+         |  FROM $win CROSS JOIN $b)""".stripMargin
+    s"""WITH wd AS (
+       |  SELECT word, COUNT(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS (SELECT word, cnt,
+       |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms FROM wd),
+       |${step("w0", "p1", "b1", "w1")},
+       |${step("w1", "p2", "b2", "w2")},
+       |${step("w2", "p3", "b3", "w3")}
+       |SELECT step, l AS left_sym, r AS right_sym, c AS pair_count FROM (
+       |  SELECT 1 AS step, b1.* FROM b1
+       |  UNION ALL SELECT 2, b2.* FROM b2
+       |  UNION ALL SELECT 3, b3.* FROM b3)
+       |ORDER BY step""".stripMargin
+  }
 
   /** Integer-arithmetic PageRank SQL, identical in both dialects except the
     * integer-division operator (`DIV` in Spark, `//` in DuckDB). */

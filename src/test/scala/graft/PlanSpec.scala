@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
       "q277_scd2_snapshot", // 3-row constant snapshot list x interval probe
       "q280_ivfpq_topk",   // 5 queries x k-centroid broadcast probe (q271 shape)
       "q281_semdedup",     // N x k broadcast-centroid Lloyd assignment (q51e shape)
-      "q282_domain_mix")   // 5-row weight table x 1-row budget aggregate
+      "q282_domain_mix",   // 5-row weight table x 1-row budget aggregate
+      "q284_bpe_merges")   // 1-row argmax-pair broadcast per merge iteration
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
