@@ -21,6 +21,29 @@ import graft.Tables
   * windowed/stateful operators → sink; AvailableNow is the batch-drain mode
   * Spark provides for exactly this backfill pattern.
   */
+/** Per-user running click totals in a typed ValueState — the q285
+  * StatefulProcessor. Within a micro-batch the group's rows fold in
+  * iterator order (addition is commutative, so order is irrelevant);
+  * across batches the state carries the prefix totals. */
+private[streaming] class ClickTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, su) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, mu) => n += 1; su += mu }
+    totals.update((n, su))
+    Iterator.single((key, n, su))
+  }
+}
+
 object Streams {
 
   private val runId = new AtomicInteger(0)
@@ -420,6 +443,68 @@ object Streams {
         .select(col("user_id"), round(col("value"), 4).as("value"), col("last_us"))
         .orderBy("user_id")
     }),
+
+    // transformWithState (the Spark 4 arbitrary-state API, successor to
+    // flatMapGroupsWithState): per-user click totals in a typed ValueState,
+    // phased across a checkpoint restart exactly like q257 — phase 2 MUST
+    // resume phase 1's totals from the RocksDB state store (the only
+    // provider the API supports) or the counts come out low. Values are
+    // summed in integer micro-units so the running state is exact and
+    // cross-engine comparable. Each user's final emission carries its full
+    // history; n_clicks grows by >= 1 per emission, so max_by(n_clicks)
+    // selects the final row without any monotonicity assumption on the sum.
+    "q285_stream_tws_totals" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      Tables.register(s, d)
+      val tmax = maxTsUs(s, d)
+      val minTs = s.read.parquet(s"$d/events.parquet")
+        .agg(min(expr("ts div 1000"))).head.getLong(0)
+      val cut = (minTs + tmax) / 2
+      val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
+      val schema = s.read.parquet(src).schema
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        def phase(): Unit = {
+          import s.implicits._
+          val q = s.readStream.schema(schema).parquet(src)
+            .where(col("event_type") === "click")
+            .select(col("user_id"),
+              expr("CAST(round(value * 1e6, 0) AS BIGINT)").as("mu"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new ClickTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_clicks", "sum_u")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("append").parquet(out)
+            }
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        phase()
+        writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+        phase()
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None    => s.conf.unset(providerKey)
+        }
+      }
+      s.read.schema("user_id bigint, n_clicks bigint, sum_u bigint").parquet(out)
+        .groupBy("user_id")
+        .agg(max("n_clicks").as("n_clicks"),
+          max_by(col("sum_u"), col("n_clicks")).as("sum_u"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -427,6 +512,14 @@ object Streams {
     // invariant): last change per user wins, users whose last change is a
     // delete marker are gone. Arrival order is irrelevant by construction
     // (max-merge), so the oracle needs no batch-boundary modeling.
+    // transformWithState totals must equal the batch per-user click
+    // aggregate; micro-unit integer sums make the comparison exact.
+    "q285_stream_tws_totals" ->
+      """SELECT user_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_u
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q283_stream_cdc_apply" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
         |           FROM events),
