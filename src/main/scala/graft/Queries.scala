@@ -3025,7 +3025,70 @@ object Queries {
     // word-frequency table is tiny relative to the corpus (Heaps' law), so
     // iteration cost is decoupled from corpus size — the standard
     // vocabulary-learning shape. ----
-    q2("q284_bpe_merges", bpeSparkSql, bpeDuckSql)
+    q2("q284_bpe_merges", bpeSparkSql, bpeDuckSql),
+
+    // ---- [EXT] CCNet-style perplexity bucketing: score every document
+    // with the q265 corpus bigram LM and cut the corpus into head/middle/
+    // tail tertiles (head = highest mean log-prob = lowest perplexity —
+    // the bucket CCNet keeps). NTILE over the ROUNDED score with doc_id
+    // tie-break makes the cut deterministic cross-engine. The model is a
+    // bounded char-bigram table (broadcastable at any corpus size); the
+    // cut is one window over per-doc scalars. ----
+    q2("q286_perplexity_buckets",
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+        |                              i -> substr(t, i, 2))) AS bg FROM t),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c) AS n FROM cnt),
+        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT doc_id, lm_score,
+        |        NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS t3 FROM sc)
+        |SELECT doc_id, lm_score,
+        |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, substr(t, i, 2) AS bg
+        |       FROM t, UNNEST(range(1, length(t))) u(i)),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c) AS n FROM cnt),
+        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |b AS (SELECT doc_id, lm_score,
+        |        NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS t3 FROM sc)
+        |SELECT doc_id, lm_score,
+        |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] boilerplate passage detection (the C4/CCNet repeated-span
+    // cleaning step): word 5-grams occurring in >= 2 distinct documents,
+    // ranked by spread then frequency. The whole operator is one explode +
+    // one groupBy — the gram key is the shuffle key, identical to the q46
+    // shape that measured near-linear at 10x. Top-50 with full (spread,
+    // freq, gram) tie-break is deterministic. ----
+    q2("q287_boilerplate_ngrams",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]) AS g
+        |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
+        |      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i),
+        |c AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, g) AS BIGINT) AS rnk,
+        |  g AS gram, n_docs, n_occ
+        |FROM c ORDER BY rnk LIMIT 50""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 3)) t(i)
+        |      WHERE len(ws) >= 5),
+        |c AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, g) AS BIGINT) AS rnk,
+        |  g AS gram, n_docs, n_occ
+        |FROM c ORDER BY rnk LIMIT 50""".stripMargin)
   )
 
   /** Spark dialect of the q284 BPE unroll. */

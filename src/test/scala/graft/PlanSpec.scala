@@ -169,7 +169,8 @@ class PlanSpec extends SparkSpec {
       "q280_ivfpq_topk",   // 5 queries x k-centroid broadcast probe (q271 shape)
       "q281_semdedup",     // N x k broadcast-centroid Lloyd assignment (q51e shape)
       "q282_domain_mix",   // 5-row weight table x 1-row budget aggregate
-      "q284_bpe_merges")   // 1-row argmax-pair broadcast per merge iteration
+      "q284_bpe_merges",   // 1-row argmax-pair broadcast per merge iteration
+      "q286_perplexity_buckets") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
