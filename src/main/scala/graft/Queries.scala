@@ -3088,11 +3088,93 @@ object Queries {
         |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, g) AS BIGINT) AS rnk,
         |  g AS gram, n_docs, n_occ
-        |FROM c ORDER BY rnk LIMIT 50""".stripMargin)
+        |FROM c ORDER BY rnk LIMIT 50""".stripMargin),
+
+    // ---- [EXT] BPE application + compression accounting: encode every
+    // document with the q284-learned merges and report char-token vs
+    // BPE-token counts. The fold runs once per DISTINCT word (Heaps-law
+    // table), then a doc x word equi-join distributes the encoded lengths
+    // — the corpus text itself is tokenized exactly once. ----
+    q2("q288_bpe_tokenize",
+      s"""WITH $bpeSparkCtes,
+         |wdd AS (SELECT doc_id, word, COUNT(*) AS c
+         |        FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+         |        WHERE word <> '' GROUP BY doc_id, word)
+         |SELECT d.doc_id,
+         |  CAST(SUM(d.c) AS BIGINT) AS n_words,
+         |  CAST(SUM(d.c * length(d.word)) AS BIGINT) AS n_char_tokens,
+         |  CAST(SUM(d.c * size(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(d.c * length(d.word)) AS DOUBLE)
+         |        / SUM(d.c * size(w.syms)), 4) AS compression
+         |FROM wdd d JOIN w3 w ON d.word = w.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $bpeDuckCtes,
+         |wdd AS (SELECT doc_id, word, COUNT(*) AS c
+         |        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+         |        WHERE word <> '' GROUP BY doc_id, word)
+         |SELECT d.doc_id,
+         |  CAST(SUM(d.c) AS BIGINT) AS n_words,
+         |  CAST(SUM(d.c * length(d.word)) AS BIGINT) AS n_char_tokens,
+         |  CAST(SUM(d.c * len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(d.c * length(d.word)) AS DOUBLE)
+         |        / SUM(d.c * len(w.syms)), 4) AS compression
+         |FROM wdd d JOIN w3 w ON d.word = w.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // ---- [EXT] maximal duplicated-span extraction (word-level substring
+    // dedup, the Lee et al. "deduplicating training data" shape): matching
+    // 5-gram positions between doc pairs chain along diagonals (ia - ib
+    // constant) into maximal shared spans of span_words = run + 4. The
+    // pair join touches ONLY grams already known cross-doc-duplicated (a
+    // semi-join prefilter), so the quadratic is bounded by the duplicate
+    // structure, not the corpus; runs/grouping are the standard gaps-and-
+    // islands window. ----
+    q2("q289_dup_spans",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]) AS g
+        |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
+        |      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i),
+        |dupg AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |gg AS (SELECT g.doc_id, g.i, g.g FROM g JOIN dupg USING (g)),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+        |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, ia,
+        |           ia - ROW_NUMBER() OVER (PARTITION BY da, db, ia - ib ORDER BY ia) AS grp,
+        |           ia - ib AS diag
+        |         FROM m),
+        |spans AS (SELECT da, db, CAST(COUNT(*) + 4 AS BIGINT) AS span_words,
+        |            CAST(MIN(ia) AS BIGINT) AS start_a
+        |          FROM runs GROUP BY da, db, diag, grp)
+        |SELECT CAST(ROW_NUMBER() OVER (
+        |    ORDER BY span_words DESC, da, db, start_a) AS BIGINT) AS rnk,
+        |  da, db, span_words, start_a
+        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT w.doc_id, t.i,
+        |        ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] || ' ' || ws[t.i+3] || ' ' || ws[t.i+4] AS g
+        |      FROM (SELECT * FROM w WHERE len(ws) >= 5) w,
+        |           UNNEST(range(1, len(w.ws) - 3)) t(i)),
+        |dupg AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |gg AS (SELECT g.doc_id, g.i, g.g FROM g JOIN dupg USING (g)),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+        |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, ia,
+        |           ia - ROW_NUMBER() OVER (PARTITION BY da, db, ia - ib ORDER BY ia) AS grp,
+        |           ia - ib AS diag
+        |         FROM m),
+        |spans AS (SELECT da, db, CAST(COUNT(*) + 4 AS BIGINT) AS span_words,
+        |            CAST(MIN(ia) AS BIGINT) AS start_a
+        |          FROM runs GROUP BY da, db, diag, grp)
+        |SELECT CAST(ROW_NUMBER() OVER (
+        |    ORDER BY span_words DESC, da, db, start_a) AS BIGINT) AS rnk,
+        |  da, db, span_words, start_a
+        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin)
   )
 
-  /** Spark dialect of the q284 BPE unroll. */
-  private def bpeSparkSql: String = {
+  /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
+    * w0 char symbols, 3 x (pair counts pK, argmax bK, merged wK)). */
+  private def bpeSparkCtes: String = {
     def step(win: String, p: String, b: String, wout: String): String =
       s"""$p AS (
          |  SELECT element_at(syms, i) AS l, element_at(syms, i + 1) AS r, SUM(cnt) AS c
@@ -3107,7 +3189,7 @@ object Queries {
          |                     concat(slice(out, 1, size(out) - 1), array(concat(l, r))),
          |                     concat(out, array(x)))) AS syms
          |  FROM $win CROSS JOIN $b)""".stripMargin
-    s"""WITH wd AS (
+    s"""wd AS (
        |  SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
@@ -3115,18 +3197,23 @@ object Queries {
        |  transform(sequence(1, length(word)), i -> substr(word, i, 1)) AS syms FROM wd),
        |${step("w0", "p1", "b1", "w1")},
        |${step("w1", "p2", "b2", "w2")},
-       |${step("w2", "p3", "b3", "w3")}
+       |${step("w2", "p3", "b3", "w3")}""".stripMargin
+  }
+
+  /** Spark dialect of the q284 BPE unroll. */
+  private def bpeSparkSql: String =
+    s"""WITH $bpeSparkCtes
        |SELECT step, l AS left_sym, r AS right_sym, c AS pair_count FROM (
        |  SELECT 1 AS step, * FROM b1
        |  UNION ALL SELECT 2, * FROM b2
        |  UNION ALL SELECT 3, * FROM b3)
        |ORDER BY step""".stripMargin
-  }
 
-  /** DuckDB dialect of the q284 BPE unroll — the same pair counts, argmax,
-    * and greedy fold (list_reduce over single-element lists with a
-    * prepended empty-list accumulator, DuckDB's empty-init idiom). */
-  private def bpeDuckSql: String = {
+  /** DuckDB-dialect CTE chain of the q284/q288 BPE unroll — the same pair
+    * counts, argmax, and greedy fold (list_reduce over single-element
+    * lists with a prepended empty-list accumulator, DuckDB's empty-init
+    * idiom). */
+  private def bpeDuckCtes: String = {
     def step(win: String, p: String, b: String, wout: String): String =
       s"""$p AS (
          |  SELECT w.syms[t.i] AS l, w.syms[t.i + 1] AS r, SUM(w.cnt) AS c
@@ -3141,7 +3228,7 @@ object Queries {
          |                  THEN list_append(out[1:len(out) - 1], l || r)
          |                  ELSE list_append(out, x[1]) END) AS syms
          |  FROM $win CROSS JOIN $b)""".stripMargin
-    s"""WITH wd AS (
+    s"""wd AS (
        |  SELECT word, COUNT(*) AS cnt
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
@@ -3149,13 +3236,17 @@ object Queries {
        |  list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms FROM wd),
        |${step("w0", "p1", "b1", "w1")},
        |${step("w1", "p2", "b2", "w2")},
-       |${step("w2", "p3", "b3", "w3")}
+       |${step("w2", "p3", "b3", "w3")}""".stripMargin
+  }
+
+  /** DuckDB dialect of the q284 BPE unroll. */
+  private def bpeDuckSql: String =
+    s"""WITH $bpeDuckCtes
        |SELECT step, l AS left_sym, r AS right_sym, c AS pair_count FROM (
        |  SELECT 1 AS step, b1.* FROM b1
        |  UNION ALL SELECT 2, b2.* FROM b2
        |  UNION ALL SELECT 3, b3.* FROM b3)
        |ORDER BY step""".stripMargin
-  }
 
   /** Integer-arithmetic PageRank SQL, identical in both dialects except the
     * integer-division operator (`DIV` in Spark, `//` in DuckDB). */
