@@ -25,7 +25,25 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.register(spark, sfDir)
+    // Preflight, failing LOUDLY: a setup crash must leave a parseable JSON
+    // line on stdout carrying the ROOT-CAUSE class + message (round 6 died
+    // in register and the artifact held only truncated inner stack frames).
+    try {
+      Tables.register(spark, sfDir)
+      Preflight.check(spark, sfDir) match {
+        case Nil => ()
+        case problems => problems.foreach(p => System.err.println(s"[bench][preflight] $p"))
+      }
+    } catch {
+      case e: Throwable =>
+        val root = { var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause; c }
+        val msg = (root.getClass.getName + ": " +
+          Option(root.getMessage).getOrElse("").linesIterator.take(3).mkString(" / "))
+          .replace("\\", "\\\\").replace("\"", "\\\"").take(600)
+        println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},"failed":-1,"sf":"$sfDir","setup_error":"$msg"}""")
+        e.printStackTrace()
+        sys.exit(1)
+    }
 
     import scala.jdk.CollectionConverters._
     def gcMillis: Long =

@@ -3032,8 +3032,10 @@ object Queries {
     // tail tertiles (head = highest mean log-prob = lowest perplexity —
     // the bucket CCNet keeps). NTILE over the ROUNDED score with doc_id
     // tie-break makes the cut deterministic cross-engine. The model is a
-    // bounded char-bigram table (broadcastable at any corpus size); the
-    // cut is one window over per-doc scalars. ----
+    // bounded char-bigram table (broadcastable at any corpus size). The
+    // global NTILE window is single-partition by construction — this entry
+    // is the sf-pinned EXACT-tertile oracle; q286b below is the production
+    // cut (percentile cutoffs, no global window) for corpus scale. ----
     q2("q286_perplexity_buckets",
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
@@ -3061,6 +3063,46 @@ object Queries {
         |SELECT doc_id, lm_score,
         |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM b ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] the SCALE-SAFE form of the q286 cut (the CCNet paper's
+    // actual method): percentile CUTOFFS computed as one aggregate and
+    // broadcast-joined back, replacing the single-partition global NTILE
+    // window (Spark itself warns "Moving all data to a single partition"
+    // on q286 — one row per doc through one task at corpus scale). Scores
+    // are rounded to 4 decimals, so distinct values are bounded and the
+    // exact `percentile` aggregate is a compact two-phase hashmap — at
+    // 100 TB swap in approx_percentile unchanged. Both engines use the
+    // same (n-1)p linear interpolation, so cutoffs and buckets agree
+    // bit-for-bit. q286 stays as the sf-pinned exact-tertile oracle. ----
+    q2("q286b_perplexity_buckets_at_scale",
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+        |                              i -> substr(t, i, 2))) AS bg FROM t),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c) AS n FROM cnt),
+        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |cut AS (SELECT percentile(lm_score, 1.0/3) AS c_lo,
+        |               percentile(lm_score, 2.0/3) AS c_hi FROM sc)
+        |SELECT doc_id, lm_score,
+        |  CASE WHEN lm_score > c_hi THEN 'head'
+        |       WHEN lm_score > c_lo THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cut ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+        |           WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, substr(t, i, 2) AS bg
+        |       FROM t, UNNEST(range(1, length(t))) u(i)),
+        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c) AS n FROM cnt),
+        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |cut AS (SELECT quantile_cont(lm_score, 1.0/3) AS c_lo,
+        |               quantile_cont(lm_score, 2.0/3) AS c_hi FROM sc)
+        |SELECT doc_id, lm_score,
+        |  CASE WHEN lm_score > c_hi THEN 'head'
+        |       WHEN lm_score > c_lo THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN cut ORDER BY doc_id""".stripMargin),
 
     // ---- [EXT] boilerplate passage detection (the C4/CCNet repeated-span
     // cleaning step): word 5-grams occurring in >= 2 distinct documents,
@@ -3126,16 +3168,20 @@ object Queries {
     // 5-gram positions between doc pairs chain along diagonals (ia - ib
     // constant) into maximal shared spans of span_words = run + 4. The
     // pair join touches ONLY grams already known cross-doc-duplicated (a
-    // semi-join prefilter), so the quadratic is bounded by the duplicate
-    // structure, not the corpus; runs/grouping are the standard gaps-and-
-    // islands window. ----
+    // semi-join prefilter) AND caps the posting list at 32 docs per gram
+    // (Lee et al.'s cap: a boilerplate gram shared by k docs would emit k^2
+    // pairs, so hot grams are dropped — their spans surface via q287's
+    // linear spread ranking instead). The quadratic is therefore bounded by
+    // 32 x duplicate structure, not the corpus; runs/grouping are the
+    // standard gaps-and-islands window. ----
     q2("q289_dup_spans",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, i,
         |        concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]) AS g
         |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
         |      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i),
-        |dupg AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dupg AS (SELECT g FROM g GROUP BY g
+        |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 32),
         |gg AS (SELECT g.doc_id, g.i, g.g FROM g JOIN dupg USING (g)),
         |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
         |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -3155,7 +3201,8 @@ object Queries {
         |        ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] || ' ' || ws[t.i+3] || ' ' || ws[t.i+4] AS g
         |      FROM (SELECT * FROM w WHERE len(ws) >= 5) w,
         |           UNNEST(range(1, len(w.ws) - 3)) t(i)),
-        |dupg AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dupg AS (SELECT g FROM g GROUP BY g
+        |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 32),
         |gg AS (SELECT g.doc_id, g.i, g.g FROM g JOIN dupg USING (g)),
         |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
         |      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
@@ -3169,7 +3216,115 @@ object Queries {
         |SELECT CAST(ROW_NUMBER() OVER (
         |    ORDER BY span_words DESC, da, db, start_a) AS BIGINT) AS rnk,
         |  da, db, span_words, start_a
-        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin)
+        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin),
+
+    // ---- [EXT] benchmark decontamination (the GPT-3/PaLM eval-overlap
+    // scrub): flag training docs sharing any word n-gram with the eval set
+    // (here the deterministic doc_id % 97 slice; production: the benchmark
+    // corpus). The eval gram set is tiny relative to the corpus, so the
+    // overlap check is a BROADCAST semi-join on the gram key — the train
+    // side streams through map-side, no corpus shuffle. n = 3 matches this
+    // fixture's vocabulary density; production uses 8-13-grams on the
+    // IDENTICAL plan (only the window width changes). ----
+    q2("q290_decontamination",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, concat_ws(' ', ws[i-1], ws[i], ws[i+1]) AS g
+        |      FROM (SELECT * FROM w WHERE size(ws) >= 3) w
+        |      LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] PII detection + redaction accounting: the fixture corpus
+    // carries no PII, so the entry PLANTS deterministic spans (an email for
+    // doc_id % 7 = 0, a phone for doc_id % 11 = 0) and proves regex
+    // extraction + redaction recovers exactly those — self-validating by
+    // construction, and the oracle re-runs the identical plant+scan in
+    // DuckDB. Patterns avoid backslash classes ([.] not \.) so Java-regex
+    // and RE2 semantics coincide. Pure per-row map work: embarrassingly
+    // parallel, no shuffle until the final tiny projection. ----
+    q2("q291_pii_redaction",
+      """WITH t AS (SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN concat(' call 555-', lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'), ' today')
+        |         ELSE '' END) AS t FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(size(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', 0)) AS BIGINT) AS n_emails,
+        |    CAST(size(regexp_extract_all(t, '555-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+        |    CAST(length(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>'), '555-[0-9]{4}', '<PHONE>')) AS BIGINT)
+        |      AS n_redacted_chars
+        |  FROM t)
+        |SELECT doc_id, n_emails, n_phones, n_redacted_chars
+        |FROM r WHERE n_emails + n_phones > 0 ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+        |         ELSE '' END AS t FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |    CAST(length(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT)
+        |      AS n_redacted_chars
+        |  FROM t)
+        |SELECT doc_id, n_emails, n_phones, n_redacted_chars
+        |FROM r WHERE n_emails + n_phones > 0 ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] training-shard packing by token budget — the sequence-
+    // packing/sharding step before tokenized data hits the trainer. Docs
+    // are ordered by a content-free md5 shuffle key and packed greedily
+    // into 2048-token shards. The running token total is a DISTRIBUTED
+    // TWO-LEVEL PREFIX SUM — per-bucket partial sums (parallel), a window
+    // over the 256 bucket totals (tiny), then within-bucket running sums
+    // (parallel, partitioned windows) — NOT a global-window cumsum, so no
+    // single-partition stage exists at any corpus size (the exact q286
+    // anti-pattern, avoided by construction). ----
+    q2("q292_shard_packing",
+      """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
+        |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
+        |b AS (SELECT doc_id, n_tok, h, substr(h, 1, 2) AS bkt FROM tok),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.h, b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM b JOIN bo USING (bkt))
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |b AS (SELECT doc_id, n_tok, h, substr(h, 1, 2) AS bkt FROM tok),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.h, b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM b JOIN bo USING (bkt))
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

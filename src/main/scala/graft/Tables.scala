@@ -8,14 +8,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * of the reference, see `/root/reference/images/redshift/redshift.yaml:11-42`
   * which reads `information_schema.columns`).
   *
-  * Hazard handled here (SURVEY §7.4.1): `events.ts` is parquet
-  * `TIMESTAMP(NANOS)`, which Spark's µs `TimestampType` cannot read directly
-  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate-divide to µs with
-  * `timestamp_micros(ts div 1000)` — identical to DuckDB's
-  * `CAST(ts AS TIMESTAMP)` ns→µs truncation, so oracle comparisons line up.
+  * Hazard handled here (SURVEY §7.4.1), the round-6 lesson: the driver may
+  * REGENERATE fixtures between rounds with a different physical timestamp
+  * type (`events.ts` was parquet `TIMESTAMP(NANOS)` through r5, `TIMESTAMP
+  * (MICROS)` from r6). The reference's own model is dynamic introspection —
+  * schemas are discovered at query time
+  * (`/root/reference/images/redshift/redshift.yaml:11-42` reads
+  * `information_schema.columns`) — so ingest here branches on the ACTUAL
+  * schema of the file, never on a documented assumption:
+  *   - ns fixtures surface as `LongType` (via
+  *     `spark.sql.legacy.parquet.nanosAsLong`) → truncate-divide to µs,
+  *     identical to DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation;
+  *   - µs/ms fixtures surface as `TimestampNTZType` (pandas writes
+  *     isAdjustedToUTC=false) or `TimestampType` → cast to `TimestampType`
+  *     (the session is pinned to UTC, so NTZ ≡ instant and DuckDB reads the
+  *     same values — oracle parity holds).
   */
 object Tables {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, expr, unix_micros}
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** `ts` (whatever physical type the fixture carries) → `TimestampType`
+    * at µs precision. The single place the physical-type branch lives. */
+  def tsAsTimestamp(dt: DataType): Column = dt match {
+    case LongType                          => expr("timestamp_micros(ts div 1000)") // ns-as-long fixture
+    case TimestampType                     => col("ts")
+    case TimestampNTZType                  => col("ts").cast(TimestampType) // UTC session ⇒ same instant
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other — fixture regenerated again? " +
+      "Extend Tables.tsAsTimestamp (see SURVEY §7.4.1).")
+  }
+
+  /** `ts` → µs-since-epoch BIGINT, same branch. */
+  def tsAsMicros(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000")
+    case _        => unix_micros(tsAsTimestamp(dt))
+  }
+
+  /** Raw events read (physical `ts` type untouched) — streaming callers need
+    * the raw schema for `readStream.schema(...)`. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Events with `ts` replaced by `ts_us: BIGINT` (µs since epoch) — the one
+    * normalized shape every batch consumer of raw event time uses. */
+  def eventsTsUs(spark: SparkSession, dir: String): DataFrame = {
+    val df = eventsRaw(spark, dir)
+    df.select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+      tsAsMicros(df.schema("ts").dataType).as("ts_us"))
+  }
 
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
@@ -47,12 +90,14 @@ object Tables {
     }
   }
 
-  /** Reads one table, applying per-table normalization (events ns→µs).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong` on the session (set once
-    * in [[register]]'s critical section, not per read call). */
+  /** Reads one table, applying per-table normalization (events `ts` → µs
+    * TimestampType, branched on the file's ACTUAL physical type).
+    * ns-long fixtures additionally require
+    * `spark.sql.legacy.parquet.nanosAsLong` on the session (set once in
+    * [[register]]'s critical section, not per read call). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.withColumn("ts", tsAsTimestamp(df.schema("ts").dataType))
     else df
   }
 
@@ -70,10 +115,23 @@ object Tables {
     graft.functions.DotProduct.register(spark)
     graft.functions.LshCodes.register(spark)
 
-    val dfs: Seq[(String, DataFrame)] = tableNames.map { n =>
-      val df = read(spark, dir, n)
-      df.createOrReplaceTempView(n)
-      n -> df
+    // Per-table isolation (round-6 lesson): one unreadable table must not
+    // take down queries that never touch it. A failing table is skipped with
+    // a LOUD one-line diagnosis; its queries then fail individually with
+    // TABLE_OR_VIEW_NOT_FOUND while the other nine tables keep working.
+    val dfs: Seq[(String, DataFrame)] = tableNames.flatMap { n =>
+      try {
+        val df = read(spark, dir, n)
+        df.createOrReplaceTempView(n)
+        Some(n -> df)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" / ")
+          System.err.println(
+            s"[graft.Tables] REGISTRATION FAILED for table '$n' at $dir: " +
+            s"${e.getClass.getSimpleName}: $msg")
+          None
+      }
     }
 
     // Synthesized information_schema (driver-side metadata only — no jobs).

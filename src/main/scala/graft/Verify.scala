@@ -20,6 +20,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight with readable diagnosis (round-6 lesson): a broken fixture
+    // assumption must surface as one clear line per problem, not as 298
+    // identical per-query stack traces.
+    try {
+      Tables.register(spark, sfDir)
+      Preflight.check(spark, sfDir).foreach(p => System.err.println(s"[verify][preflight] $p"))
+    } catch { case e: Throwable =>
+      val root = { var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause; c }
+      System.err.println(s"[verify][preflight] register FAILED: ${root.getClass.getName}: ${root.getMessage}")
+    }
     SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -53,12 +53,12 @@ object Streams {
   private def drainEvents(spark: SparkSession, dir: String, mode: String)(
       xform: DataFrame => DataFrame): DataFrame = {
     Tables.register(spark, dir) // session posture (nanosAsLong, UTC, AQE)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema // ts = nanos long
+    val schema = Tables.eventsRaw(spark, dir).schema // physical ts type varies by fixture vintage
     // FileStreamSource wants a directory; select just the events file from
     // the shared testdata dir with a glob filter.
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", Tables.tsAsTimestamp(schema("ts").dataType))
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
     val q = xform(events).writeStream
       .format("memory").queryName(name)
@@ -76,9 +76,8 @@ object Streams {
     * rate-limit options. */
   private def writeHalf(spark: SparkSession, dir: String, srcDir: String,
       cutUs: Long, oldHalf: Boolean, name: String): Unit = {
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        expr("ts div 1000").as("ts_us"))
+    val ev = Tables.eventsTsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
     val half = if (oldHalf) ev.where(col("ts_us") < cutUs)
                else ev.where(col("ts_us") >= cutUs)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp")
@@ -91,9 +90,8 @@ object Streams {
   /** Max event time in µs — one distributed aggregate returning a scalar
     * (the split point the oracle recomputes with the same expression). */
   private def maxTsUs(spark: SparkSession, dir: String): Long = {
-    import org.apache.spark.sql.functions.{expr, max}
-    spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000"))).head.getLong(0)
+    import org.apache.spark.sql.functions.max
+    Tables.eventsTsUs(spark, dir).agg(max("ts_us")).head.getLong(0)
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -206,8 +204,7 @@ object Streams {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       Tables.register(s, d)
       val tmax = maxTsUs(s, d)
-      val minTs = s.read.parquet(s"$d/events.parquet")
-        .agg(min(expr("ts div 1000"))).head.getLong(0)
+      val minTs = Tables.eventsTsUs(s, d).agg(min("ts_us")).head.getLong(0)
       val cut = (minTs + tmax) / 2
       val src = java.nio.file.Files.createTempDirectory("graft_fmg_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_fmg_out").toString
@@ -263,9 +260,8 @@ object Streams {
     // and the emitted pairs must still equal the full batch join.
     "q259_stream_stream_join_drain" -> ((s: SparkSession, d: String) => {
       Tables.register(s, d)
-      val e = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
-          col("event_type"))
+      val e = Tables.eventsTsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us").as("us"), col("event_type"))
       val v = e.where(col("event_type") === "view")
         .select(col("user_id"), col("us").as("vus"))
       val c = e.where(col("event_type") === "click")
@@ -324,9 +320,8 @@ object Streams {
     // state-eviction contract that bounds memory at 100 TB.
     "q264_stream_stream_outer_drain" -> ((s: SparkSession, d: String) => {
       Tables.register(s, d)
-      val e = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
-          col("event_type"))
+      val e = Tables.eventsTsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us").as("us"), col("event_type"))
       val v = e.where(col("event_type") === "view")
         .select(col("user_id"), col("us").as("vus"))
       val c = e.where(col("event_type") === "click")
@@ -381,10 +376,10 @@ object Streams {
       Tables.register(s, d)
       val out = java.nio.file.Files.createTempDirectory("graft_febatch_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_febatch_ckpt").toString
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = Tables.eventsRaw(s, d).schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", Tables.tsAsTimestamp(schema("ts").dataType))
         .select(col("event_id"), col("event_type"), col("value"))
       val q = ev.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -416,9 +411,8 @@ object Streams {
       val src = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
       val snap = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
-      s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-          expr("ts div 1000").as("ts_us"))
+      Tables.eventsTsUs(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
         .repartition(4).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
       val ver = new AtomicInteger(0)
@@ -457,8 +451,7 @@ object Streams {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       Tables.register(s, d)
       val tmax = maxTsUs(s, d)
-      val minTs = s.read.parquet(s"$d/events.parquet")
-        .agg(min(expr("ts div 1000"))).head.getLong(0)
+      val minTs = Tables.eventsTsUs(s, d).agg(min("ts_us")).head.getLong(0)
       val cut = (minTs + tmax) / 2
       val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString

@@ -170,7 +170,9 @@ class PlanSpec extends SparkSpec {
       "q281_semdedup",     // N x k broadcast-centroid Lloyd assignment (q51e shape)
       "q282_domain_mix",   // 5-row weight table x 1-row budget aggregate
       "q284_bpe_merges",   // 1-row argmax-pair broadcast per merge iteration
-      "q286_perplexity_buckets") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q288_bpe_tokenize", // same q284 argmax-pair broadcasts (shared BPE CTEs)
+      "q286_perplexity_buckets", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q286b_perplexity_buckets_at_scale") // q286's 1-row total + the 1-row percentile-cutoff broadcast
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))

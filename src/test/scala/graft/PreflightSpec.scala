@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampNTZType, TimestampType}
+
+/** The round-6 failure class, pinned so it can never zero a round silently
+  * again: the driver regenerated `events.ts` parquet ns→µs and the old
+  * hard-coded `ts div 1000` shim failed analysis inside `Tables.register`,
+  * killing all 298 entries. These tests (a) smoke the ACTUAL fixtures first
+  * with a readable diagnosis, and (b) prove `Tables.tsAsTimestamp` /
+  * `tsAsMicros` produce identical values for ALL THREE physical vintages of
+  * the same instant (ns-as-long, µs NTZ, µs TimestampType). */
+class PreflightSpec extends SparkSpec {
+
+  test("preflight: every fixture table registers and the ts probe passes") {
+    Tables.register(spark, sfDir)
+    val problems = Preflight.check(spark, sfDir)
+    assert(problems.isEmpty, "PREFLIGHT FAILURES (fixture drift? see FIXTURES.md hazard note):\n  " +
+      problems.mkString("\n  "))
+  }
+
+  test("tsAsTimestamp/tsAsMicros agree across ns-long, µs-NTZ, and µs fixture vintages") {
+    // One known instant: 2024-03-01 12:34:56.789012 UTC.
+    val us = 1709296496789012L
+    val nsLong = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(java.lang.Long.valueOf(us * 1000L))),
+      StructType(Seq(StructField("ts", LongType)))) // ns-as-long vintage (r1-r5)
+    val ntz = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(java.time.LocalDateTime
+        .ofEpochSecond(us / 1000000L, ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))),
+      StructType(Seq(StructField("ts", TimestampNTZType)))) // µs NTZ vintage (r6+)
+    val tst = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)))),
+      StructType(Seq(StructField("ts", TimestampType))))
+    for (df <- Seq(nsLong, ntz, tst)) {
+      val dt = df.schema("ts").dataType
+      val got = df.select(
+        Tables.tsAsMicros(dt).as("us"),
+        Tables.tsAsTimestamp(dt).cast("string").as("s")).head
+      assert(got.getLong(0) == us, s"tsAsMicros wrong for $dt")
+      assert(got.getString(1) == "2024-03-01 12:34:56.789012", s"tsAsTimestamp wrong for $dt: ${got.getString(1)}")
+    }
+  }
+
+  test("tsAsTimestamp fails loudly (not silently wrong) on an unhandled physical type") {
+    val e = intercept[IllegalStateException] {
+      Tables.tsAsTimestamp(org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
+  test("one unreadable table does not poison the other nine (blast-radius isolation)") {
+    // A scratch dir with every fixture EXCEPT a corrupt 'events' file: the
+    // other nine tables must still register and answer queries.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blast").toString
+    for (t <- Tables.tableNames if t != "events")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(dir, s"$t.parquet"),
+        java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "events.parquet"), "this is not parquet")
+    val s2 = spark.newSession()
+    Tables.register(s2, dir)
+    assert(s2.table("lineitem").count() > 0, "healthy table poisoned by the corrupt one")
+    assert(s2.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
+    assert(!s2.catalog.tableExists("events"), "corrupt table should be skipped, not half-registered")
+  }
+}
