@@ -3324,7 +3324,81 @@ object Queries {
         |      FROM b JOIN bo USING (bkt))
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] quality-classifier combine (the fastText/CCNet keep-drop
+    // scorer): a fixed linear model over per-doc features (word count, mean
+    // word length, stopword ratio, unique-word ratio) -> logit -> keep flag.
+    // Pure per-row map work after one split. Exactness discipline: the
+    // weighted sum is computed as ONE INTEGER numerator (weights x100, all
+    // features integral), so the keep rule sign(lnum) is exact and the
+    // reported logit is a single identical int/int division in both
+    // engines — no ROUND(double) tie-breaking and no libm transcendental
+    // can diverge cross-engine. ----
+    q2("q293_quality_classifier",
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    size(split(text, ' ')) AS wc,
+        |    size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    size(array_distinct(split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT doc_id, wc,
+        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
+        |  FROM f WHERE wc > 0)
+        |SELECT doc_id, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit, (lnum > 0) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    len(list_distinct(string_split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT doc_id, wc,
+        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
+        |  FROM f WHERE wc > 0)
+        |SELECT doc_id, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit, (lnum > 0) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] embedding outlier removal (per-class centroid-distance
+    // filter, the contamination/noise scrub before contrastive training):
+    // distance of every vector to its label centroid, outliers = top 5%
+    // per label. Exactness discipline matches the other embedding entries:
+    // vectors are quantized to integer MILLI-units, the centroid is the
+    // rounded integer mean, so every squared distance is an exact
+    // order-independent integer sum — the p95 cut (same (n-1)p
+    // interpolation both engines, q286b) is then deterministic. Scale
+    // shape: one groupBy for centroids (broadcast, 10 x 64 rows), one
+    // equi-join back, one per-label percentile — no pairwise anything. ----
+    q2("q294_embedding_outliers",
+      """WITH e AS (SELECT vec_id, label, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v),
+        |c AS (SELECT label, i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS ck
+        |      FROM e GROUP BY label, i),
+        |d AS (SELECT e.vec_id, e.label,
+        |        SUM((e.vk - c.ck) * (e.vk - c.ck)) AS d2
+        |      FROM e JOIN c ON e.label = c.label AND e.i = c.i
+        |      GROUP BY e.vec_id, e.label),
+        |thr AS (SELECT label, percentile(d2, 0.95) AS p95 FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label,
+        |  ROUND(SQRT(d.d2) / 1000, 4) AS dist,
+        |  (d.d2 > thr.p95) AS outlier
+        |FROM d JOIN thr ON d.label = thr.label
+        |ORDER BY d.vec_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, label, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM (SELECT vec_id, label, embedding[i] AS v, i
+        |        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))),
+        |c AS (SELECT label, i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS ck
+        |      FROM e GROUP BY label, i),
+        |d AS (SELECT e.vec_id, e.label,
+        |        SUM((e.vk - c.ck) * (e.vk - c.ck)) AS d2
+        |      FROM e JOIN c ON e.label = c.label AND e.i = c.i
+        |      GROUP BY e.vec_id, e.label),
+        |thr AS (SELECT label, quantile_cont(d2, 0.95) AS p95 FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label,
+        |  ROUND(SQRT(d.d2) / 1000, 4) AS dist,
+        |  (d.d2 > thr.p95) AS outlier
+        |FROM d JOIN thr ON d.label = thr.label
+        |ORDER BY d.vec_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -16,6 +16,18 @@ class PlanSpec extends SparkSpec {
   private def run(name: String): String =
     executedPlan(SparkEntry.queries(name)(spark, sfDir))
 
+  test("q286b plans zero Window operators (the point of the percentile cut vs q286's global NTILE)") {
+    val plan = run("q286b_perplexity_buckets_at_scale")
+    assert(!plan.contains("Window"),
+      s"q286b should cut via aggregate cutoffs, not any window:\n$plan")
+  }
+
+  test("q290 decontamination joins the corpus against a BROADCAST eval gram set") {
+    val plan = run("q290_decontamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set should broadcast (train side must stream map-side):\n$plan")
+  }
+
   test("q20 star join: dimension filter is pushed down and joins broadcast") {
     val plan = run("q20_star_join")
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") &&
