@@ -310,6 +310,35 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "prefixsum_scale") {
+      // q292's claim measured: the two-level prefix sum (bucket partials +
+      // 256-row window + partitioned running sums) vs the naive global-
+      // window cumsum (single-partition stage) on a 20x corpus.
+      import org.apache.spark.sql.functions._
+      val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "20").toInt
+      val docs = spark.table("documents")
+      val big = spark.range(0, copies).crossJoin(docs).select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"), col("text"))
+      big.createOrReplaceTempView("documents") // shadow with the big corpus
+      println(s"docs: ${big.count()}")
+      val twoLevel = Queries.byName("q292_shard_packing").spark
+      val naive =
+        """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
+          |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
+          |c AS (SELECT doc_id, n_tok,
+          |        COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |      FROM tok)
+          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard
+          |FROM c ORDER BY doc_id""".stripMargin
+      for (i <- 1 to 2; (label, q) <- Seq("two-level" -> twoLevel, "global-window" -> naive)) {
+        val t0 = System.nanoTime()
+        spark.sql(q).queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
