@@ -40,15 +40,23 @@ object Preflight {
           s"view '$t' not registered — Tables.register skipped it (see stderr for the per-table cause)")
       }
     }
-    // The r6 killer in miniature: aggregate over the NORMALIZED ts column —
-    // an un-handled fixture physical type fails analysis right here.
-    val tsProbe = diag("events-ts") {
+    // The r6 killer in miniature: aggregate over every NORMALIZED time
+    // column — an un-handled fixture physical type fails analysis right
+    // here, and a WRONG UNIT assumption (ms read as ns, ...) lands outside
+    // the sane year range and fails the bounds check, both with one
+    // readable line instead of 300 downstream failures.
+    val timeProbes = for {
+      (table, cols) <- Tables.timeColumns.toSeq.sortBy(_._1)
+      c <- cols
+    } yield diag(s"time:$table.$c") {
       val r = spark.sql(
-        "SELECT min(ts) AS lo, max(ts) AS hi, count(*) AS n FROM events").head
-      require(r.getLong(2) > 0, "events is empty")
-      require(!r.isNullAt(0) && !r.isNullAt(1), "events.ts normalized to all-null")
+        s"SELECT min(year($c)) AS lo, max(year($c)) AS hi, count($c) AS n FROM $table").head
+      require(r.getLong(2) > 0, s"$table.$c normalized to all-null")
+      val (lo, hi) = (r.getInt(0), r.getInt(1))
+      require(lo >= 1990 && hi <= 2100,
+        s"$table.$c spans years $lo..$hi — unit mismatch in the physical-type branch?")
     }
-    (basic.toSeq ++ perTable ++ tsProbe.toSeq)
+    (basic.toSeq ++ perTable ++ timeProbes.flatten)
   }
 
   def main(args: Array[String]): Unit = {

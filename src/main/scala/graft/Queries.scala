@@ -80,7 +80,7 @@ object Queries {
       """SELECT * FROM (VALUES
         |  ('orders','o_orderkey',1,'bigint'), ('orders','o_custkey',2,'bigint'),
         |  ('orders','o_orderstatus',3,'string'), ('orders','o_totalprice',4,'double'),
-        |  ('orders','o_orderdate',5,'timestamp_ntz'), ('orders','o_orderpriority',6,'string'))
+        |  ('orders','o_orderdate',5,'timestamp'), ('orders','o_orderpriority',6,'string'))
         |AS t(table_name, column_name, column_position, data_type)
         |ORDER BY column_position""".stripMargin),
 
@@ -3117,20 +3117,24 @@ object Queries {
         |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
         |      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i),
         |c AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
-        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |top AS (SELECT g, n_docs, n_occ FROM c
+        |        ORDER BY n_docs DESC, n_occ DESC, g LIMIT 50)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, g) AS BIGINT) AS rnk,
         |  g AS gram, n_docs, n_occ
-        |FROM c ORDER BY rnk LIMIT 50""".stripMargin,
+        |FROM top ORDER BY rnk""".stripMargin,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
         |        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
         |      FROM w, UNNEST(range(1, len(ws) - 3)) t(i)
         |      WHERE len(ws) >= 5),
         |c AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
-        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+        |      FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |top AS (SELECT g, n_docs, n_occ FROM c
+        |        ORDER BY n_docs DESC, n_occ DESC, g LIMIT 50)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, g) AS BIGINT) AS rnk,
         |  g AS gram, n_docs, n_occ
-        |FROM c ORDER BY rnk LIMIT 50""".stripMargin),
+        |FROM top ORDER BY rnk""".stripMargin),
 
     // ---- [EXT] BPE application + compression accounting: encode every
     // document with the q284-learned merges and report char-token vs
@@ -3191,11 +3195,13 @@ object Queries {
         |         FROM m),
         |spans AS (SELECT da, db, CAST(COUNT(*) + 4 AS BIGINT) AS span_words,
         |            CAST(MIN(ia) AS BIGINT) AS start_a
-        |          FROM runs GROUP BY da, db, diag, grp)
+        |          FROM runs GROUP BY da, db, diag, grp),
+        |top AS (SELECT da, db, span_words, start_a FROM spans
+        |        ORDER BY span_words DESC, da, db, start_a LIMIT 50)
         |SELECT CAST(ROW_NUMBER() OVER (
         |    ORDER BY span_words DESC, da, db, start_a) AS BIGINT) AS rnk,
         |  da, db, span_words, start_a
-        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin,
+        |FROM top ORDER BY rnk""".stripMargin,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT w.doc_id, t.i,
         |        ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] || ' ' || ws[t.i+3] || ' ' || ws[t.i+4] AS g
@@ -3212,11 +3218,13 @@ object Queries {
         |         FROM m),
         |spans AS (SELECT da, db, CAST(COUNT(*) + 4 AS BIGINT) AS span_words,
         |            CAST(MIN(ia) AS BIGINT) AS start_a
-        |          FROM runs GROUP BY da, db, diag, grp)
+        |          FROM runs GROUP BY da, db, diag, grp),
+        |top AS (SELECT da, db, span_words, start_a FROM spans
+        |        ORDER BY span_words DESC, da, db, start_a LIMIT 50)
         |SELECT CAST(ROW_NUMBER() OVER (
         |    ORDER BY span_words DESC, da, db, start_a) AS BIGINT) AS rnk,
         |  da, db, span_words, start_a
-        |FROM spans ORDER BY rnk LIMIT 50""".stripMargin),
+        |FROM top ORDER BY rnk""".stripMargin),
 
     // ---- [EXT] benchmark decontamination (the GPT-3/PaLM eval-overlap
     // scrub): flag training docs sharing any word n-gram with the eval set

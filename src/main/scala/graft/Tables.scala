@@ -30,16 +30,20 @@ object Tables {
   import org.apache.spark.sql.functions.{col, expr, unix_micros}
   import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
-  /** `ts` (whatever physical type the fixture carries) → `TimestampType`
-    * at µs precision. The single place the physical-type branch lives. */
-  def tsAsTimestamp(dt: DataType): Column = dt match {
-    case LongType                          => expr("timestamp_micros(ts div 1000)") // ns-as-long fixture
-    case TimestampType                     => col("ts")
-    case TimestampNTZType                  => col("ts").cast(TimestampType) // UTC session ⇒ same instant
+  /** A time column (whatever physical type the fixture carries) →
+    * `TimestampType` at µs precision. The single place the physical-type
+    * branch lives. */
+  def asTimestamp(name: String, dt: DataType): Column = dt match {
+    case LongType                          => expr(s"timestamp_micros($name div 1000)") // ns-as-long fixture
+    case TimestampType                     => col(name)
+    case TimestampNTZType                  => col(name).cast(TimestampType) // UTC session ⇒ same instant
     case other => throw new IllegalStateException(
-      s"events.ts has unsupported physical type $other — fixture regenerated again? " +
-      "Extend Tables.tsAsTimestamp (see SURVEY §7.4.1).")
+      s"time column '$name' has unsupported physical type $other — fixture regenerated again? " +
+      "Extend Tables.asTimestamp (see SURVEY §7.4.1).")
   }
+
+  /** `ts` (events) → `TimestampType`, same branch. */
+  def tsAsTimestamp(dt: DataType): Column = asTimestamp("ts", dt)
 
   /** `ts` → µs-since-epoch BIGINT, same branch. */
   def tsAsMicros(dt: DataType): Column = dt match {
@@ -90,15 +94,25 @@ object Tables {
     }
   }
 
-  /** Reads one table, applying per-table normalization (events `ts` → µs
-    * TimestampType, branched on the file's ACTUAL physical type).
-    * ns-long fixtures additionally require
-    * `spark.sql.legacy.parquet.nanosAsLong` on the session (set once in
-    * [[register]]'s critical section, not per read call). */
+  /** Every fixture column that is SEMANTICALLY a timestamp — all are
+    * normalized on read, so a driver regen flipping any one of them to a
+    * different physical type (the round-6 events.ts incident) is absorbed
+    * in one place. Preflight additionally range-probes each one. */
+  val timeColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Reads one table, normalizing each declared time column to µs
+    * TimestampType (branched on the file's ACTUAL physical type; a column
+    * already TimestampType passes through untouched). ns-long fixtures
+    * additionally require `spark.sql.legacy.parquet.nanosAsLong` on the
+    * session (set once in [[register]]'s critical section). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", tsAsTimestamp(df.schema("ts").dataType))
-    else df
+    timeColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.withColumn(c, asTimestamp(c, d.schema(c).dataType))
+    }
   }
 
   private def doRegister(spark: SparkSession, dir: String): Unit = {

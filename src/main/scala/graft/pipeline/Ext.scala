@@ -308,9 +308,9 @@ object Ext {
        |       JOIN lens ON tf.doc_id = lens.doc_id
        |       CROSS JOIN stats
        |       GROUP BY tf.doc_id),
-       |r AS (SELECT doc_id, score,
-       |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc)
-       |SELECT rnk, doc_id, score FROM r WHERE rnk <= $limit ORDER BY rnk""".stripMargin
+       |top AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $limit)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, score FROM top ORDER BY rnk""".stripMargin
 
   /** DuckDB-dialect BM25, identical math (string_split/unnest/len). */
   private def bm25DuckSql(limit: Int): String =
@@ -329,9 +329,9 @@ object Ext {
        |       JOIN lens ON tf.doc_id = lens.doc_id
        |       CROSS JOIN stats
        |       GROUP BY tf.doc_id),
-       |r AS (SELECT doc_id, score,
-       |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc
-       |      QUALIFY rnk <= $limit)""".stripMargin
+       |topd AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $limit),
+       |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       |        doc_id, score FROM topd)""".stripMargin
 
   private val shingleCte =
     """WITH w AS (

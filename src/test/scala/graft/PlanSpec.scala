@@ -28,6 +28,17 @@ class PlanSpec extends SparkSpec {
       s"eval gram set should broadcast (train side must stream map-side):\n$plan")
   }
 
+  test("corpus-scale rankings (q266 bm25, q287 grams, q289 spans) are distributed top-k, not global windows") {
+    // The final rank window may only ever see the LIMIT-50 survivors: the
+    // corpus-sized candidate set must be cut by TakeOrderedAndProject
+    // (distributed per-partition top-k + merge) BEFORE any ROW_NUMBER.
+    for (q <- Seq("q266_bm25_topk", "q287_boilerplate_ngrams", "q289_dup_spans")) {
+      val plan = run(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q should cut to top-50 via distributed TakeOrderedAndProject before ranking:\n$plan")
+    }
+  }
+
   test("q20 star join: dimension filter is pushed down and joins broadcast") {
     val plan = run("q20_star_join")
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") &&
