@@ -3406,7 +3406,42 @@ object Queries {
         |  ROUND(SQRT(d.d2) / 1000, 4) AS dist,
         |  (d.d2 > thr.p95) AS outlier
         |FROM d JOIN thr ON d.label = thr.label
-        |ORDER BY d.vec_id""".stripMargin)
+        |ORDER BY d.vec_id""".stripMargin),
+
+    // ---- [EXT] per-source distribution drift (corpus telemetry: which
+    // ingestion sources diverge from the aggregate word distribution —
+    // the mixture-monitoring signal a 100 TB crawl pipeline alarms on):
+    // KL(source unigram dist || corpus dist) per source. One explode +
+    // grouped counts; the corpus distribution is Heaps-law bounded and
+    // equi-joined back on the word key; the 1-row corpus total broadcasts
+    // (q265's CROSS JOIN shape). Probabilities are ratios of exact
+    // integer counts, so both engines feed identical doubles into LN;
+    // ROUND(,4) absorbs summation-order ULP (the proven q265 pattern). ----
+    q2("q295_source_drift",
+      """WITH w AS (SELECT source, explode(split(text, ' ')) AS word FROM documents),
+        |ws AS (SELECT source, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY source, word),
+        |st AS (SELECT source, SUM(c) AS n FROM ws GROUP BY source),
+        |g AS (SELECT word, SUM(c) AS gc FROM ws GROUP BY word),
+        |gt AS (SELECT SUM(gc) AS gn FROM g)
+        |SELECT ws.source, CAST(st.n AS BIGINT) AS n_words,
+        |  ROUND(SUM((ws.c / CAST(st.n AS DOUBLE))
+        |    * LN((ws.c / CAST(st.n AS DOUBLE)) / (g.gc / CAST(gt.gn AS DOUBLE)))), 4)
+        |    AS kl_vs_corpus
+        |FROM ws JOIN st USING (source) JOIN g USING (word) CROSS JOIN gt
+        |GROUP BY ws.source, st.n
+        |ORDER BY ws.source""".stripMargin,
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |ws AS (SELECT source, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY source, word),
+        |st AS (SELECT source, SUM(c) AS n FROM ws GROUP BY source),
+        |g AS (SELECT word, SUM(c) AS gc FROM ws GROUP BY word),
+        |gt AS (SELECT SUM(gc) AS gn FROM g)
+        |SELECT ws.source, CAST(st.n AS BIGINT) AS n_words,
+        |  ROUND(SUM((ws.c / CAST(st.n AS DOUBLE))
+        |    * LN((ws.c / CAST(st.n AS DOUBLE)) / (g.gc / CAST(gt.gn AS DOUBLE)))), 4)
+        |    AS kl_vs_corpus
+        |FROM ws JOIN st USING (source) JOIN g USING (word) CROSS JOIN gt
+        |GROUP BY ws.source, st.n
+        |ORDER BY ws.source""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

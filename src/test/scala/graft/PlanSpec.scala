@@ -195,7 +195,8 @@ class PlanSpec extends SparkSpec {
       "q284_bpe_merges",   // 1-row argmax-pair broadcast per merge iteration
       "q288_bpe_tokenize", // same q284 argmax-pair broadcasts (shared BPE CTEs)
       "q286_perplexity_buckets", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
-      "q286b_perplexity_buckets_at_scale") // q286's 1-row total + the 1-row percentile-cutoff broadcast
+      "q286b_perplexity_buckets_at_scale", // q286's 1-row total + the 1-row percentile-cutoff broadcast
+      "q295_source_drift") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
