@@ -3441,7 +3441,279 @@ object Queries {
         |    AS kl_vs_corpus
         |FROM ws JOIN st USING (source) JOIN g USING (word) CROSS JOIN gt
         |GROUP BY ws.source, st.n
-        |ORDER BY ws.source""".stripMargin)
+        |ORDER BY ws.source""".stripMargin),
+
+    // ---- [EXT] temperature-scaled source mixing (the multilingual/multi-
+    // source sampling rule: p_i ∝ n_i^α with α=0.7, the standard way a
+    // training mix up-weights small sources without exact quotas). Quotas
+    // are floor(200·p_i) — the POWER() doubles are rounded to 9 dp before
+    // FLOOR so a cross-engine libm ULP can never flip the integer (the
+    // q273 12-dp-key discipline). The per-source md5-ranked draw reuses
+    // q282's shape: partitioned window + broadcast quota table, no global
+    // sort; at corpus scale the draw becomes per-source top-k. ----
+    q2("q296_temperature_mix",
+      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS tw FROM s),
+        |q AS (SELECT source, CAST(FLOOR(ROUND(200 * POWER(CAST(n AS DOUBLE), 0.7) / t.tw, 9)) AS BIGINT) AS quota
+        |      FROM s CROSS JOIN t),
+        |r AS (SELECT d.doc_id, d.source,
+        |        ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id) AS rk
+        |      FROM documents d)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+        |ORDER BY r.doc_id""".stripMargin,
+      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS tw FROM s),
+        |q AS (SELECT source, CAST(FLOOR(ROUND(200 * POWER(CAST(n AS DOUBLE), 0.7) / t.tw, 9)) AS BIGINT) AS quota
+        |      FROM s CROSS JOIN t),
+        |r AS (SELECT d.doc_id, d.source,
+        |        ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |      FROM documents d)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+        |ORDER BY r.doc_id""".stripMargin),
+
+    // ---- [EXT] triangle counting + global clustering coefficient on the
+    // co-purchase graph (parts appearing in the same order, bounded to the
+    // l_quantity<=2 subgraph so edge generation stays per-order-quadratic
+    // on a FILTERED fan-out, never corpus-quadratic). Degree-oriented
+    // edges ((deg, node) total order) make the triangle join touch each
+    // triangle exactly once and bound the join fan-out by the max
+    // oriented out-degree — the standard distributed formulation (two
+    // equi-joins, no wedge materialized twice). All counts integer-exact;
+    // the one double (coefficient) is a ratio of exact ints, ROUND(,4). ----
+    q("q298_triangle_count",
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |           WHERE a.l_quantity <= 2 AND b.l_quantity <= 2),
+        |deg AS (SELECT node, COUNT(*) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) x GROUP BY node),
+        |o AS (SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS s,
+        |             CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS t
+        |      FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+        |tri AS (SELECT COUNT(*) AS n_tri
+        |        FROM o e1 JOIN o e2 ON e1.t = e2.s JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |wed AS (SELECT CAST(SUM(d * (d - 1)) / 2.0 AS BIGINT) AS n_wedges FROM deg),
+        |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+        |SELECT CAST(ne.n_edges AS BIGINT) AS n_edges, wed.n_wedges AS n_wedges,
+        |  CAST(tri.n_tri AS BIGINT) AS n_triangles,
+        |  ROUND(3.0 * tri.n_tri / (CASE WHEN wed.n_wedges = 0 THEN 1 ELSE wed.n_wedges END), 4)
+        |    AS clustering_coeff
+        |FROM ne CROSS JOIN wed CROSS JOIN tri""".stripMargin),
+
+    // ---- [EXT] data profiling (the ANALYZE-style per-column statistics a
+    // lake catalog collects before planning a 100 TB job): one scan, all
+    // aggregates partial+final, long-format output via stack(). n_distinct
+    // is exact here (the contract's check); the production variant swaps
+    // in approx_count_distinct per q23. min/max surfaced as strings so one
+    // schema covers heterogeneous columns. ----
+    q2("q299_data_profile",
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1, COUNT(DISTINCT doc_id) AS d1,
+        |    CAST(MIN(doc_id) AS STRING) AS mn1, CAST(MAX(doc_id) AS STRING) AS mx1,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2, COUNT(DISTINCT lang) AS d2,
+        |    MIN(lang) AS mn2, MAX(lang) AS mx2,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3, COUNT(DISTINCT n_chars) AS d3,
+        |    CAST(MIN(n_chars) AS STRING) AS mn3, CAST(MAX(n_chars) AS STRING) AS mx3,
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4, COUNT(DISTINCT source) AS d4,
+        |    MIN(source) AS mn4, MAX(source) AS mx4,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z5, COUNT(DISTINCT text) AS d5,
+        |    MIN(text) AS mn5, MAX(text) AS mx5
+        |  FROM documents)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        |  SELECT stack(5,
+        |    'doc_id',  n, z1, d1, mn1, mx1,
+        |    'lang',    n, z2, d2, mn2, mx2,
+        |    'n_chars', n, z3, d3, mn3, mx3,
+        |    'source',  n, z4, d4, mn4, mx4,
+        |    'text',    n, z5, d5, mn5, mx5)
+        |    AS (col_name, n_rows, n_null, n_distinct, min_val, max_val) FROM a)
+        |ORDER BY col_name""".stripMargin,
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_val, CAST(MAX(doc_id) AS VARCHAR) AS max_val FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT lang), MIN(lang), MAX(lang) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(*), CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents
+        |ORDER BY col_name""".stripMargin),
+
+    // ---- [EXT] sliding-window chunking (context-window preparation:
+    // overlapping 32-token chunks, stride 24 — the RAG/pretraining
+    // chunker). Pure per-row explode, no shuffle at all until the final
+    // ORDER BY; chunk identity is carried as an md5 so downstream chunk
+    // dedup is a plain q41 exact dedup on the hash. ----
+    q2("q300_chunking",
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, explode(sequence(0, CAST(FLOOR((size(w) - 1) / 24.0) AS BIGINT))) AS chunk_id FROM t),
+        |s AS (SELECT doc_id, chunk_id, slice(w, CAST(chunk_id * 24 + 1 AS INT), 32) AS cw FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+        |  CAST(size(cw) AS BIGINT) AS n_tok, md5(concat_ws(' ', cw)) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0, CAST(FLOOR((len(w) - 1) / 24.0) AS BIGINT))) AS chunk_id FROM t),
+        |s AS (SELECT doc_id, chunk_id, list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32) AS cw FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+        |  CAST(len(cw) AS BIGINT) AS n_tok, md5(array_to_string(cw, ' ')) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // ---- [EXT] fuzzy benchmark decontamination (q290's exact-overlap
+    // scrub, upgraded to MinHash similarity): a held-out eval slice
+    // (doc_id % 97 = 0) is fingerprinted with 16 md5-family MinHash slots
+    // over distinct 3-shingles and compared against every training doc.
+    // The eval side is tiny BY DEFINITION (benchmarks are KBs, corpora are
+    // TBs), so the slot join broadcasts the eval fingerprints and the
+    // train side streams map-side — the corpus is touched once. Top-3
+    // suspects per eval doc + a contamination flag at est-J >= 0.5.
+    // (Production would LSH-band the slots first — q49's path — but the
+    // broadcast-vs-tiny-eval shape is already corpus-linear.) ----
+    q2("q301_fuzzy_decontamination",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS STRING)))) AS mh
+        |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
+        |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
+        |      FROM mh e JOIN mh t ON e.i = t.i
+        |      WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0 GROUP BY 1, 2),
+        |rk AS (SELECT eval_id, train_id, matches,
+        |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM p)
+        |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
+        |  ROUND(matches / 16.0, 4) AS est_jaccard, (matches >= 8) AS contaminated
+        |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS VARCHAR)))) AS mh
+        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
+        |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
+        |      FROM mh e JOIN mh t ON e.i = t.i
+        |      WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0 GROUP BY 1, 2),
+        |rk AS (SELECT eval_id, train_id, matches,
+        |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM p)
+        |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
+        |  ROUND(matches / 16.0, 4) AS est_jaccard, (matches >= 8) AS contaminated
+        |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin),
+
+    // ---- [EXT] join-key skew audit (the pre-flight diagnostic that decides
+    // whether a 100 TB join needs salting/AQE skew-split: key cardinality,
+    // max-key share, p50/p99 per-key counts, Shannon entropy of the key
+    // distribution). One groupBy + one 1-row aggregate; entropy computed as
+    // ln(n) - Σc·ln(c)/n so the only doubles are ratios of exact integers
+    // (summation-order ULP absorbed by ROUND, the q265 discipline);
+    // percentiles use the proven (n-1)p interpolation agreement (q294). ----
+    q2("q302_skew_audit",
+      """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nk, MAX(c) AS maxc,
+        |        percentile(c, 0.5) AS p50, percentile(c, 0.99) AS p99,
+        |        SUM(c * LN(c)) AS slc FROM k)
+        |SELECT n AS n_rows, CAST(nk AS BIGINT) AS n_keys, CAST(maxc AS BIGINT) AS max_cnt,
+        |  ROUND(maxc / CAST(n AS DOUBLE), 6) AS top_share,
+        |  ROUND(p50, 4) AS p50_cnt, ROUND(p99, 4) AS p99_cnt,
+        |  ROUND((LN(n) - slc / n) / LN(2), 4) AS entropy_bits
+        |FROM t""".stripMargin,
+      """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nk, MAX(c) AS maxc,
+        |        quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99,
+        |        SUM(c * LN(c)) AS slc FROM k)
+        |SELECT n AS n_rows, CAST(nk AS BIGINT) AS n_keys, CAST(maxc AS BIGINT) AS max_cnt,
+        |  ROUND(maxc / CAST(n AS DOUBLE), 6) AS top_share,
+        |  ROUND(p50, 4) AS p50_cnt, ROUND(p99, 4) AS p99_cnt,
+        |  ROUND((LN(n) - slc / n) / LN(2), 4) AS entropy_bits
+        |FROM t""".stripMargin),
+
+    // ---- [EXT] containment near-dup (subset duplication: a doc embedded
+    // inside a longer one — Jaccard misses it because the union is large;
+    // containment |A∩B|/min(|A|,|B|) catches it; Broder's "containment"
+    // measure). Candidates come from an exact 8-gram equi-join with a
+    // posting-list window of [2, 32] docs per gram (the q289 Lee-et-al cap:
+    // singleton grams pair nothing, hot grams are boilerplate and are
+    // handled by q287, so the pair fan-out is O(32·dup), never O(k²));
+    // exact 3-shingle containment is then computed on candidates only. ----
+    q2("q303_containment_neardup",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS n_shared,
+        |  ROUND(i / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4) AS containment
+        |FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |WHERE i / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS n_shared,
+        |  ROUND(i / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4) AS containment
+        |FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |WHERE i / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- [EXT] batch sessionization (gaps-and-islands, 30-min inactivity
+    // gap): LAG-break + running SUM, both windows PARTITIONED BY user — the
+    // per-user event history is the unit of parallelism, so no global
+    // window exists at any corpus size (the q177 native session_window is
+    // the streaming sibling; this is the warehouse batch idiom). Event-time
+    // arithmetic in explicit epoch-µs integers so both engines compare the
+    // same BIGINTs. ----
+    q2("q304_sessionization",
+      """WITH e AS (SELECT user_id, event_id, unix_micros(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |               OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, tus,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM l)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  CAST(MIN(tus) AS BIGINT) AS start_us,
+        |  CAST((MAX(tus) - MIN(tus)) DIV 1000000 AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        |               OR tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, tus,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM l)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  CAST(MIN(tus) AS BIGINT) AS start_us,
+        |  CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

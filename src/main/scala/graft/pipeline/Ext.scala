@@ -40,6 +40,30 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q281_semdedup" ->
       ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
+    "q297_heavy_hitters" ->
+      ((s: SparkSession, d: String) => HeavyHitters.tokenHeavyHitters(s, d)),
+    // Source-format coverage beyond parquet: the same corpus written to and
+    // read back from CSV (header, explicit schema on read — inference is a
+    // scale anti-pattern: it double-scans), JSON-lines, and ORC; each
+    // round-trip must reproduce the parquet-direct aggregate exactly.
+    "q305_multiformat_roundtrip" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val docs = s.table("documents")
+      val schema = docs.schema
+      def agg(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), countDistinct(col("text")).as("n_texts"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .select(lit(fmt).as("fmt"), col("n_docs"), col("n_texts"), col("sum_chars"))
+      val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.write.mode("overwrite").json(s"$base/json")
+      docs.write.mode("overwrite").orc(s"$base/orc")
+      val csv = s.read.schema(schema).option("header", "true").csv(s"$base/csv")
+      val json = s.read.schema(schema).json(s"$base/json")
+      val orc = s.read.orc(s"$base/orc")
+      agg(csv, "csv").unionAll(agg(json, "json")).unionAll(agg(orc, "orc")).orderBy("fmt")
+    }),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -1038,6 +1062,22 @@ object Ext {
          |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM sa3 a LEFT JOIN dropped d ON d.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // Misra–Gries heavy hitters: the MG-candidate + exact-verify path must
+    // equal the oracle's naive full groupBy (the MG union is a guaranteed
+    // superset of every 1/30-support item — see HeavyHitters scaladoc).
+    "q297_heavy_hitters" -> HeavyHitters.oracle,
+
+    // Format round-trips are storage layout, not semantics: every format's
+    // aggregate must equal the parquet-direct one.
+    "q305_multiformat_roundtrip" ->
+      """SELECT 'csv' AS fmt, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_texts,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |UNION ALL
+        |SELECT 'json', COUNT(*), COUNT(DISTINCT text), CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT 'orc', COUNT(*), COUNT(DISTINCT text), CAST(SUM(n_chars) AS BIGINT) FROM documents
+        |ORDER BY fmt""".stripMargin,
 
     // Scale-path near-dup vs the full exact all-pairs join over the same
     // corpus ∪ planted twins (the oracle does all-pairs; Spark must reproduce

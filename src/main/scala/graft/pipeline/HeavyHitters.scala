@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact φ-heavy-hitter extraction via per-partition Misra–Gries summaries
+  * plus a candidate-restricted exact verification pass — the two-pass shape a
+  * 100 TB corpus uses to find frequent tokens (stopword/boilerplate
+  * induction) WITHOUT shuffling the full key universe.
+  *
+  * Why this beats a plain groupBy at scale: a full `groupBy(word)` shuffles
+  * every distinct key (trillions of post-explode rows for a web corpus). The
+  * MG pass is shuffle-free (`mapPartitions`, O(k) memory per task) and emits
+  * ≤ k candidate keys per partition; the verification pass shuffles only
+  * rows matching the broadcast candidate set.
+  *
+  * Correctness guarantee (why the output is EXACT, not approximate): an item
+  * with global count > N/k must, by pigeonhole over partition-relative
+  * frequencies (Σ count_p ≤ Σ n_p/k = N/k otherwise), exceed n_p/k in at
+  * least one partition, and an MG summary with k counters always retains
+  * every item whose partition count exceeds n_p/k (Misra & Gries 1982). So
+  * the union of per-partition candidates is a SUPERSET of every global
+  * φ-heavy item for φ ≥ 1/k, and the exact second pass makes the final
+  * counts and membership identical to the naive groupBy — which is exactly
+  * what the DuckDB oracle computes.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra–Gries summary with `k` counters; emits the summary's
+    * candidate keys (one stream per partition, ≤ k each). Decrement-all work
+    * amortizes to O(1) per input row (every decrement cancels one increment).
+    */
+  private[pipeline] def mgCandidates(words: Dataset[String], k: Int): DataFrame = {
+    import words.sparkSession.implicits._
+    words.mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { w =>
+        counters.get(w) match {
+          case Some(c) => counters.update(w, c + 1)
+          case None if counters.size < k => counters.update(w, 1L)
+          case None =>
+            val keys = counters.keys.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = counters(keys(i))
+              if (c == 1L) counters.remove(keys(i)) else counters.update(keys(i), c - 1)
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator
+    }.toDF("word")
+  }
+
+  /** q297: exact tokens with support ≥ 1/30 of the corpus, found through MG
+    * candidates (k = 256, 8× headroom over the 1/30 support floor) and
+    * verified with exact counts. Output ≡ the oracle's naive
+    * groupBy-HAVING — same rows, same counts, same order. */
+  def tokenHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.register(spark, dir)
+    import spark.implicits._
+    val words = spark.table("documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val candidates = mgCandidates(words.as[String], k = 256).distinct()
+    val total = words.count() // exact N: one columnar scan, no shuffle
+    words.join(broadcast(candidates), "word")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .where(col("c") * 30 >= lit(total))
+      .select(col("word"), col("c").cast("long").as("c"))
+      .orderBy(col("c").desc, col("word"))
+  }
+
+  /** DuckDB oracle: the naive exact formulation the MG path must equal. */
+  val oracle: String =
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY word),
+      |t AS (SELECT SUM(c) AS n FROM wc)
+      |SELECT word, CAST(c AS BIGINT) AS c FROM wc CROSS JOIN t
+      |WHERE c * 30 >= n ORDER BY c DESC, word""".stripMargin
+}

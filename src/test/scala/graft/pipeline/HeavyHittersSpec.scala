@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy hitters: the per-partition summary must (a) be a
+  * guaranteed superset of every global φ-heavy item for φ ≥ 1/k — the
+  * property the exactness of q297 rests on — and (b) actually compress in
+  * the realistic regime (vocab ≫ k), which the fixture's 31-word vocab
+  * cannot exercise. So the compression test runs on synthetic Zipf data. */
+class HeavyHittersSpec extends SparkSpec {
+
+  test("MG candidates ⊇ exact heavy hitters on Zipf data with vocab >> k (and compress)") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish stream: item i drawn ∝ 1/(i+1), vocab 5000, n = 200k rows,
+    // deterministic (seeded) so the assertion is stable.
+    val rnd = new scala.util.Random(7)
+    val vocab = 5000
+    val weights = (0 until vocab).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val totalW = cum.last
+    val draws = Seq.fill(200000) {
+      val x = rnd.nextDouble() * totalW
+      val idx = cum.indexWhere(_ >= x)
+      s"w$idx"
+    }
+    val ds = s.createDataset(draws).repartition(8)
+
+    val k = 64
+    val candidates = HeavyHitters.mgCandidates(ds, k).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val exact = ds.toDF("word").groupBy("word").count()
+      .where(col("count") * k > lit(draws.size.toLong))
+      .collect().map(_.getString(0)).toSet
+
+    assert(exact.nonEmpty, "test setup: Zipf head should contain >n/k items")
+    assert(exact.subsetOf(candidates),
+      s"MG summary lost heavy items: ${(exact -- candidates).take(5)}")
+    // compression: far fewer candidates than distinct keys (8 partitions × k cap)
+    assert(candidates.size <= 8 * k, s"candidate bound violated: ${candidates.size}")
+    assert(candidates.size < vocab / 2, s"no compression: ${candidates.size} of $vocab")
+  }
+
+  test("q297 equals the naive exact groupBy formulation on the fixture corpus") {
+    val viaMg = HeavyHitters.tokenHeavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.Tables.register(spark, sfDir)
+    val naive = spark.sql(
+      """WITH w AS (SELECT explode(split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY word),
+        |t AS (SELECT SUM(c) AS n FROM wc)
+        |SELECT word, CAST(c AS BIGINT) AS c FROM wc CROSS JOIN t
+        |WHERE c * 30 >= n ORDER BY c DESC, word""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMg == naive)
+    assert(viaMg.nonEmpty)
+  }
+}
