@@ -39,6 +39,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q297 heavy hitters: the exact-verify join broadcasts the MG candidate set") {
+    // The candidate set is ≤ k·partitions rows by construction; the corpus
+    // side must stream map-side against it (a shuffle here would re-pay the
+    // full-key-universe cost the MG pass exists to avoid).
+    val plan = run("q297_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MG candidates should broadcast into the verification join:\n$plan")
+  }
+
+  test("q301 fuzzy decontamination: the eval fingerprint side broadcasts") {
+    val plan = run("q301_fuzzy_decontamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval MinHash slots (tiny by definition) should broadcast:\n$plan")
+  }
+
+  test("q304 sessionization plans only user-partitioned windows (no global window)") {
+    val plan = run("q304_sessionization")
+    val windowSections = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windowSections.nonEmpty, s"expected window operators:\n$plan")
+    assert(windowSections.forall(_.contains("user_id")),
+      s"every session window must be partitioned by user_id:\n$plan")
+  }
+
   test("q20 star join: dimension filter is pushed down and joins broadcast") {
     val plan = run("q20_star_join")
     assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") &&
@@ -196,7 +219,9 @@ class PlanSpec extends SparkSpec {
       "q288_bpe_tokenize", // same q284 argmax-pair broadcasts (shared BPE CTEs)
       "q286_perplexity_buckets", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
       "q286b_perplexity_buckets_at_scale", // q286's 1-row total + the 1-row percentile-cutoff broadcast
-      "q295_source_drift") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q295_source_drift", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q296_temperature_mix", // CROSS JOIN with the 1-row Σweight aggregate (q265 shape)
+      "q298_triangle_count")  // CROSS JOINs of three 1-row count aggregates
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
