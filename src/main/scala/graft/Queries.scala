@@ -3713,7 +3713,93 @@ object Queries {
         |SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  CAST(MIN(tus) AS BIGINT) AS start_us,
         |  CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS duration_s
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin)
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_id""".stripMargin),
+
+    // ---- [EXT] join-cardinality pre-estimate (the blowup check run BEFORE
+    // a 100 TB join: Σ_k cA(k)·cB(k) over the two key histograms IS the
+    // exact inner-equi-join cardinality, and max_k cA(k)·cB(k) is the
+    // single-key hotspot that decides salting). The histograms are
+    // aggregate-sized, so the estimate costs two groupBys + a key join —
+    // never the join itself; the entry also runs the actual join to pin
+    // the identity cross-engine. ----
+    q("q306_join_blowup_estimate",
+      """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |b AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY c_custkey),
+        |est AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS est_rows,
+        |          CAST(MAX(a.c * b.c) AS BIGINT) AS max_key_pairs
+        |        FROM a JOIN b USING (k)),
+        |act AS (SELECT COUNT(*) AS actual FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT est.est_rows, est.max_key_pairs, CAST(act.actual AS BIGINT) AS actual_rows,
+        |  (est.est_rows = act.actual) AS estimate_exact
+        |FROM est CROSS JOIN act""".stripMargin),
+
+    // ---- [EXT] time-horizon event dedup (keep-first per (user, type,
+    // hour) — the at-least-once-ingest scrub before sessionization):
+    // ROW_NUMBER over a compound-key partition, so the window unit is one
+    // user-type-hour cell, never a global frame. Hour bucketing in
+    // integer epoch-µs (floor division, positive domain). ----
+    q2("q307_window_dedup",
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+        |             unix_micros(ts) DIV 3600000000 AS hr FROM events),
+        |r AS (SELECT event_id, user_id, event_type, hr,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type, hr ORDER BY ts, event_id) AS rn
+        |      FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(1.0 - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+        |FROM r""".stripMargin,
+      """WITH e AS (SELECT event_id, user_id, event_type, ts,
+        |             epoch_us(ts) // 3600000000 AS hr FROM events),
+        |r AS (SELECT event_id, user_id, event_type, hr,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type, hr ORDER BY ts, event_id) AS rn
+        |      FROM e)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(1.0 - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+        |FROM r""".stripMargin),
+
+    // ---- [EXT] exponential time-decay scoring (freshness weighting for
+    // recency-sensitive corpora / feature stores): per-user SUM of
+    // value·0.5^(age_days/30) against a fixed anchor instant. Pure
+    // partial+final aggregation — one shuffle on user_id. The POWER terms
+    // are libm doubles; ROUND(,4) on the sum absorbs cross-engine ULP
+    // (the q265 discipline; age ratios are exact integer-µs quotients). ----
+    q2("q308_time_decay_score",
+      """WITH e AS (SELECT user_id, value,
+        |    (unix_micros(TIMESTAMP '2024-07-01 00:00:00') - unix_micros(ts)) / 86400000000.0 AS age_d
+        |  FROM events)
+        |SELECT user_id, ROUND(SUM(value * POWER(0.5, age_d / 30.0)), 4) AS decay_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """WITH e AS (SELECT user_id, value,
+        |    (epoch_us(TIMESTAMP '2024-07-01 00:00:00') - epoch_us(ts)) / 86400000000.0 AS age_d
+        |  FROM events)
+        |SELECT user_id, ROUND(SUM(value * POWER(0.5, age_d / 30.0)), 4) AS decay_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- [EXT] explicit bloom-prefiltered semi-join (the manual form of
+    // the runtime bloom pruning PlanSpec verifies as engageable): build a
+    // bloom filter over the selective build side with bloom_filter_agg
+    // (distributed partial+merge aggregate, 1-row result), prefilter the
+    // probe side with might_contain BEFORE the shuffle, then scrub the
+    // bounded false positives with the exact semi-join. Result ≡ the plain
+    // semi-join (what the oracle computes) — the bloom pass only cuts
+    // probe-side shuffle volume, which at 100 TB is the difference between
+    // shuffling the corpus and shuffling ~0.1% of it. ----
+    q2("q310_bloom_semijoin",
+      """WITH pre AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |        FROM orders o
+        |        WHERE might_contain(
+        |          (SELECT bloom_filter_agg(xxhash64(c_custkey), 2000L, 16384L)
+        |           FROM customer WHERE c_acctbal > 9000),
+        |          xxhash64(o.o_custkey)))
+        |SELECT COUNT(*) AS n_orders, ROUND(SUM(p.o_totalprice), 4) AS total
+        |FROM pre p WHERE p.o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin,
+      """SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -128,6 +128,7 @@ object Tables {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.LshCodes.register(spark)
+    graft.functions.BloomFns.register(spark)
 
     // Per-table isolation (round-6 lesson): one unreadable table must not
     // take down queries that never touch it. A failing table is skipped with

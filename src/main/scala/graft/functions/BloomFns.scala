@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BloomFilterMightContain}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** SQL surface for Spark's built-in bloom-filter expressions.
+  *
+  * `BloomFilterAggregate` / `BloomFilterMightContain` are what the runtime
+  * bloom-filter join pruning rule injects internally
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), but Spark does not
+  * register them in the public FunctionRegistry. For the manual
+  * bloom-prefiltered semi-join pattern (q310: build the filter over the
+  * selective build side, cut probe-side shuffle volume BEFORE the join) we
+  * expose them as `bloom_filter_agg(xxhash64(k)[, est_items[, num_bits]])`
+  * and `might_contain(filter, xxhash64(k))` — the same expressions the
+  * optimizer uses, so codegen and partial/merge aggregation come for free.
+  */
+object BloomFns {
+
+  private val aggInfo = new ExpressionInfo(
+    classOf[BloomFilterAggregate].getName, "bloom_filter_agg")
+  private val mightInfo = new ExpressionInfo(
+    classOf[BloomFilterMightContain].getName, "might_contain")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("bloom_filter_agg"))) {
+      reg.registerFunction(
+        FunctionIdentifier("bloom_filter_agg"), aggInfo,
+        (children: Seq[Expression]) => children match {
+          case Seq(c)       => new BloomFilterAggregate(c)
+          case Seq(c, n)    => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case other => throw new IllegalArgumentException(
+            s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+        })
+    }
+    if (!reg.functionExists(FunctionIdentifier("might_contain"))) {
+      reg.registerFunction(
+        FunctionIdentifier("might_contain"), mightInfo,
+        (children: Seq[Expression]) => children match {
+          case Seq(f, v) => BloomFilterMightContain(f, v)
+          case other => throw new IllegalArgumentException(
+            s"might_contain expects 2 arguments, got ${other.size}")
+        })
+    }
+  }
+}

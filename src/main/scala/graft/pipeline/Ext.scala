@@ -64,6 +64,32 @@ object Ext {
       val orc = s.read.orc(s"$base/orc")
       agg(csv, "csv").unionAll(agg(json, "json")).unionAll(agg(orc, "orc")).orderBy("fmt")
     }),
+    // Bucketed-layout round-trip as a driver-visible operator (BucketingSpec
+    // asserts the no-shuffle plan property; this entry pins the RESULT):
+    // both join sides written bucketed on the join key, then the repeated
+    // orders⋈lineitem join runs shuffle-free off the bucket layout — at
+    // 100 TB this converts every recurring join on the key into a local
+    // zip of co-located buckets. Unique table names so concurrent cloned
+    // sessions (ConcurrencySpec) never race on the shared catalog.
+    "q309_bucketed_join_readback" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+      val ot = s"g_orders_bkt_$tag"
+      val lt = s"g_lineitem_bkt_$tag"
+      s.table("orders").select("o_orderkey", "o_orderstatus").write
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(ot)
+      s.table("lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice").write
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(lt)
+      s.sql(
+        s"""SELECT l.l_returnflag, COUNT(*) AS n, ROUND(SUM(l.l_extendedprice), 4) AS revenue
+           |FROM $lt l JOIN $ot o ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderstatus = 'F'
+           |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin)
+    }),
     "q52_multimodal_features" -> (Multimodal.features _),
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
@@ -1078,6 +1104,14 @@ object Ext {
         |UNION ALL
         |SELECT 'orc', COUNT(*), COUNT(DISTINCT text), CAST(SUM(n_chars) AS BIGINT) FROM documents
         |ORDER BY fmt""".stripMargin,
+
+    // Bucketing is storage layout, not semantics: the bucketed join must
+    // reproduce the plain join aggregate.
+    "q309_bucketed_join_readback" ->
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Scale-path near-dup vs the full exact all-pairs join over the same
     // corpus ∪ planted twins (the oracle does all-pairs; Spark must reproduce

@@ -221,7 +221,8 @@ class PlanSpec extends SparkSpec {
       "q286b_perplexity_buckets_at_scale", // q286's 1-row total + the 1-row percentile-cutoff broadcast
       "q295_source_drift", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
       "q296_temperature_mix", // CROSS JOIN with the 1-row Σweight aggregate (q265 shape)
-      "q298_triangle_count")  // CROSS JOINs of three 1-row count aggregates
+      "q298_triangle_count",  // CROSS JOINs of three 1-row count aggregates
+      "q306_join_blowup_estimate") // CROSS JOIN of the 1-row estimate x 1-row actual
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
