@@ -3799,7 +3799,107 @@ object Queries {
         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin,
       """SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
         |FROM orders WHERE o_custkey IN
-        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin)
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""".stripMargin),
+
+    // ---- [EXT] train/test split-leakage audit (the eval-integrity check
+    // every corpus split needs: does any NEAR-DUP pair straddle the
+    // deterministic 90/10 md5 split? exact dedup can't leak across an
+    // id-hash split, but near-dups can and do). Candidates via q303's
+    // 8-gram [2,32] posting window, exact 3-shingle Jaccard >= 0.5 on
+    // candidates only, split labels equi-joined back — corpus-linear
+    // end to end. ----
+    q2("q312_split_leakage",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id, ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 4) AS jaccard
+        |          FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |         (CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90)
+        |           AS is_train FROM documents)
+        |SELECT p.a_id, p.b_id, p.jaccard,
+        |  CASE WHEN sa.is_train THEN 'train' ELSE 'test' END AS a_split,
+        |  CASE WHEN sb.is_train THEN 'train' ELSE 'test' END AS b_split,
+        |  (sa.is_train <> sb.is_train) AS leaked
+        |FROM pairs p JOIN sp sa ON sa.doc_id = p.a_id JOIN sp sb ON sb.doc_id = p.b_id
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |pairs AS (SELECT a_id, b_id, ROUND(i / CAST(na.n + nb.n - i AS DOUBLE), 4) AS jaccard
+        |          FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |          WHERE i / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90)
+        |           AS is_train FROM documents)
+        |SELECT p.a_id, p.b_id, p.jaccard,
+        |  CASE WHEN sa.is_train THEN 'train' ELSE 'test' END AS a_split,
+        |  CASE WHEN sb.is_train THEN 'train' ELSE 'test' END AS b_split,
+        |  (sa.is_train <> sb.is_train) AS leaked
+        |FROM pairs p JOIN sp sa ON sa.doc_id = p.a_id JOIN sp sb ON sb.doc_id = p.b_id
+        |ORDER BY p.a_id, p.b_id""".stripMargin),
+
+    // ---- [EXT] incremental stats maintenance (the mergeable-aggregates
+    // law that makes 100 TB incremental pipelines possible: stats(old) ⊎
+    // stats(batch) = stats(all), so a new ingest batch updates catalog
+    // statistics WITHOUT rescanning the corpus). The entry computes both
+    // sides and pins the identity per source; count/sum/min/max all merge
+    // associatively — the same partial+final shape Spark's own aggregates
+    // use within one query, applied across ingestion batches. ----
+    q2("q313_incremental_stats_merge",
+      """WITH olds AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents WHERE doc_id % 5 <> 4 GROUP BY source),
+        |news AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents WHERE doc_id % 5 = 4 GROUP BY source),
+        |merged AS (SELECT source, SUM(c) AS c, SUM(sc) AS sc, MIN(mn) AS mn, MAX(mx) AS mx
+        |       FROM (SELECT * FROM olds UNION ALL SELECT * FROM news) u GROUP BY source),
+        |direct AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents GROUP BY source)
+        |SELECT m.source, CAST(m.c AS BIGINT) AS n_docs, CAST(m.sc AS BIGINT) AS sum_chars,
+        |  CAST(m.mn AS BIGINT) AS min_chars, CAST(m.mx AS BIGINT) AS max_chars,
+        |  (m.c = d.c AND m.sc = d.sc AND m.mn = d.mn AND m.mx = d.mx) AS merge_exact
+        |FROM merged m JOIN direct d ON m.source = d.source
+        |ORDER BY m.source""".stripMargin,
+      """WITH olds AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents WHERE doc_id % 5 <> 4 GROUP BY source),
+        |news AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents WHERE doc_id % 5 = 4 GROUP BY source),
+        |merged AS (SELECT source, SUM(c) AS c, SUM(sc) AS sc, MIN(mn) AS mn, MAX(mx) AS mx
+        |       FROM (SELECT * FROM olds UNION ALL SELECT * FROM news) u GROUP BY source),
+        |direct AS (SELECT source, COUNT(*) AS c, SUM(n_chars) AS sc,
+        |         MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM documents GROUP BY source)
+        |SELECT m.source, CAST(m.c AS BIGINT) AS n_docs, CAST(m.sc AS BIGINT) AS sum_chars,
+        |  CAST(m.mn AS BIGINT) AS min_chars, CAST(m.mx AS BIGINT) AS max_chars,
+        |  (m.c = d.c AND m.sc = d.sc AND m.mn = d.mn AND m.mx = d.mx) AS merge_exact
+        |FROM merged m JOIN direct d ON m.source = d.source
+        |ORDER BY m.source""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

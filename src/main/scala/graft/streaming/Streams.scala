@@ -147,6 +147,20 @@ object Streams {
       }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
 
+    // Watermark-scoped streaming dedup (dropDuplicatesWithinWatermark,
+    // the state-TTL'd production form of q253: dedup state is EVICTED once
+    // the watermark passes the horizon instead of growing forever). The
+    // 400-day horizon exceeds the fixture's whole event-time span, so the
+    // drained result is exactly the global distinct — q253's oracle —
+    // while the query exercises the watermark-eviction code path.
+    "q311_stream_dedup_within_watermark" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "append") { ev =>
+        ev.withWatermark("ts", "400 days")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+      }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -609,6 +623,11 @@ object Streams {
         |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
 
     "q253_stream_dedup_drain" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // horizon > the fixture's whole span ⇒ watermark-scoped dedup ≡ global
+    "q311_stream_dedup_within_watermark" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
