@@ -3546,24 +3546,26 @@ object Queries {
         |  COUNT(DISTINCT text), MIN(text), MAX(text) FROM documents
         |ORDER BY col_name""".stripMargin),
 
-    // ---- [EXT] sliding-window chunking (context-window preparation:
-    // overlapping 32-token chunks, stride 24 — the RAG/pretraining
-    // chunker). Pure per-row explode, no shuffle at all until the final
-    // ORDER BY; chunk identity is carried as an md5 so downstream chunk
-    // dedup is a plain q41 exact dedup on the hash. ----
-    q2("q300_chunking",
+    // ---- [EXT] chunk-level dedup (sub-document granularity, the dedup-
+    // before-packing step q41's doc-level pass can't do: a boilerplate
+    // chunk repeated across distinct docs survives doc dedup but wastes
+    // training tokens). Chunks via q71's windowing (here 32/24), identity
+    // by md5, then an exact groupBy on the hash — reused chunks surface
+    // with their occurrence count and keeper (min doc). Corpus-linear:
+    // explode + one hash groupBy. ----
+    q2("q300_chunk_dedup",
       """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, explode(sequence(0, CAST(FLOOR((size(w) - 1) / 24.0) AS BIGINT))) AS chunk_id FROM t),
-        |s AS (SELECT doc_id, chunk_id, slice(w, CAST(chunk_id * 24 + 1 AS INT), 32) AS cw FROM c)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(chunk_id * 24 AS BIGINT) AS start_tok,
-        |  CAST(size(cw) AS BIGINT) AS n_tok, md5(concat_ws(' ', cw)) AS chunk_hash
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+        |s AS (SELECT doc_id, chunk_id, md5(concat_ws(' ', slice(w, CAST(chunk_id * 24 + 1 AS INT), 32))) AS h FROM c),
+        |g AS (SELECT h, COUNT(*) AS n_occ, MIN(doc_id) AS keeper_doc FROM s GROUP BY h)
+        |SELECT h AS chunk_hash, CAST(n_occ AS BIGINT) AS n_occ, keeper_doc
+        |FROM g WHERE n_occ > 1 ORDER BY n_occ DESC, chunk_hash""".stripMargin,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, unnest(generate_series(0, CAST(FLOOR((len(w) - 1) / 24.0) AS BIGINT))) AS chunk_id FROM t),
-        |s AS (SELECT doc_id, chunk_id, list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32) AS cw FROM c)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(chunk_id * 24 AS BIGINT) AS start_tok,
-        |  CAST(len(cw) AS BIGINT) AS n_tok, md5(array_to_string(cw, ' ')) AS chunk_hash
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+        |s AS (SELECT doc_id, chunk_id, md5(array_to_string(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS h FROM c),
+        |g AS (SELECT h, COUNT(*) AS n_occ, MIN(doc_id) AS keeper_doc FROM s GROUP BY h)
+        |SELECT h AS chunk_hash, CAST(n_occ AS BIGINT) AS n_occ, keeper_doc
+        |FROM g WHERE n_occ > 1 ORDER BY n_occ DESC, chunk_hash""".stripMargin),
 
     // ---- [EXT] fuzzy benchmark decontamination (q290's exact-overlap
     // scrub, upgraded to MinHash similarity): a held-out eval slice
