@@ -3901,7 +3901,108 @@ object Queries {
         |  CAST(m.mn AS BIGINT) AS min_chars, CAST(m.mx AS BIGINT) AS max_chars,
         |  (m.c = d.c AND m.sc = d.sc AND m.mn = d.mn AND m.mx = d.mx) AS merge_exact
         |FROM merged m JOIN direct d ON m.source = d.source
-        |ORDER BY m.source""".stripMargin)
+        |ORDER BY m.source""".stripMargin),
+
+    // ---- [EXT] tokenizer fertility per source (tokens-per-word under the
+    // q284-learned BPE — the metric that decides whether a tokenizer
+    // under-serves a source/language in a multilingual mix). Same
+    // once-per-DISTINCT-word encode as q288, aggregated per source
+    // instead of per doc. ----
+    q2("q314_tokenizer_fertility",
+      s"""WITH $bpeSparkCtes,
+         |wds AS (SELECT s.source, s.word, COUNT(*) AS c
+         |        FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents) s
+         |        WHERE s.word <> '' GROUP BY s.source, s.word)
+         |SELECT d.source,
+         |  CAST(SUM(d.c) AS BIGINT) AS n_words,
+         |  CAST(SUM(d.c * size(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(d.c * size(w.syms)) AS DOUBLE) / SUM(d.c), 4) AS fertility
+         |FROM wds d JOIN w3 w ON d.word = w.word
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      s"""WITH $bpeDuckCtes,
+         |wds AS (SELECT s.source, s.word, COUNT(*) AS c
+         |        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents) s
+         |        WHERE s.word <> '' GROUP BY s.source, s.word)
+         |SELECT d.source,
+         |  CAST(SUM(d.c) AS BIGINT) AS n_words,
+         |  CAST(SUM(d.c * len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(d.c * len(w.syms)) AS DOUBLE) / SUM(d.c), 4) AS fertility
+         |FROM wds d JOIN w3 w ON d.word = w.word
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // ---- [EXT] shard-packing efficiency (the padding-overhead audit on
+    // q292's packing: per-shard fill statistics + overall overhead vs the
+    // 2048-token budget). Same distributed two-level prefix sum as q292,
+    // then one groupBy(shard) + a 1-row summary — no global window. ----
+    q2("q315_packing_efficiency",
+      """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
+        |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
+        |b AS (SELECT doc_id, n_tok, h, substr(h, 1, 2) AS bkt FROM tok),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.h, b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM b JOIN bo USING (bkt)),
+        |sh AS (SELECT CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard,
+        |         COUNT(*) AS n_docs, SUM(n_tok) AS fill FROM c GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(fill) AS BIGINT) AS min_fill, CAST(MAX(fill) AS BIGINT) AS max_fill,
+        |  ROUND(AVG(CAST(n_docs AS DOUBLE)), 4) AS avg_docs_per_shard,
+        |  ROUND(SUM(fill) / (COUNT(*) * 2048.0), 4) AS utilization
+        |FROM sh""".stripMargin,
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |b AS (SELECT doc_id, n_tok, h, substr(h, 1, 2) AS bkt FROM tok),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.h, b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM b JOIN bo USING (bkt)),
+        |sh AS (SELECT CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS shard,
+        |         COUNT(*) AS n_docs, SUM(n_tok) AS fill FROM c GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(fill) AS BIGINT) AS min_fill, CAST(MAX(fill) AS BIGINT) AS max_fill,
+        |  ROUND(AVG(CAST(n_docs AS DOUBLE)), 4) AS avg_docs_per_shard,
+        |  ROUND(SUM(fill) / (COUNT(*) * 2048.0), 4) AS utilization
+        |FROM sh""".stripMargin),
+
+    // ---- [EXT] vocabulary coverage curve (cumulative corpus share of the
+    // top-k words — the truncation curve a frequency-based vocab or
+    // stopword cut is read off). The ranked window runs over the DISTINCT
+    // vocab (Heaps-law bounded, not corpus-sized), so the global frame is
+    // over thousands of rows at any corpus scale — the same justification
+    // as q284's vocab-sized argmax. ----
+    q2("q316_vocab_coverage",
+      """WITH wc AS (SELECT word, COUNT(*) AS c
+        |       FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+        |       WHERE word <> '' GROUP BY word),
+        |t AS (SELECT SUM(c) AS n FROM wc),
+        |r AS (SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk,
+        |        SUM(c) OVER (ORDER BY c DESC, word
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM wc)
+        |SELECT CAST(r.rk AS BIGINT) AS rk, r.word, CAST(r.c AS BIGINT) AS c,
+        |  ROUND(r.cum / CAST(t.n AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin,
+      """WITH wc AS (SELECT word, COUNT(*) AS c
+        |       FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |       WHERE word <> '' GROUP BY word),
+        |t AS (SELECT SUM(c) AS n FROM wc),
+        |r AS (SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk,
+        |        SUM(c) OVER (ORDER BY c DESC, word
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM wc)
+        |SELECT CAST(r.rk AS BIGINT) AS rk, r.word, CAST(r.c AS BIGINT) AS c,
+        |  ROUND(r.cum / CAST(t.n AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

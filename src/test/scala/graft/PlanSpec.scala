@@ -222,7 +222,9 @@ class PlanSpec extends SparkSpec {
       "q295_source_drift", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
       "q296_temperature_mix", // CROSS JOIN with the 1-row Σweight aggregate (q265 shape)
       "q298_triangle_count",  // CROSS JOINs of three 1-row count aggregates
-      "q306_join_blowup_estimate") // CROSS JOIN of the 1-row estimate x 1-row actual
+      "q306_join_blowup_estimate", // CROSS JOIN of the 1-row estimate x 1-row actual
+      "q314_tokenizer_fertility", // q284's vocab-sized argmax-pair broadcasts (shared BPE CTEs)
+      "q316_vocab_coverage")      // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
