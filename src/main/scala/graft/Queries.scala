@@ -17,8 +17,10 @@ package graft
   *    HUGEINT; Spark ROW_NUMBER→INT vs DuckDB→BIGINT; FLOOR/CEIL);
   *  - float aggregates wrapped in ROUND(x,4); ORDER BY is always total
   *    (unique-key suffix) with explicit NULLS FIRST/LAST;
-  *  - events.ts is parquet ns: our reader truncates to µs exactly like
-  *    DuckDB's scan does, so timestamps line up.
+  *  - events.ts / o_orderdate / l_shipdate physical types are whatever the
+  *    current fixture carries (the driver may regenerate them between
+  *    rounds); Tables.read normalizes each to µs TimestampType branched on
+  *    the file's ACTUAL schema, matching DuckDB's scan of the same file.
   */
 final case class QuerySpec(name: String, spark: String, oracle: Option[String])
 
@@ -4002,7 +4004,317 @@ object Queries {
         |      FROM wc)
         |SELECT CAST(r.rk AS BIGINT) AS rk, r.word, CAST(r.c AS BIGINT) AS c,
         |  ROUND(r.cum / CAST(t.n AS DOUBLE), 4) AS cum_share
-        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin)
+        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin),
+
+    // ---- [EXT] HLL sketch MERGE law (the property that makes distinct
+    // counting work at 100 TB: per-shard sketches union-merged on the
+    // driver must estimate the same as one direct pass). Per-event-type
+    // partial sketches -> hll_union_agg -> estimate, compared against the
+    // single-pass sketch AND the exact COUNT(DISTINCT) with a 5% bound
+    // (the q111 boolean-oracle pattern: DuckDB predicts the invariants,
+    // Spark must land on them). Merged and direct sketches may sit in
+    // different internal modes (sparse coupons vs dense registers) at
+    // the same cardinality, so exact estimate equality is NOT a law —
+    // the production law is that BOTH land inside the error bound. ----
+    q2("q317_hll_merge_law",
+      """WITH per AS (SELECT event_type, hll_sketch_agg(user_id) AS sk FROM events GROUP BY event_type),
+        |m AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS est_m FROM per),
+        |d AS (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_d,
+        |        COUNT(DISTINCT user_id) AS ex FROM events)
+        |SELECT CAST(d.ex AS BIGINT) AS exact_users,
+        |  (ABS(m.est_m - d.ex) <= 0.05 * d.ex) AS merged_within_5pct,
+        |  (ABS(d.est_d - d.ex) <= 0.05 * d.ex) AS direct_within_5pct
+        |FROM m CROSS JOIN d""".stripMargin,
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
+        |FROM events""".stripMargin),
+
+    // ---- [EXT] KMV (bottom-k) sketch corpus Jaccard: estimate the
+    // 3-gram Jaccard between two corpus halves from O(k) state per
+    // corpus — the sketch a 100 TB pipeline ships between clusters to
+    // answer "how much does crawl B overlap crawl A" without moving
+    // either corpus. The scale path is demonstrated literally: bottom-k
+    // is computed per (half, shard) in parallel (shard = doc_id % 8,
+    // a partitioned window), the per-shard sketches are merged by
+    // re-ranking <= 8k rows (KMV is mergeable: union then re-truncate),
+    // and the estimate J^ = |bottom_k(A u B) n A n B| / k uses md5 as
+    // the hash so both engines agree bit-for-bit. The exact Jaccard is
+    // computed alongside as the audit column. ----
+    q2("q318_kmv_corpus_jaccard",
+      """WITH t AS (SELECT doc_id, doc_id % 2 AS half, doc_id % 8 AS shard,
+        |             split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT half, shard, concat_ws(' ', slice(ws, i, 3)) AS gram
+        |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
+        |      WHERE size(ws) >= 3),
+        |h AS (SELECT half, shard, md5(gram) AS h FROM g),
+        |bks AS (SELECT half, shard, h FROM
+        |        (SELECT half, shard, h,
+        |           ROW_NUMBER() OVER (PARTITION BY half, shard ORDER BY h) AS rk
+        |         FROM (SELECT DISTINCT half, shard, h FROM h) d) w WHERE rk <= 256),
+        |bk AS (SELECT half, h FROM
+        |       (SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rk
+        |        FROM (SELECT DISTINCT half, h FROM bks) d) w WHERE rk <= 256),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM bk) d ORDER BY h LIMIT 256),
+        |est AS (SELECT COUNT(*) AS k,
+        |          SUM(CASE WHEN mg.h IN (SELECT h FROM bk WHERE half = 0)
+        |                    AND mg.h IN (SELECT h FROM bk WHERE half = 1)
+        |                   THEN 1 ELSE 0 END) AS inter
+        |        FROM mg),
+        |u AS (SELECT gram, MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+        |        MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+        |      FROM g GROUP BY gram),
+        |ex AS (SELECT SUM(a * b) AS i, COUNT(*) AS un FROM u)
+        |SELECT CAST(est.k AS BIGINT) AS k,
+        |  ROUND(est.inter / CAST(est.k AS DOUBLE), 4) AS kmv_jaccard,
+        |  ROUND(ex.i / CAST(ex.un AS DOUBLE), 4) AS exact_jaccard,
+        |  (ABS(est.inter / CAST(est.k AS DOUBLE) - ex.i / CAST(ex.un AS DOUBLE)) <= 0.15)
+        |    AS within_tolerance
+        |FROM est CROSS JOIN ex""".stripMargin,
+      """WITH t AS (SELECT doc_id, doc_id % 2 AS half, doc_id % 8 AS shard,
+        |             string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT half, shard, array_to_string(ws[i:i+2], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ws) - 1)) AS x(i)
+        |      WHERE len(ws) >= 3),
+        |h AS (SELECT half, shard, md5(gram) AS h FROM g),
+        |bks AS (SELECT half, shard, h FROM
+        |        (SELECT half, shard, h,
+        |           ROW_NUMBER() OVER (PARTITION BY half, shard ORDER BY h) AS rk
+        |         FROM (SELECT DISTINCT half, shard, h FROM h) d) w WHERE rk <= 256),
+        |bk AS (SELECT half, h FROM
+        |       (SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rk
+        |        FROM (SELECT DISTINCT half, h FROM bks) d) w WHERE rk <= 256),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM bk) d ORDER BY h LIMIT 256),
+        |est AS (SELECT COUNT(*) AS k,
+        |          SUM(CASE WHEN mg.h IN (SELECT h FROM bk WHERE half = 0)
+        |                    AND mg.h IN (SELECT h FROM bk WHERE half = 1)
+        |                   THEN 1 ELSE 0 END) AS inter
+        |        FROM mg),
+        |u AS (SELECT gram, MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+        |        MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b
+        |      FROM g GROUP BY gram),
+        |ex AS (SELECT SUM(a * b) AS i, COUNT(*) AS un FROM u)
+        |SELECT CAST(est.k AS BIGINT) AS k,
+        |  ROUND(est.inter / CAST(est.k AS DOUBLE), 4) AS kmv_jaccard,
+        |  ROUND(ex.i / CAST(ex.un AS DOUBLE), 4) AS exact_jaccard,
+        |  (ABS(est.inter / CAST(est.k AS DOUBLE) - ex.i / CAST(ex.un AS DOUBLE)) <= 0.15)
+        |    AS within_tolerance
+        |FROM est CROSS JOIN ex""".stripMargin),
+
+    // ---- [EXT] per-label centroid drift + separation audit (the cluster
+    // health check run after any embedding-space partitioning: how far
+    // each label's centroid sits from the global centroid, and whether
+    // labels are separable — max cosine to any OTHER centroid). All
+    // arithmetic in q294's integer milli-units (vk = ROUND(1000 v)),
+    // so dot products and norms are exact BIGINTs in both engines and
+    // doubles appear only in the final cos = dot / (na*nb). Centroids
+    // are d x labels rows (tiny); the label-pair matrix is 10 x 10. ----
+    q2("q319_centroid_drift",
+      """WITH e AS (SELECT vec_id, label, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v),
+        |c AS (SELECT label, i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS ck,
+        |        COUNT(*) AS n FROM e GROUP BY label, i),
+        |g AS (SELECT i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS gk FROM e GROUP BY i),
+        |cn AS (SELECT label, SQRT(SUM(CAST(ck AS DOUBLE) * ck)) AS nrm,
+        |         MAX(n) AS n FROM c GROUP BY label),
+        |gn AS (SELECT SQRT(SUM(CAST(gk AS DOUBLE) * gk)) AS nrm FROM g),
+        |dg AS (SELECT c.label, SUM(CAST(c.ck AS DOUBLE) * g.gk) AS dot
+        |       FROM c JOIN g USING (i) GROUP BY c.label),
+        |pp AS (SELECT a.label AS la, b.label AS lb,
+        |         SUM(CAST(a.ck AS DOUBLE) * b.ck) AS dot
+        |       FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
+        |       GROUP BY a.label, b.label),
+        |sep AS (SELECT pp.la AS label,
+        |          MAX(pp.dot / (na.nrm * nb.nrm)) AS max_other
+        |        FROM pp JOIN cn na ON pp.la = na.label
+        |                JOIN cn nb ON pp.lb = nb.label GROUP BY pp.la)
+        |SELECT c2.label, CAST(c2.n AS BIGINT) AS n_vecs,
+        |  ROUND(dg.dot / (c2.nrm * gn.nrm), 4) AS cos_to_global,
+        |  ROUND(sep.max_other, 4) AS max_other_centroid_cos
+        |FROM cn c2 JOIN dg USING (label) JOIN sep USING (label) CROSS JOIN gn
+        |ORDER BY c2.label""".stripMargin,
+      """WITH e AS (SELECT vec_id, label, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM (SELECT vec_id, label, embedding[i] AS v, i
+        |        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))),
+        |c AS (SELECT label, i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS ck,
+        |        COUNT(*) AS n FROM e GROUP BY label, i),
+        |g AS (SELECT i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS gk FROM e GROUP BY i),
+        |cn AS (SELECT label, SQRT(SUM(CAST(ck AS DOUBLE) * ck)) AS nrm,
+        |         MAX(n) AS n FROM c GROUP BY label),
+        |gn AS (SELECT SQRT(SUM(CAST(gk AS DOUBLE) * gk)) AS nrm FROM g),
+        |dg AS (SELECT c.label, SUM(CAST(c.ck AS DOUBLE) * g.gk) AS dot
+        |       FROM c JOIN g USING (i) GROUP BY c.label),
+        |pp AS (SELECT a.label AS la, b.label AS lb,
+        |         SUM(CAST(a.ck AS DOUBLE) * b.ck) AS dot
+        |       FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
+        |       GROUP BY a.label, b.label),
+        |sep AS (SELECT pp.la AS label,
+        |          MAX(pp.dot / (na.nrm * nb.nrm)) AS max_other
+        |        FROM pp JOIN cn na ON pp.la = na.label
+        |                JOIN cn nb ON pp.lb = nb.label GROUP BY pp.la)
+        |SELECT c2.label, CAST(c2.n AS BIGINT) AS n_vecs,
+        |  ROUND(dg.dot / (c2.nrm * gn.nrm), 4) AS cos_to_global,
+        |  ROUND(sep.max_other, 4) AS max_other_centroid_cos
+        |FROM cn c2 JOIN dg USING (label) JOIN sep USING (label) CROSS JOIN gn
+        |ORDER BY c2.label""".stripMargin),
+
+    // ---- [EXT] linear multi-touch attribution (the warehouse sibling of
+    // q35's last-touch as-of join): every click in the hour before a
+    // purchase by the same user shares the credit 1/n. The join is a
+    // per-user equi-join with a range predicate — per-user event counts
+    // are bounded, so the pair set is bounded by sessions, never
+    // users x events; the credit normalization is a groupBy on the
+    // purchase key. ----
+    q2("q320_linear_attribution",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS pid, p.user_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+        |w AS (SELECT pid, user_id, COUNT(*) AS touches FROM j GROUP BY pid, user_id),
+        |np AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id)
+        |SELECT np.user_id,
+        |  CAST(np.n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(w.pid) AS BIGINT) AS n_attributed,
+        |  CAST(COALESCE(SUM(w.touches), 0) AS BIGINT) AS total_touches,
+        |  ROUND(COALESCE(AVG(CAST(w.touches AS DOUBLE)), 0.0), 4) AS avg_touches
+        |FROM np LEFT JOIN w ON np.user_id = w.user_id
+        |GROUP BY np.user_id, np.n_purchases
+        |ORDER BY np.user_id""".stripMargin,
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id AS pid, p.user_id
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+        |w AS (SELECT pid, user_id, COUNT(*) AS touches FROM j GROUP BY pid, user_id),
+        |np AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id)
+        |SELECT np.user_id,
+        |  CAST(np.n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(w.pid) AS BIGINT) AS n_attributed,
+        |  CAST(COALESCE(SUM(w.touches), 0) AS BIGINT) AS total_touches,
+        |  ROUND(COALESCE(AVG(CAST(w.touches AS DOUBLE)), 0.0), 4) AS avg_touches
+        |FROM np LEFT JOIN w ON np.user_id = w.user_id
+        |GROUP BY np.user_id, np.n_purchases
+        |ORDER BY np.user_id""".stripMargin),
+
+    // ---- [EXT] top principal component of the embedding space by
+    // unrolled power iteration (the ABTT / "all-but-the-top" dominant
+    // direction every embedding post-processing pipeline removes). The
+    // scatter matrix S_ij = sum (x_i - mu_i)(x_j - mu_j) is computed in
+    // q294's exact integer milli-units (a vec_id self-join generates the
+    // n x d^2 products, partially aggregated to d^2 = 4096 rows), so S
+    // is bit-identical in both engines; three power iterations from
+    // v0 = 1 then run in doubles over those exact integers, and
+    // ROUND(,4) absorbs summation-order ULP (the q295 discipline).
+    // Output: the 64 loadings plus the Rayleigh eigenvalue share of
+    // trace(S) — the "how dominant is the top direction" statistic. ----
+    q2("q321_pca_power_iteration",
+      """WITH x AS (SELECT vec_id, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v),
+        |m AS (SELECT i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS mu FROM x GROUP BY i),
+        |xc AS (SELECT x.vec_id, x.i, x.vk - m.mu AS c FROM x JOIN m USING (i)),
+        |s AS (SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) AS sij
+        |      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |tr AS (SELECT SUM(sij) AS trace FROM s WHERE i = j),
+        |r1 AS (SELECT i, CAST(SUM(sij) AS DOUBLE) AS s1 FROM s GROUP BY i),
+        |n1 AS (SELECT SQRT(SUM(s1 * s1)) AS nrm FROM r1),
+        |v1 AS (SELECT i, s1 / nrm AS v FROM r1 CROSS JOIN n1),
+        |r2 AS (SELECT s.i, SUM(s.sij * v1.v) AS s2 FROM s JOIN v1 ON s.j = v1.i GROUP BY s.i),
+        |n2 AS (SELECT SQRT(SUM(s2 * s2)) AS nrm FROM r2),
+        |v2 AS (SELECT i, s2 / nrm AS v FROM r2 CROSS JOIN n2),
+        |r3 AS (SELECT s.i, SUM(s.sij * v2.v) AS s3 FROM s JOIN v2 ON s.j = v2.i GROUP BY s.i),
+        |n3 AS (SELECT SQRT(SUM(s3 * s3)) AS nrm FROM r3),
+        |v3 AS (SELECT i, s3 / nrm AS v FROM r3 CROSS JOIN n3),
+        |r4 AS (SELECT s.i, SUM(s.sij * v3.v) AS s4 FROM s JOIN v3 ON s.j = v3.i GROUP BY s.i),
+        |lam AS (SELECT SUM(r4.s4 * v3.v) AS l FROM r4 JOIN v3 USING (i))
+        |SELECT CAST(v3.i + 1 AS BIGINT) AS dim, ROUND(v3.v, 4) AS loading,
+        |  ROUND(lam.l / tr.trace, 4) AS top_evr
+        |FROM v3 CROSS JOIN lam CROSS JOIN tr
+        |ORDER BY dim""".stripMargin,
+      """WITH x AS (SELECT vec_id, i,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
+        |  FROM (SELECT vec_id, embedding[i] AS v, i
+        |        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))),
+        |m AS (SELECT i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS mu FROM x GROUP BY i),
+        |xc AS (SELECT x.vec_id, x.i, x.vk - m.mu AS c FROM x JOIN m USING (i)),
+        |s AS (SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) AS sij
+        |      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |tr AS (SELECT SUM(sij) AS trace FROM s WHERE i = j),
+        |r1 AS (SELECT i, CAST(SUM(sij) AS DOUBLE) AS s1 FROM s GROUP BY i),
+        |n1 AS (SELECT SQRT(SUM(s1 * s1)) AS nrm FROM r1),
+        |v1 AS (SELECT i, s1 / nrm AS v FROM r1 CROSS JOIN n1),
+        |r2 AS (SELECT s.i, SUM(s.sij * v1.v) AS s2 FROM s JOIN v1 ON s.j = v1.i GROUP BY s.i),
+        |n2 AS (SELECT SQRT(SUM(s2 * s2)) AS nrm FROM r2),
+        |v2 AS (SELECT i, s2 / nrm AS v FROM r2 CROSS JOIN n2),
+        |r3 AS (SELECT s.i, SUM(s.sij * v2.v) AS s3 FROM s JOIN v2 ON s.j = v2.i GROUP BY s.i),
+        |n3 AS (SELECT SQRT(SUM(s3 * s3)) AS nrm FROM r3),
+        |v3 AS (SELECT i, s3 / nrm AS v FROM r3 CROSS JOIN n3),
+        |r4 AS (SELECT s.i, SUM(s.sij * v3.v) AS s4 FROM s JOIN v3 ON s.j = v3.i GROUP BY s.i),
+        |lam AS (SELECT SUM(r4.s4 * v3.v) AS l FROM r4 JOIN v3 USING (i))
+        |SELECT CAST(v3.i AS BIGINT) AS dim, ROUND(v3.v, 4) AS loading,
+        |  ROUND(lam.l / tr.trace, 4) AS top_evr
+        |FROM v3 CROSS JOIN lam CROSS JOIN tr
+        |ORDER BY dim""".stripMargin),
+
+    // ---- [EXT] approx_top_k frequent-items sketch in its EXACT regime
+    // (Spark 4's native datasketches FI surface): with maxItemsTracked
+    // (default 10000) >= the distinct-item count the sketch never purges,
+    // so every returned count is exact and must equal the plain GROUP BY —
+    // the law that makes heavy-hitter telemetry trustworthy when the
+    // sketch IS small enough to never purge, and mergeable O(k) state
+    // (vs q297's hand-rolled Misra-Gries, which exercises the lossy
+    // regime with error bounds). ----
+    q2("q322_approx_topk_law",
+      """SELECT t.tk.item AS event_type, CAST(t.tk.count AS BIGINT) AS n
+        |FROM (SELECT explode(approx_top_k(event_type, 8)) AS tk FROM events) t
+        |ORDER BY event_type""".stripMargin,
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- [EXT] q318's KMV corpus-overlap estimate through the NATIVE
+    // mergeable bottom-k aggregate (functions/KmvSketchAgg.scala,
+    // registered as kmv_agg): raw grams — no pre-DISTINCT, the sketch
+    // dedups — flow into a partial-aggregating ObjectHashAggregate, so
+    // each map partition reduces to <= k values before the shuffle and
+    // the exchange carries partitions x k rows instead of the full
+    // distinct gram set (the two windowed rank passes q318 needs). The
+    // per-half bottom-256 of distinct md5s is identical either way, so
+    // DuckDB's window formulation is the exact oracle. ----
+    q2("q318b_kmv_native_agg",
+      """WITH t AS (SELECT doc_id % 2 AS half, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT half, concat_ws(' ', slice(ws, i, 3)) AS gram
+        |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
+        |      WHERE size(ws) >= 3),
+        |bk AS (SELECT half, kmv_agg(md5(gram), 256) AS sk FROM g GROUP BY half),
+        |e AS (SELECT half, explode(sk) AS h FROM bk),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM e) d ORDER BY h LIMIT 256),
+        |est AS (SELECT COUNT(*) AS k,
+        |          SUM(CASE WHEN mg.h IN (SELECT h FROM e WHERE half = 0)
+        |                    AND mg.h IN (SELECT h FROM e WHERE half = 1)
+        |                   THEN 1 ELSE 0 END) AS inter
+        |        FROM mg)
+        |SELECT CAST(est.k AS BIGINT) AS k,
+        |  ROUND(est.inter / CAST(est.k AS DOUBLE), 4) AS kmv_jaccard
+        |FROM est""".stripMargin,
+      """WITH t AS (SELECT doc_id % 2 AS half, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT half, array_to_string(ws[i:i+2], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ws) - 1)) AS x(i)
+        |      WHERE len(ws) >= 3),
+        |h AS (SELECT half, md5(gram) AS h FROM g),
+        |bk AS (SELECT half, h FROM
+        |       (SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rk
+        |        FROM h) w WHERE rk <= 256),
+        |mg AS (SELECT h FROM (SELECT DISTINCT h FROM bk) d ORDER BY h LIMIT 256),
+        |est AS (SELECT COUNT(*) AS k,
+        |          SUM(CASE WHEN mg.h IN (SELECT h FROM bk WHERE half = 0)
+        |                    AND mg.h IN (SELECT h FROM bk WHERE half = 1)
+        |                   THEN 1 ELSE 0 END) AS inter
+        |        FROM mg)
+        |SELECT CAST(est.k AS BIGINT) AS k,
+        |  ROUND(est.inter / CAST(est.k AS DOUBLE), 4) AS kmv_jaccard
+        |FROM est""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

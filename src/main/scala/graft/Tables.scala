@@ -129,6 +129,7 @@ object Tables {
     graft.functions.DotProduct.register(spark)
     graft.functions.LshCodes.register(spark)
     graft.functions.BloomFns.register(spark)
+    graft.functions.KmvSketchAgg.register(spark)
 
     // Per-table isolation (round-6 lesson): one unreadable table must not
     // take down queries that never touch it. A failing table is skipped with

@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `kmv_agg(hash_string, k)` — a native mergeable KMV (k-minimum-values,
+  * "bottom-k") distinct sketch: keeps the k lexicographically smallest
+  * DISTINCT values of a string column (callers feed an md5/xxhash hex so
+  * lexicographic order == hash order) and returns them as a sorted
+  * `array<string>`.
+  *
+  * This is the aggregate-function form of the q318 windowed bottom-k: as a
+  * [[TypedImperativeAggregate]] it runs as a partial-aggregating
+  * ObjectHashAggregate, so each input partition reduces to AT MOST k values
+  * map-side and the shuffle carries `partitions x k` rows instead of the
+  * full distinct value set — the communication shape that makes bottom-k
+  * sketches viable at 100 TB (a per-corpus window formulation must first
+  * shuffle every distinct value to its corpus partition). The buffer is a
+  * bounded TreeSet: update is O(log k) with early reject of values above
+  * the current k-th minimum; merge is a set-union re-truncated to k (the
+  * KMV merge law, associative and commutative, so batch/shard/stream
+  * orders all yield the same sketch).
+  *
+  * Duplicate inputs collapse (TreeSet) — correct for a DISTINCT sketch,
+  * and it means callers can feed raw (non-distinct) rows and skip the
+  * pre-aggregation entirely.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[String]]
+    with UnaryLike[Expression] {
+
+  require(k > 0, s"kmv_agg: k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument (a hash hex), got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_agg"
+
+  override def createAggregationBuffer(): java.util.TreeSet[String] =
+    new java.util.TreeSet[String]()
+
+  override def update(
+      buffer: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      if (buffer.size < k) buffer.add(s)
+      else if (s < buffer.last()) { // strict: equal-to-last is a duplicate or no-op
+        if (buffer.add(s)) buffer.pollLast()
+      }
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: java.util.TreeSet[String],
+      other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+    buffer.addAll(other)
+    while (buffer.size > k) buffer.pollLast()
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[String]): Any = {
+    val out = new Array[Any](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) { set.add(in.readUTF()); i += 1 }
+    set
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+    copy(child = newChild)
+}
+
+object KmvSketchAgg {
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvSketchAgg].getCanonicalName, "kmv_agg")
+
+  val builder: Seq[Expression] => Expression = (children: Seq[Expression]) => {
+    require(children.length == 2, "usage: kmv_agg(hash_string, k)")
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"kmv_agg: k must be an integer literal, got $other")
+    }
+    KmvSketchAgg(children.head, k)
+  }
+
+  /** Runtime registration on any session (the Tables.register path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_agg"), info, builder)
+}

@@ -161,6 +161,27 @@ object Streams {
       }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
 
+    // HLL sketches built IN streaming state (complete mode): the per-type
+    // distinct-user sketch a production pipeline keeps incrementally —
+    // O(sketch) state per group instead of O(users), updated per
+    // micro-batch (the TypedImperativeAggregate buffer lives in the state
+    // store). The law oracle (q317's discipline): after the drain every
+    // estimate lands within the 5% bound of the exact batch distinct,
+    // which DuckDB predicts as TRUE alongside the exact counts.
+    "q323_stream_hll_distinct" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val exact = s.table("events").groupBy("event_type")
+        .agg(countDistinct("user_id").cast("long").as("exact_users"))
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      }.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+            .as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -629,6 +650,12 @@ object Streams {
     // horizon > the fixture's whole span ⇒ watermark-scoped dedup ≡ global
     "q311_stream_dedup_within_watermark" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // streaming HLL state: exact per-type distincts + the predicted bound
+    "q323_stream_hll_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;

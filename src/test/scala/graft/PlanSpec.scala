@@ -224,7 +224,12 @@ class PlanSpec extends SparkSpec {
       "q298_triangle_count",  // CROSS JOINs of three 1-row count aggregates
       "q306_join_blowup_estimate", // CROSS JOIN of the 1-row estimate x 1-row actual
       "q314_tokenizer_fertility", // q284's vocab-sized argmax-pair broadcasts (shared BPE CTEs)
-      "q316_vocab_coverage")      // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q316_vocab_coverage",      // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q317_hll_merge_law",       // CROSS JOIN of the 1-row merged x 1-row direct sketch aggregates
+      "q318_kmv_corpus_jaccard",  // 256-row bottom-k sketch x 1-row exact aggregate (sketch-law shape)
+      "q318b_kmv_native_agg",     // <=256-row merged sketch semi-join probes (k-bounded by construction)
+      "q319_centroid_drift",      // CROSS JOIN with the 1-row global-centroid-norm aggregate
+      "q321_pca_power_iteration") // d-row eigenvector x 1-row norm/eigenvalue broadcasts (d = 64)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The native mergeable KMV bottom-k aggregate (kmv_agg): bounded-buffer
+  * update, set-union merge re-truncated to k, duplicate collapse, and the
+  * plan property that justifies it — a partial-aggregating
+  * ObjectHashAggregate, so the shuffle carries at most partitions x k
+  * values (the windowed formulation must shuffle every distinct value). */
+class KmvAggSpec extends SparkSpec {
+
+  private def registered() = { Tables.register(spark, sfDir); spark }
+
+  test("kmv_agg equals the windowed bottom-k on distinct hashes") {
+    val s = registered()
+    val agg = s.sql(
+      """SELECT kmv_agg(md5(CAST(o_orderkey AS STRING)), 50) AS sk FROM orders""")
+      .collect().head.getSeq[String](0)
+    val win = s.sql(
+      """SELECT h FROM (
+        |  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+        |  FROM (SELECT DISTINCT md5(CAST(o_orderkey AS STRING)) AS h FROM orders))
+        |WHERE rk <= 50 ORDER BY h""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(agg == win)
+    assert(agg.size == 50)
+    assert(agg == agg.sorted)
+  }
+
+  test("kmv_agg is partition-invariant (merge law) and collapses duplicates") {
+    val s = registered()
+    import s.implicits._
+    val base = (1 to 1000).map(i => s"v${i % 300}") // duplicates: 300 distinct
+    val one = base.toDF("v").coalesce(1)
+      .agg(expr("kmv_agg(md5(v), 64)").as("sk")).collect().head.getSeq[String](0)
+    val many = base.toDF("v").repartition(16)
+      .agg(expr("kmv_agg(md5(v), 64)").as("sk")).collect().head.getSeq[String](0)
+    assert(one == many)
+    assert(one.size == 64)
+    // fewer distincts than k: sketch holds them all exactly
+    val small = base.toDF("v").repartition(8)
+      .agg(expr("kmv_agg(md5(v), 1000)").as("sk")).collect().head.getSeq[String](0)
+    assert(small.size == 300)
+  }
+
+  test("kmv_agg runs as a partial-aggregating ObjectHashAggregate") {
+    val s = registered()
+    val df = s.sql(
+      "SELECT o_orderpriority, kmv_agg(md5(CAST(o_orderkey AS STRING)), 32) AS sk " +
+      "FROM orders GROUP BY o_orderpriority")
+    // AQE wraps the plan pre-execution, so assert on the formatted string:
+    // a partial_kmv_agg ObjectHashAggregate below the exchange and the
+    // final kmv_agg above it.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kmv_agg"), plan)
+    assert(plan.indexOf("functions=[kmv_agg") < plan.indexOf("partial_kmv_agg"), plan)
+  }
+
+  test("kmv_agg rejects non-string input and non-literal k") {
+    val s = registered()
+    val e1 = intercept[Exception](s.sql("SELECT kmv_agg(o_orderkey, 8) FROM orders").collect())
+    assert(e1.getMessage.contains("string"))
+    val e2 = intercept[Exception](
+      s.sql("SELECT kmv_agg(md5(CAST(o_orderkey AS STRING)), o_orderkey) FROM orders").collect())
+    assert(e2.getMessage != null)
+  }
+}

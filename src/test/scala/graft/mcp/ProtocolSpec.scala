@@ -35,8 +35,13 @@ class ProtocolSpec extends SparkSpec {
   }
 
   test("pathologically nested statement errors the request, not the server") {
-    // deep enough to overflow recursive parse/classification on any stack
-    val bomb = "SELECT " + ("(" * 40000) + "1" + (")" * 40000)
+    // Deep enough to overflow the recursive parse/classification stack,
+    // but NOT so deep that ANTLR's iterative adaptive-prediction phase
+    // (which runs before the recursion) goes superlinear: at 40k parens
+    // prediction alone spins for minutes without ever reaching the
+    // recursion this test targets; 4k overflows in <1s on a default
+    // thread stack (measured via the stdio server).
+    val bomb = "SELECT " + ("(" * 4000) + "1" + (")" * 4000)
     val resp = call(s"""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"$bomb"}}}""")
     // either a structured tool error or a JSON-RPC error — never a crash
     assert(resp.at("/result/isError").asBoolean(false) || resp.has("error"))
