@@ -4314,7 +4314,66 @@ object Queries {
         |        FROM mg)
         |SELECT CAST(est.k AS BIGINT) AS k,
         |  ROUND(est.inter / CAST(est.k AS DOUBLE), 4) AS kmv_jaccard
-        |FROM est""".stripMargin)
+        |FROM est""".stripMargin),
+
+    // ---- [EXT] declarative data-quality expectations (the dbt-test /
+    // Deequ-style audit every warehouse runs before publishing a table):
+    // referential integrity via NOT EXISTS anti joins, primary-key
+    // uniqueness, domain-range and null-rate assertions — each rule one
+    // scan-shaped aggregate, unioned into a single report. At 100 TB each
+    // rule is an independent pushed-down scan or anti join; nothing is
+    // row-by-row. ----
+    q2("q325_dq_expectations",
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  (n_violations = 0) AS passed FROM (
+        |  SELECT 'lineitem_fk_orderkey' AS rule, COUNT(*) AS n_violations
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_fk_custkey', COUNT(*)
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_pk_unique', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_domain', COUNT(*)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'customer_mktsegment_nonnull', COUNT(*)
+        |  FROM customer WHERE c_mktsegment IS NULL
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', COUNT(*)
+        |  FROM documents WHERE n_chars <> length(text)
+        |  UNION ALL
+        |  SELECT 'events_value_nonnegative', COUNT(*) FROM events WHERE value < 0
+        |) ORDER BY rule""".stripMargin,
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+        |  (n_violations = 0) AS passed FROM (
+        |  SELECT 'lineitem_fk_orderkey' AS rule, COUNT(*) AS n_violations
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_fk_custkey', COUNT(*)
+        |  FROM orders o WHERE NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'orders_pk_unique', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_domain', COUNT(*)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'customer_mktsegment_nonnull', COUNT(*)
+        |  FROM customer WHERE c_mktsegment IS NULL
+        |  UNION ALL
+        |  SELECT 'documents_nchars_consistent', COUNT(*)
+        |  FROM documents WHERE n_chars <> length(text)
+        |  UNION ALL
+        |  SELECT 'events_value_nonnegative', COUNT(*) FROM events WHERE value < 0
+        |) ORDER BY rule""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

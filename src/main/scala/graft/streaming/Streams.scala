@@ -182,6 +182,19 @@ object Streams {
         .orderBy("event_type")
     }),
 
+    // The NATIVE KMV bottom-k aggregate (functions/KmvSketchAgg) running
+    // IN streaming state: proves the custom TypedImperativeAggregate's
+    // buffer serialize/deserialize/merge round-trips through the state
+    // store across micro-batches. Row-level exact oracle: the drained
+    // per-type sketch IS the bottom-64 of the distinct user-id md5s,
+    // which DuckDB recomputes with a ranked window. ----
+    "q324_stream_kmv_sketch" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(col("event_type"))
+          .agg(expr("kmv_agg(md5(CAST(user_id AS STRING)), 64)").as("sk"))
+      }.select(col("event_type"), explode(col("sk")).as("h"))
+        .orderBy("event_type", "h")),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -657,6 +670,16 @@ object Streams {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the drained KMV sketch is exactly the per-type bottom-64 of distinct
+    // user-id md5s (deterministic, so a ranked window reproduces it)
+    "q324_stream_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |           FROM events),
+        |r AS (SELECT event_type, h,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h)
+        |SELECT event_type, h FROM r WHERE rk <= 64
+        |ORDER BY event_type, h""".stripMargin,
 
     // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;
     // >= matches Spark's half-open [start, start+gap) session merge rule)
