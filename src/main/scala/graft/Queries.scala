@@ -4373,7 +4373,48 @@ object Queries {
         |  FROM documents WHERE n_chars <> length(text)
         |  UNION ALL
         |  SELECT 'events_value_nonnegative', COUNT(*) FROM events WHERE value < 0
-        |) ORDER BY rule""".stripMargin)
+        |) ORDER BY rule""".stripMargin),
+
+    // ---- [EXT] winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    // the MOSS algorithm): slide a window of w=4 consecutive 3-gram hashes
+    // per document and keep each window's minimum — the fingerprint set
+    // that guarantees any match of length >= w+k-1 shares a fingerprint,
+    // at an expected density of 2/(w+1). The window is PARTITIONed per
+    // doc (bounded by document length, never corpus-wide); the density
+    // column audits the 2/(w+1) = 0.4 expectation. Selected fingerprints
+    // feed the same banded equi-join shape as q45b's rolling hashes for
+    // cross-doc matching. ----
+    q2("q326_winnowing",
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i, md5(concat_ws(' ', slice(ws, i, 3))) AS h
+        |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
+        |      WHERE size(ws) >= 3),
+        |w AS (SELECT doc_id, i,
+        |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        |      FROM g),
+        |f AS (SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(DISTINCT mh) AS n_fps
+        |      FROM w WHERE i >= 4 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_fps AS BIGINT) AS n_fps,
+        |  ROUND(n_fps / CAST(n_grams - 3 AS DOUBLE), 4) AS density
+        |FROM f ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+2], ' ')) AS h
+        |      FROM t, UNNEST(range(1, len(ws) - 1)) AS x(i)
+        |      WHERE len(ws) >= 3),
+        |w AS (SELECT doc_id, i,
+        |        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        |      FROM g),
+        |f AS (SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(DISTINCT mh) AS n_fps
+        |      FROM w WHERE i >= 4 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(n_fps AS BIGINT) AS n_fps,
+        |  ROUND(n_fps / CAST(n_grams - 3 AS DOUBLE), 4) AS density
+        |FROM f ORDER BY doc_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

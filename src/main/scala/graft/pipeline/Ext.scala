@@ -42,6 +42,29 @@ object Ext {
       ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "q297_heavy_hitters" ->
       ((s: SparkSession, d: String) => HeavyHitters.tokenHeavyHitters(s, d)),
+    // Cross-source duplication matrix: WHICH ingestion sources copy from
+    // which — q49's banded-LSH near-dup pairs (never all-pairs) labeled
+    // with each side's source and aggregated into a canonicalized
+    // (source_a <= source_b) matrix. The mirror-crawl / syndication
+    // telemetry a multi-source 100 TB pipeline routes de-prioritization
+    // decisions on; sources² output rows, corpus-linear work.
+    "q327_crosssource_dup_matrix" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val src = s.table("documents").select(col("doc_id"), col("source"))
+      Dedup.minhashNearDup(s, d)
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        // exact integer sum of the 4-dp jaccards (an AVG rounded to 4 dp can
+        // land on a .00005 tie where the engines' rounding modes diverge)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jaccard") * 10000, 0).cast("long")).cast("long")
+            .as("sum_jaccard_x1e4"))
+        .orderBy("source_a", "source_b")
+    }),
     // Source-format coverage beyond parquet: the same corpus written to and
     // read back from CSV (header, explicit schema on read — inference is a
     // scale anti-pattern: it double-scans), JSON-lines, and ORC; each
@@ -752,6 +775,37 @@ object Ext {
          |JOIN sizes nb ON b_id = nb.doc_id
          |WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Cross-source matrix over the SAME exact pair ground truth as q49,
+    // labeled by source and canonicalized with least/greatest.
+    "q327_crosssource_dup_matrix" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |    round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |),
+         |lab AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b, p.jaccard
+         |  FROM pairs p
+         |  JOIN documents da ON p.a_id = da.doc_id
+         |  JOIN documents db ON p.b_id = db.doc_id
+         |)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(round(jaccard * 10000, 0) AS BIGINT)) AS BIGINT)
+         |    AS sum_jaccard_x1e4
+         |FROM lab GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // Incremental ingest dedup: the exact ground truth is the all-pairs
     // Jaccard restricted to pairs touching the batch (doc_id % 10 = 0) —

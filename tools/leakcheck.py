@@ -32,7 +32,10 @@ def main(rnd):
         for p in subprocess.run(
             ["git", "ls-files"], cwd=root, capture_output=True, text=True
         ).stdout.splitlines()
-        if pathlib.Path(p).suffix in EXTS and p != "LEAKCHECK.json"
+        # the scanner's own pattern table definitionally matches itself —
+        # exclude it the same way the output artifact is excluded
+        if pathlib.Path(p).suffix in EXTS
+        and p not in ("LEAKCHECK.json", "tools/leakcheck.py")
     ]
     hits = {k: [] for k in PATTERNS}
     n_lines = 0
