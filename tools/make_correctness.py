@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Runs check_oracle.py against a Verify output dir and writes the
+self-supporting round correctness artifact (ADVICE r6: commit the evidence).
+
+Usage: make_correctness.py <round> <sfDir> <verifyOut> <outJson>
+"""
+import datetime
+import json
+import re
+import subprocess
+import sys
+
+
+def main(rnd, sf_dir, verify_out, out_json):
+    proc = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", sf_dir, verify_out],
+        capture_output=True, text=True)
+    queries = {}
+    for line in proc.stdout.splitlines():
+        m = re.match(r"(PASS|FAIL) (\S+?)[ :]", line)
+        if m:
+            queries[m.group(2)] = "pass" if m.group(1) == "PASS" else "fail"
+    n_pass = sum(1 for v in queries.values() if v == "pass")
+    out = {
+        "round": rnd,
+        "label": ("builder-local run: graft.Verify at " + sf_dir +
+                  " + tools/check_oracle.py (DuckDB), committed so the round "
+                  "record is self-supporting (ADVICE r6)"),
+        "generated_at_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "sf_dir": sf_dir,
+        "n_queries": len(queries),
+        "n_pass": n_pass,
+        "n_fail": len(queries) - n_pass,
+        "queries": dict(sorted(queries.items())),
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=4)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    return 0 if out["n_fail"] == 0 and out["n_queries"] > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4]))
