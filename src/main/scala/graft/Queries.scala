@@ -4414,7 +4414,78 @@ object Queries {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  CAST(n_fps AS BIGINT) AS n_fps,
         |  ROUND(n_fps / CAST(n_grams - 3 AS DOUBLE), 4) AS density
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] exact-dedup impact accounting (the token-retention report
+    // every dedup run publishes: per source, how many docs and training
+    // tokens survive keep-first exact dedup). Dedup key is md5(text) —
+    // the hash-groupBy production shape; joining back on the hash keeps
+    // the join key narrow at corpus scale. All columns exact integers. ----
+    q2("q328_dedup_impact",
+      """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |             size(split(text, ' ')) AS n_tok FROM documents),
+        |g AS (SELECT h, MIN(doc_id) AS keep_id FROM t GROUP BY h)
+        |SELECT t.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN t.doc_id = g.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN t.doc_id = g.keep_id THEN t.n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM t JOIN g ON t.h = g.h
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |g AS (SELECT h, MIN(doc_id) AS keep_id FROM t GROUP BY h)
+        |SELECT t.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN t.doc_id = g.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN t.doc_id = g.keep_id THEN t.n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM t JOIN g ON t.h = g.h
+        |GROUP BY t.source ORDER BY t.source""".stripMargin),
+
+    // ---- [EXT] content-defined chunking (the rolling-hash boundary rule
+    // of storage/transfer dedup — restic/borgbackup style, and the
+    // shift-invariant alternative to q71's fixed-size chunks: inserting a
+    // word only redraws the LOCAL chunk, not every downstream boundary).
+    // A word starts a new chunk when its 2-gram hash lands in 1/16 of the
+    // hash space (substr(md5, 1, 1) = '0' — string compare, so both
+    // engines agree without hex-int conversion). Per-doc windows only;
+    // expected chunk length = 16 words, audited by the stats columns. ----
+    q2("q329_content_chunking",
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN substr(md5(concat_ws(' ', slice(ws, i, 2))), 1, 1) = '0'
+        |             THEN 1 ELSE 0 END AS b
+        |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 1)) x AS i
+        |      WHERE size(ws) >= 2),
+        |c AS (SELECT doc_id, i,
+        |        SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+        |      FROM g),
+        |ch AS (SELECT doc_id, cid, COUNT(*) AS len FROM c GROUP BY doc_id, cid)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(MIN(len) AS BIGINT) AS min_len,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS n_positions
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN substr(md5(array_to_string(ws[i:i+1], ' ')), 1, 1) = '0'
+        |             THEN 1 ELSE 0 END AS b
+        |      FROM t, UNNEST(range(1, len(ws))) AS x(i)
+        |      WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, i,
+        |        SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+        |      FROM g),
+        |ch AS (SELECT doc_id, cid, COUNT(*) AS len FROM c GROUP BY doc_id, cid)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(MIN(len) AS BIGINT) AS min_len,
+        |  CAST(MAX(len) AS BIGINT) AS max_len,
+        |  CAST(SUM(len) AS BIGINT) AS n_positions
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
