@@ -339,6 +339,36 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "kmv_window_vs_agg") {
+      // The q318/q318b claim, isolated: per-half bottom-256 of the distinct
+      // 3-gram md5s via (a) two ranked-window passes over the distinct set
+      // vs (b) the native kmv_agg (map-side partial bottom-k on RAW grams —
+      // no pre-distinct, the sketch dedups; the shuffle carries at most
+      // partitions x k values per group).
+      val window =
+        """WITH t AS (SELECT doc_id % 2 AS half, split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT DISTINCT half, concat_ws(' ', slice(ws, i, 3)) AS gram
+          |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
+          |      WHERE size(ws) >= 3),
+          |h AS (SELECT DISTINCT half, md5(gram) AS h FROM g),
+          |bk AS (SELECT half, h FROM
+          |       (SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rk
+          |        FROM h) w WHERE rk <= 256)
+          |SELECT half, COUNT(*) AS n, MAX(h) AS kth FROM bk GROUP BY half""".stripMargin
+      val native =
+        """WITH t AS (SELECT doc_id % 2 AS half, split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT half, concat_ws(' ', slice(ws, i, 3)) AS gram
+          |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
+          |      WHERE size(ws) >= 3),
+          |bk AS (SELECT half, kmv_agg(md5(gram), 256) AS sk FROM g GROUP BY half)
+          |SELECT half, size(sk) AS n, element_at(sk, -1) AS kth FROM bk""".stripMargin
+      for (i <- 1 to 3; (label, q) <- Seq("window" -> window, "native-agg" -> native)) {
+        val t0 = System.nanoTime()
+        spark.sql(q).queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
