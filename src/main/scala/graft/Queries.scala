@@ -4485,7 +4485,61 @@ object Queries {
         |  CAST(MIN(len) AS BIGINT) AS min_len,
         |  CAST(MAX(len) AS BIGINT) AS max_len,
         |  CAST(SUM(len) AS BIGINT) AS n_positions
-        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] binned two-sample drift detection: the KS statistic
+    // (max CDF gap) and PSI (population stability index) between two
+    // corpus snapshots over a fixed 64-bin equi-width histogram — the
+    // standard alarms a production pipeline fires when a new crawl's
+    // value distribution shifts. Binning makes it scale-safe (the exact
+    // KS sort is corpus-wide): per-snapshot work is one grouped count;
+    // the windows run over 64 bins regardless of corpus size. Laplace
+    // +1 smoothing keeps PSI's logs finite on empty bins; probabilities
+    // are ratios of exact integers so both engines feed LN identical
+    // doubles (the q295 discipline). ----
+    q2("q330_distribution_drift",
+      """WITH b AS (SELECT user_id % 2 AS g,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 5.0) AS INT))) AS bin
+        |  FROM events),
+        |c AS (SELECT g, bin, COUNT(*) AS n FROM b GROUP BY g, bin),
+        |gs AS (SELECT g, bin FROM (SELECT DISTINCT g FROM b)
+        |       CROSS JOIN (SELECT explode(sequence(0, 63)) AS bin)),
+        |f AS (SELECT gs.g, gs.bin, COALESCE(c.n, 0) + 1 AS n
+        |      FROM gs LEFT JOIN c ON gs.g = c.g AND gs.bin = c.bin),
+        |t2 AS (SELECT g, SUM(n) AS tot FROM f GROUP BY g),
+        |p AS (SELECT f.g, f.bin, f.n / CAST(t2.tot AS DOUBLE) AS p
+        |      FROM f JOIN t2 ON f.g = t2.g),
+        |cum AS (SELECT g, bin, p,
+        |          SUM(p) OVER (PARTITION BY g ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |        FROM p),
+        |j AS (SELECT a.bin, a.p AS pa, b.p AS pb, a.cp AS ca, b.cp AS cb
+        |      FROM cum a JOIN cum b ON a.bin = b.bin AND a.g = 0 AND b.g = 1)
+        |SELECT ROUND(MAX(ABS(ca - cb)), 4) AS ks_d,
+        |  ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi,
+        |  (MAX(ABS(ca - cb)) < 0.05) AS same_distribution
+        |FROM j""".stripMargin,
+      """WITH b AS (SELECT user_id % 2 AS g,
+        |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 5.0) AS INT))) AS bin
+        |  FROM events),
+        |c AS (SELECT g, bin, COUNT(*) AS n FROM b GROUP BY g, bin),
+        |gs AS (SELECT g, bin FROM (SELECT DISTINCT g FROM b)
+        |       CROSS JOIN (SELECT UNNEST(range(0, 64)) AS bin)),
+        |f AS (SELECT gs.g, gs.bin, COALESCE(c.n, 0) + 1 AS n
+        |      FROM gs LEFT JOIN c ON gs.g = c.g AND gs.bin = c.bin),
+        |t2 AS (SELECT g, SUM(n) AS tot FROM f GROUP BY g),
+        |p AS (SELECT f.g, f.bin, f.n / CAST(t2.tot AS DOUBLE) AS p
+        |      FROM f JOIN t2 ON f.g = t2.g),
+        |cum AS (SELECT g, bin, p,
+        |          SUM(p) OVER (PARTITION BY g ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |        FROM p),
+        |j AS (SELECT a.bin, a.p AS pa, b.p AS pb, a.cp AS ca, b.cp AS cb
+        |      FROM cum a JOIN cum b ON a.bin = b.bin AND a.g = 0 AND b.g = 1)
+        |SELECT ROUND(MAX(ABS(ca - cb)), 4) AS ks_d,
+        |  ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi,
+        |  (MAX(ABS(ca - cb)) < 0.05) AS same_distribution
+        |FROM j""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
