@@ -4214,9 +4214,22 @@ object Queries {
         |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
         |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS i, v),
         |m AS (SELECT i, CAST(ROUND(AVG(vk), 0) AS BIGINT) AS mu FROM x GROUP BY i),
-        |xc AS (SELECT x.vec_id, x.i, x.vk - m.mu AS c FROM x JOIN m USING (i)),
-        |s AS (SELECT a.i AS i, b.i AS j, SUM(a.c * b.c) AS sij
-        |      FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |-- Center each vector ONCE into an integer array (the d-row mean
+        |-- map broadcasts as a 1-row cross join), then generate the d^2
+        |-- products per ROW by a double posexplode — no vec_id shuffle
+        |-- join and exactly one multiply per pair. The oracle keeps the
+        |-- self-join formulation; the integer products are identical.
+        |xc AS (SELECT transform(embedding,
+        |          (v, k) -> CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT)
+        |                    - element_at(mm.mumap, k)) AS c
+        |       FROM embeddings CROSS JOIN
+        |         (SELECT map_from_entries(collect_list(struct(i, mu))) AS mumap
+        |          FROM m) mm),
+        |s AS (SELECT a.i, b.j, SUM(a.v * b.v) AS sij
+        |      FROM xc
+        |      LATERAL VIEW posexplode(c) a AS i, v
+        |      LATERAL VIEW posexplode(c) b AS j, v
+        |      GROUP BY a.i, b.j),
         |tr AS (SELECT SUM(sij) AS trace FROM s WHERE i = j),
         |r1 AS (SELECT i, CAST(SUM(sij) AS DOUBLE) AS s1 FROM s GROUP BY i),
         |n1 AS (SELECT SQRT(SUM(s1 * s1)) AS nrm FROM r1),
