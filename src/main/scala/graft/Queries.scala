@@ -4552,7 +4552,78 @@ object Queries {
         |SELECT ROUND(MAX(ABS(ca - cb)), 4) AS ks_d,
         |  ROUND(SUM((pa - pb) * LN(pa / pb)), 4) AS psi,
         |  (MAX(ABS(ca - cb)) < 0.05) AS same_distribution
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin),
+
+    // ---- [EXT] time-series gap fill: a dense 30-minute bucket spine per
+    // series, missing buckets filled by LINEAR INTERPOLATION between the
+    // nearest observed neighbors (LOCF/NOCB at the edges) — the
+    // regularization step before any rolling-window model runs on event
+    // data. The windows PARTITION BY the series key (here event_type; at
+    // scale the series id), so no corpus-wide frame exists; the spine
+    // bounds come from one 1-row aggregate broadcast. Interpolation runs
+    // on 4-dp-rounded bucket means, so both engines feed identical
+    // doubles; bucket indexes are exact epoch-µs integers. ----
+    q2("q331_gap_fill_interpolate",
+      """WITH e AS (SELECT event_type, unix_micros(ts) DIV 1800000000 AS bk,
+        |             value FROM events),
+        |b AS (SELECT event_type, bk,
+        |        CAST(ROUND(AVG(value) * 10000, 0) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |r AS (SELECT MIN(bk) AS mn, MAX(bk) AS mx FROM e),
+        |sp AS (SELECT t.event_type, s.bk
+        |       FROM (SELECT DISTINCT event_type FROM e) t
+        |       CROSS JOIN (SELECT explode(sequence(mn, mx)) AS bk FROM r) s),
+        |j AS (SELECT sp.event_type, sp.bk, b.v
+        |      FROM sp LEFT JOIN b ON sp.event_type = b.event_type AND sp.bk = b.bk),
+        |w AS (SELECT event_type, bk, v,
+        |  LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY event_type ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN bk END) IGNORE NULLS
+        |    OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |  FIRST_VALUE(v) IGNORE NULLS OVER (PARTITION BY event_type ORDER BY bk
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bk END) IGNORE NULLS
+        |    OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT event_type, bk, (v IS NULL) AS interpolated,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + CAST(FLOOR((nv - pv) * (bk - pb)
+        |                    / CAST(nb - pb AS DOUBLE)) AS BIGINT) END
+        |        / 10000.0, 4) AS filled
+        |FROM w ORDER BY event_type, bk""".stripMargin,
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS bk,
+        |             value FROM events),
+        |b AS (SELECT event_type, bk,
+        |        CAST(ROUND(AVG(value) * 10000, 0) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |r AS (SELECT MIN(bk) AS mn, MAX(bk) AS mx FROM e),
+        |sp AS (SELECT t.event_type, s.bk
+        |       FROM (SELECT DISTINCT event_type FROM e) t
+        |       CROSS JOIN (SELECT unnest(range(mn, mx + 1)) AS bk FROM r) s),
+        |j AS (SELECT sp.event_type, sp.bk, b.v
+        |      FROM sp LEFT JOIN b ON sp.event_type = b.event_type AND sp.bk = b.bk),
+        |w AS (SELECT event_type, bk, v,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bk
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT event_type, bk, (v IS NULL) AS interpolated,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + CAST(FLOOR((nv - pv) * (bk - pb)
+        |                    / CAST(nb - pb AS DOUBLE)) AS BIGINT) END
+        |        / 10000.0, 4) AS filled
+        |FROM w ORDER BY event_type, bk""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -229,7 +229,9 @@ class PlanSpec extends SparkSpec {
       "q318_kmv_corpus_jaccard",  // 256-row bottom-k sketch x 1-row exact aggregate (sketch-law shape)
       "q318b_kmv_native_agg",     // <=256-row merged sketch semi-join probes (k-bounded by construction)
       "q319_centroid_drift",      // CROSS JOIN with the 1-row global-centroid-norm aggregate
-      "q321_pca_power_iteration") // d-row eigenvector x 1-row norm/eigenvalue broadcasts (d = 64)
+      "q321_pca_power_iteration", // 1-row mean-map broadcast + 1-row norm/eigenvalue broadcasts
+      "q330_distribution_drift",  // 2-snapshot x 64-bin constant spine cross join
+      "q331_gap_fill_interpolate") // series x dense-bucket spine from a 1-row min/max aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
