@@ -18,6 +18,8 @@ object Ext {
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
     "q49b_neardup_components" ->
       ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
+    "q332_cc_star_contraction" ->
+      ((s: SparkSession, d: String) => Dedup.starComponents(s, d)),
     "q49c_incremental_neardup" ->
       ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
     "q50_simhash" -> (Dedup.simhash _),
@@ -842,6 +844,38 @@ object Ext {
     // Spark's iterative min-label propagation must land on identical
     // (doc -> cluster-min, cluster size) rows.
     "q49b_neardup_components" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+         |         FROM reach GROUP BY u),
+         |csizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+         |           FROM comp GROUP BY canonical_id)
+         |SELECT doc_id, canonical_id, cluster_size
+         |FROM comp JOIN csizes USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // The star-contraction CC must land on the IDENTICAL labeling as the
+    // label-propagation form — both are checked against the same exact
+    // recursive transitive closure (the q49b oracle, repeated verbatim).
+    "q332_cc_star_contraction" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
