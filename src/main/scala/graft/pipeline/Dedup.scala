@@ -173,17 +173,23 @@ object Dedup {
     * Output contract identical to [[nearDupComponents]]:
     * (doc_id, canonical_id, cluster_size), cluster_size >= 2. */
   def starComponents(spark: SparkSession, dir: String, maxIters: Int = 12): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val pairs = minhashNearDup(spark, dir).select("a_id", "b_id")
+    starContract(pairs.select(col("a_id").as("u"), col("b_id").as("v")), maxIters)
+  }
+
+  /** The contraction core over an arbitrary (u, v) edge DataFrame —
+    * exposed so specs can drive it with adversarial topologies (long
+    * chains, where plain label propagation needs diameter rounds). */
+  private[pipeline] def starContract(rawEdges: DataFrame, maxIters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     // localCheckpoint (eager) rather than persist: each round's plan
     // references its inputs several times, so lineage branches ~4x per
     // round and CATALYST RE-ANALYSIS of the exponentially growing logical
     // plan comes to dominate (measured 47s -> ~8s at sf0.01 for the same
     // 2-round convergence). Checkpointing truncates the plan, which is the
     // standard posture for iterative DataFrame algorithms at any scale.
-    var edges = pairs
-      .select(least(col("a_id"), col("b_id")).as("u"),
-        greatest(col("a_id"), col("b_id")).as("v"))
+    var edges = rawEdges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
 
     def probe(df: DataFrame): (java.math.BigDecimal, Long) = {

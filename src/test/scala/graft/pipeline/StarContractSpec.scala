@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The large-star/small-star contraction core on adversarial topologies —
+  * the cases the q332 oracle (tiny dense near-dup clusters) cannot reach:
+  * long CHAINS, where plain min-label propagation needs diameter rounds
+  * while star contraction needs O(log n), and seeded random graphs checked
+  * against a driver-side union-find ground truth. */
+class StarContractSpec extends SparkSpec {
+
+  private def components(edges: Seq[(Long, Long)], maxIters: Int = 12): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Dedup.starContract(edges.toDF("u", "v"), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("128-node chain collapses to one component in O(log n) rounds") {
+    // label propagation would need ~128 rounds on this graph; the star
+    // contraction must finish inside the 12-round budget
+    val chain = (0L until 127L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 128)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("two chains + isolated pair: components and sizes are exact") {
+    val edges = (10L until 19L).map(i => (i, i + 1)) ++ // 10..19
+      (100L until 104L).map(i => (i, i + 1)) ++        // 100..104
+      Seq((7L, 3L))                                     // pair {3, 7}
+    val got = components(edges)
+    assert(got.filter(_._2 == 10L).keySet == (10L to 19L).toSet)
+    assert(got.filter(_._2 == 100L).keySet == (100L to 104L).toSet)
+    assert(got(3L) == 3L && got(7L) == 3L)
+  }
+
+  test("seeded random graphs match a union-find ground truth") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = components(edges)
+      assert(got == expected, s"trial $trial: star contraction != union-find")
+    }
+  }
+}
