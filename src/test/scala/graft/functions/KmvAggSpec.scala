@@ -59,6 +59,22 @@ class KmvAggSpec extends SparkSpec {
     assert(plan.indexOf("functions=[kmv_agg") < plan.indexOf("partial_kmv_agg"), plan)
   }
 
+  test("property: kmv_agg = sorted-distinct-take-k for random inputs and partitionings") {
+    val s = registered()
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 10) {
+      val n = 50 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(80)
+      val parts = 1 + rnd.nextInt(12)
+      val vals = List.fill(n)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val expected = vals.distinct.sorted.take(k)
+      val got = vals.toDF("v").repartition(parts)
+        .agg(expr(s"kmv_agg(v, $k)").as("sk")).collect().head.getSeq[String](0)
+      assert(got == expected, s"trial $trial n=$n k=$k parts=$parts")
+    }
+  }
+
   test("kmv_agg rejects non-string input and non-literal k") {
     val s = registered()
     val e1 = intercept[Exception](s.sql("SELECT kmv_agg(o_orderkey, 8) FROM orders").collect())
