@@ -4623,7 +4623,80 @@ object Queries {
         |             ELSE pv + CAST(FLOOR((nv - pv) * (bk - pb)
         |                    / CAST(nb - pb AS DOUBLE)) AS BIGINT) END
         |        / 10000.0, 4) AS filled
-        |FROM w ORDER BY event_type, bk""".stripMargin)
+        |FROM w ORDER BY event_type, bk""".stripMargin),
+
+    // ---- [EXT] rolling z-score anomaly detection (the metric-monitoring
+    // alarm over event streams): each event scored against the mean/std
+    // of the PRECEDING 20 events of its series, flagged at |z| > 3. The
+    // window is PARTITIONed per series and the frame excludes the current
+    // row (no self-contamination); warm-up rows (< 10 predecessors) are
+    // unscored. Frame order is total (ts, event_id), so both engines
+    // aggregate the same values; ROUND absorbs summation-order ULP. ----
+    q2("q333_rolling_anomaly",
+      """WITH e AS (SELECT event_type, event_id, ts, value FROM events),
+        |w AS (SELECT event_type, event_id, value,
+        |  AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+        |  STDDEV(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+        |  COUNT(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n
+        |  FROM e),
+        |z AS (SELECT event_type,
+        |        CASE WHEN n >= 10 AND sd > 0 THEN ABS(value - mu) / sd END AS az
+        |      FROM w)
+        |SELECT event_type,
+        |  CAST(COUNT(az) AS BIGINT) AS n_scored,
+        |  CAST(SUM(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  ROUND(MAX(az), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (SELECT event_type, event_id, ts, value FROM events),
+        |w AS (SELECT event_type, event_id, value,
+        |  AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+        |  STDDEV(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+        |  COUNT(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n
+        |  FROM e),
+        |z AS (SELECT event_type,
+        |        CASE WHEN n >= 10 AND sd > 0 THEN ABS(value - mu) / sd END AS az
+        |      FROM w)
+        |SELECT event_type,
+        |  CAST(COUNT(az) AS BIGINT) AS n_scored,
+        |  CAST(SUM(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  ROUND(MAX(az), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- [EXT] sequence pattern matching over per-user event journeys —
+    // the MATCH_RECOGNIZE surface Spark lacks (Flink/Snowflake have it),
+    // expressed as ordered per-key aggregation into a compact symbol
+    // string + a regex count: how many times does each user complete
+    // 'view (view|click)* purchase'. Per-user strings are bounded by
+    // per-user event counts (the same justification as sessionization);
+    // the pattern uses only constructs where Java regex and RE2 agree
+    // (leftmost, greedy = longest here, no backrefs). ----
+    q2("q334_sequence_match",
+      """WITH e AS (SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym,
+        |    unix_micros(ts) AS us, event_id FROM events),
+        |s AS (SELECT user_id,
+        |        concat_ws('', transform(array_sort(collect_list(struct(us, event_id, sym))),
+        |          x -> x.sym)) AS seq
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, length(seq) AS n_events,
+        |  CAST(size(regexp_extract_all(seq, 'v[vc]*p', 0)) AS BIGINT) AS n_journeys
+        |FROM s ORDER BY user_id""".stripMargin,
+      """WITH e AS (SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |s AS (SELECT user_id, string_agg(sym, '' ORDER BY us, event_id) AS seq
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT) AS n_journeys
+        |FROM s ORDER BY user_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
