@@ -25,6 +25,7 @@ object Ext {
     "q50_simhash" -> (Dedup.simhash _),
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
+    "q335_ann_multiprobe" -> (Similarity.multiprobeTopK _),
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q51c_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
@@ -523,6 +524,36 @@ object Ext {
          |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS did
          |  FROM codes q JOIN codes d ON q.t = d.t AND q.code = d.code
          |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.did, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+         |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.did),
+         |ranked AS (SELECT qid, did, cos_sim,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rnk FROM scored)
+         |SELECT qid, did, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // Multiprobe: the q51 derivation with the query-side Hamming-1 code
+    // expansion re-run verbatim (xor with each single-bit mask).
+    "q335_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |pl(p, plane) AS (VALUES
+         |${planesValues(42, 8, 8, 64)}),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p // 8 AS t, pl.p % 8 AS b,
+         |         ${seqDot("e.emb", "pl.plane")} AS dot
+         |  FROM e, pl),
+         |codes AS (
+         |  SELECT vec_id, t, SUM(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS code
+         |  FROM dots GROUP BY vec_id, t),
+         |probes AS (
+         |  SELECT vec_id, t, code AS pcode FROM codes WHERE vec_id < 5
+         |  UNION
+         |  SELECT c.vec_id, c.t, xor(c.code, 1 << f.b) AS pcode
+         |  FROM codes c, (SELECT unnest(range(0, 8)) AS b) f WHERE c.vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS did
+         |  FROM probes q JOIN codes d ON q.t = d.t AND q.pcode = d.code
+         |  WHERE d.vec_id <> q.vec_id),
          |scored AS (
          |  SELECT c.qid, c.did, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
          |  FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.did),

@@ -378,6 +378,41 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** MULTIPROBE LSH top-k (Lv et al., VLDB'07): each query probes its home
+    * bucket PLUS every bucket at Hamming distance 1 in code space — but
+    * only on the QUERY side, so recall rises toward multi-table levels
+    * while the data-side posting lists (and therefore the big shuffle)
+    * stay exactly [[lshTopK]]'s. Query fan-out is (NumPlanes+1) x
+    * NumTables rows per query — trivial against a corpus-sized probe set,
+    * which is the whole point of multiprobe at 100 TB: more recall per
+    * byte of index, not more index. Deterministic under the seed-42
+    * planes, so the oracle re-runs the identical expansion. */
+  def multiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bucketCodes("embedding")).as(Seq("t", "code")))
+    val probes = emb.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"), col("t"),
+        explode(expr(s"array_union(array(code), " +
+          s"transform(sequence(0, ${NumPlanes - 1}), b -> code ^ shiftleft(1, b)))"))
+          .as("pcode"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = probes.as("q")
+      .join(emb.as("d"),
+        col("q.t") === col("d.t") && col("q.pcode") === col("d.code") &&
+          col("q.vec_id") =!= col("d.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
+        col("q.embedding").as("q_emb"), col("d.embedding").as("d_emb"))
+      .dropDuplicates("qid", "did")
+      .select(col("qid"), col("did"), cosine("q_emb", "d_emb").as("cos_sim"))
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))).cast("bigint"))
+      .where(col("rnk") <= 10)
+      .orderBy("qid", "rnk")
+  }
+
   /** Int8 scalar quantization + top-k over the quantized codes — the
     * storage/compute format production vector search runs at 100 TB scale
     * (4× smaller than float32; integer dot products). Per-vector symmetric
