@@ -26,6 +26,7 @@ object Ext {
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q335_ann_multiprobe" -> (Similarity.multiprobeTopK _),
+    "q336_multiprobe_recall" -> (Similarity.multiprobeRecall _),
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q51c_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
@@ -560,6 +561,60 @@ object Ext {
          |ranked AS (SELECT qid, did, cos_sim,
          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, did) AS rnk FROM scored)
          |SELECT qid, did, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    // Recall@10 comparison plain-vs-multiprobe against the exact brute
+    // top-10: all three rankings re-derived; recalls are exact tenths.
+    "q336_multiprobe_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |           FROM embeddings),
+         |pl(p, plane) AS (VALUES
+         |${planesValues(42, 8, 8, 64)}),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p // 8 AS t, pl.p % 8 AS b,
+         |         ${seqDot("e.emb", "pl.plane")} AS dot
+         |  FROM e, pl),
+         |codes AS (
+         |  SELECT vec_id, t, SUM(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS code
+         |  FROM dots GROUP BY vec_id, t),
+         |bs AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS did,
+         |         round(list_cosine_similarity(q.emb, d.emb), 4) AS cos_sim
+         |  FROM e q JOIN e d ON q.vec_id <> d.vec_id WHERE q.vec_id < 5),
+         |bt AS (SELECT qid, did FROM (
+         |  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, did) AS rnk FROM bs) WHERE rnk <= 10),
+         |pc AS (
+         |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS did
+         |  FROM codes q JOIN codes d ON q.t = d.t AND q.code = d.code
+         |  WHERE q.vec_id < 5 AND d.vec_id <> q.vec_id),
+         |ps AS (
+         |  SELECT c.qid, c.did, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+         |  FROM pc c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.did),
+         |pt AS (SELECT qid, did FROM (
+         |  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, did) AS rnk FROM ps) WHERE rnk <= 10),
+         |probes AS (
+         |  SELECT vec_id, t, code AS pcode FROM codes WHERE vec_id < 5
+         |  UNION
+         |  SELECT c.vec_id, c.t, xor(c.code, 1 << f.b) AS pcode
+         |  FROM codes c, (SELECT unnest(range(0, 8)) AS b) f WHERE c.vec_id < 5),
+         |mc AS (
+         |  SELECT DISTINCT q.vec_id AS qid, d.vec_id AS did
+         |  FROM probes q JOIN codes d ON q.t = d.t AND q.pcode = d.code
+         |  WHERE d.vec_id <> q.vec_id),
+         |ms AS (
+         |  SELECT c.qid, c.did, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+         |  FROM mc c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.did),
+         |mt AS (SELECT qid, did FROM (
+         |  SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, did) AS rnk FROM ms) WHERE rnk <= 10),
+         |pr AS (SELECT b.qid, COUNT(p.did) / 10.0 AS pr FROM bt b
+         |       LEFT JOIN pt p ON b.qid = p.qid AND b.did = p.did GROUP BY b.qid),
+         |mr AS (SELECT b.qid, COUNT(m.did) / 10.0 AS mr FROM bt b
+         |       LEFT JOIN mt m ON b.qid = m.qid AND b.did = m.did GROUP BY b.qid)
+         |SELECT pr.qid, ROUND(pr.pr, 4) AS plain_recall, ROUND(mr.mr, 4) AS multiprobe_recall,
+         |  (mr.mr >= pr.pr) AS gain_nonneg
+         |FROM pr JOIN mr ON pr.qid = mr.qid ORDER BY pr.qid""".stripMargin,
 
     // IVF ANN, recomputed END-TO-END: deterministic seed cells (vec_id < 16),
     // argmax assignment re-derived with the bit-exact cosine replica (the

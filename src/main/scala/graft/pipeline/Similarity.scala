@@ -413,6 +413,38 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Recall@10 of plain [[lshTopK]] vs [[multiprobeTopK]] against the
+    * exact brute-force top-10 — the measured justification for multiprobe
+    * (every extra recall point here costs query fan-out only, not index
+    * size). Deterministic under the seeded planes, so the oracle re-runs
+    * all three rankings and the per-query recalls are exact decimals. */
+  def multiprobeRecall(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.table("embeddings")
+    val brute = emb.where(col("vec_id") < 5).as("q")
+      .join(emb.as("d"), col("q.vec_id") =!= col("d.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("d.vec_id").as("did"),
+        cosine("q.embedding", "d.embedding").as("cos_sim"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("did"))))
+      .where(col("rnk") <= 10)
+      .select("qid", "did")
+    def recallOf(df: DataFrame, as: String): DataFrame =
+      brute.as("b")
+        .join(df.select(col("qid"), col("did")).as("a"),
+          col("b.qid") === col("a.qid") && col("b.did") === col("a.did"), "left_semi")
+        .groupBy("qid").agg((count(lit(1)) / lit(10.0)).as(as))
+    brute.select("qid").distinct()
+      .join(recallOf(lshTopK(spark, dir), "pr"), Seq("qid"), "left")
+      .join(recallOf(multiprobeTopK(spark, dir), "mr"), Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("pr"), lit(0.0)), 4).as("plain_recall"),
+        round(coalesce(col("mr"), lit(0.0)), 4).as("multiprobe_recall"),
+        (coalesce(col("mr"), lit(0.0)) >= coalesce(col("pr"), lit(0.0))).as("gain_nonneg"))
+      .orderBy("qid")
+  }
+
   /** Int8 scalar quantization + top-k over the quantized codes — the
     * storage/compute format production vector search runs at 100 TB scale
     * (4× smaller than float32; integer dot products). Per-vector symmetric
