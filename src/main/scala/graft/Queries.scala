@@ -4696,7 +4696,21 @@ object Queries {
         |      FROM e GROUP BY user_id)
         |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
         |  CAST(len(regexp_extract_all(seq, 'v[vc]*p')) AS BIGINT) AS n_journeys
-        |FROM s ORDER BY user_id""".stripMargin)
+        |FROM s ORDER BY user_id""".stripMargin),
+
+    // ---- join-strategy HINT surface (the perf-control API a user reaches
+    // for when the optimizer's choice is wrong at their scale): MERGE
+    // forces a sort-merge join even on a broadcastable dim, SHUFFLE_HASH
+    // forces a hash join. Hints change the PHYSICAL plan only — the
+    // result must equal the unhinted join, which is what the oracle pins;
+    // PlanSpec asserts the strategies were actually honored. ----
+    q2("q337_join_hints",
+      """SELECT /*+ MERGE(n) */ r.r_name, n.n_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY r.r_name, n.n_name""".stripMargin,
+      """SELECT r.r_name, n.n_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY r.r_name, n.n_name""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

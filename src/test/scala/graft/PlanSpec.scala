@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k should not global-sort:\n$plan")
   }
 
+  test("q32 top-k per group engages the WindowGroupLimit rank-filter pushdown") {
+    // Spark 4 pushes rank() <= k below the window as a per-partition group
+    // limit, so each group contributes at most k rows to the window sort.
+    val plan = run("q32_topk_group")
+    assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed:\n$plan")
+  }
+
+  test("q337 MERGE hint forces a sort-merge join on a broadcastable dim") {
+    val plan = run("q337_join_hints")
+    assert(plan.contains("SortMergeJoin"), s"MERGE hint not honored:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"hint should suppress broadcast:\n$plan")
+  }
+
   test("q02 compound predicate is (partially) pushed to the orders scan") {
     val plan = run("q02_filter_compound")
     assert(plan.contains("PushedFilters:") && plan.contains("Or(EqualTo(o_orderstatus,F)"),
@@ -231,7 +244,8 @@ class PlanSpec extends SparkSpec {
       "q319_centroid_drift",      // CROSS JOIN with the 1-row global-centroid-norm aggregate
       "q321_pca_power_iteration", // 1-row mean-map broadcast + 1-row norm/eigenvalue broadcasts
       "q330_distribution_drift",  // 2-snapshot x 64-bin constant spine cross join
-      "q331_gap_fill_interpolate") // series x dense-bucket spine from a 1-row min/max aggregate
+      "q331_gap_fill_interpolate", // series x dense-bucket spine from a 1-row min/max aggregate
+      "q336_multiprobe_recall")   // q51c's shape: 5 broadcast query vectors x corpus exact audit
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
