@@ -4710,7 +4710,59 @@ object Queries {
         |ORDER BY r.r_name, n.n_name""".stripMargin,
       """SELECT r.r_name, n.n_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |ORDER BY r.r_name, n.n_name""".stripMargin)
+        |ORDER BY r.r_name, n.n_name""".stripMargin),
+
+    // ---- [EXT] HELD-OUT bigram cross-entropy (the methodology gap q265
+    // leaves: that model scores the corpus it was trained on; a real
+    // quality filter trains on one split and evaluates generalization on
+    // the other). Train = doc_id % 5 <> 0, eval = % 5 = 0; Laplace
+    // smoothing P(w2|w1) = (c12 + 1) / (c1 + V) over the TRAIN vocab, so
+    // unseen bigrams are finite. Eval bigrams equi-join the (Heaps-law
+    // bounded) train model; V broadcasts as a 1-row aggregate. Reported
+    // as cross-entropy (avg -ln P), not exp(ppl): LN of identical
+    // integer-ratio doubles agrees cross-engine, while libm EXP is not
+    // pinned. ----
+    q2("q338_heldout_xent",
+      """WITH tr AS (SELECT split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),
+        |tb AS (SELECT w1, w2, COUNT(*) AS c12 FROM
+        |       (SELECT element_at(ws, i - 1) AS w1, element_at(ws, i) AS w2
+        |        FROM tr LATERAL VIEW explode(sequence(2, size(ws))) x AS i
+        |        WHERE size(ws) >= 2) GROUP BY w1, w2),
+        |tu AS (SELECT w1, SUM(c12) AS c1 FROM tb GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM tb),
+        |ev AS (SELECT doc_id, split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0),
+        |eb AS (SELECT doc_id, element_at(ws, i - 1) AS w1, element_at(ws, i) AS w2
+        |       FROM ev LATERAL VIEW explode(sequence(2, size(ws))) x AS i
+        |       WHERE size(ws) >= 2),
+        |sc AS (SELECT e.doc_id,
+        |         LN((COALESCE(tb.c12, 0) + 1.0) / (COALESCE(tu.c1, 0) + v.vsz)) AS lp
+        |       FROM eb e
+        |       LEFT JOIN tb ON e.w1 = tb.w1 AND e.w2 = tb.w2
+        |       LEFT JOIN tu ON e.w1 = tu.w1
+        |       CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-SUM(lp) / COUNT(*), 4) AS cross_entropy
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH tr AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),
+        |tb AS (SELECT w1, w2, COUNT(*) AS c12 FROM
+        |       (SELECT ws[i-1] AS w1, ws[i] AS w2
+        |        FROM tr, UNNEST(range(2, len(ws) + 1)) AS x(i)
+        |        WHERE len(ws) >= 2) GROUP BY w1, w2),
+        |tu AS (SELECT w1, SUM(c12) AS c1 FROM tb GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM tb),
+        |ev AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 = 0),
+        |eb AS (SELECT doc_id, ws[i-1] AS w1, ws[i] AS w2
+        |       FROM ev, UNNEST(range(2, len(ws) + 1)) AS x(i)
+        |       WHERE len(ws) >= 2),
+        |sc AS (SELECT e.doc_id,
+        |         LN((COALESCE(tb.c12, 0) + 1.0) / (COALESCE(tu.c1, 0) + v.vsz)) AS lp
+        |       FROM eb e
+        |       LEFT JOIN tb ON e.w1 = tb.w1 AND e.w2 = tb.w2
+        |       LEFT JOIN tu ON e.w1 = tu.w1
+        |       CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-SUM(lp) / COUNT(*), 4) AS cross_entropy
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
