@@ -4762,11 +4762,73 @@ object Queries {
         |       CROSS JOIN v)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(-SUM(lp) / COUNT(*), 4) AS cross_entropy
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- [EXT] Hilbert-curve layout index with its locality LAW: over
+    // the full 16x16 grid, consecutive Hilbert cells are ALWAYS grid
+    // neighbors (avg Manhattan step exactly 1.0) while Morton/Z-order
+    // jumps across quadrant seams (avg step > 1) — the measured reason
+    // Hilbert clustering beats Z-order for range-scan locality (q260's
+    // Z-order stays the simpler production default; this entry pins the
+    // alternative and its advantage). Four unrolled xy->d rounds of the
+    // standard bit transform, pure integer arithmetic shared verbatim by
+    // both engines; the windows run over 256 constant rows. ----
+    q2("q339_hilbert_locality",
+      s"""WITH g AS (SELECT id, CAST(id % 16 AS INT) AS x, CAST(id DIV 16 AS INT) AS y
+         |           FROM (SELECT explode(sequence(0, 255)) AS id)),
+         |$hilbertBody""".stripMargin,
+      s"""WITH g AS (SELECT id, CAST(id % 16 AS INT) AS x, CAST(id // 16 AS INT) AS y
+         |           FROM (SELECT unnest(range(0, 256)) AS id)),
+         |$hilbertBody""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
     * w0 char symbols, 3 x (pair counts pK, argmax bK, merged wK)). */
+  /** One unrolled Hilbert-curve round at scale `s` (the standard xy→d bit
+    * transform: accumulate the quadrant, then flip+swap when ry = 0) —
+    * dialect-neutral SQL shared by the q339 entry and its oracle. */
+  private def hilbertStep(s: Int, in: String, out: String): String =
+    s"""$out AS (
+       |  SELECT id, mx,
+       |    d + ${s * s} * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+       |                         WHEN rx = 1 AND ry = 1 THEN 2
+       |                         WHEN rx = 0 AND ry = 1 THEN 1 ELSE 0 END) AS d,
+       |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+       |         ELSE x END AS x,
+       |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+       |         ELSE y END AS y
+       |  FROM (SELECT id, mx, d, x, y,
+       |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+       |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+       |        FROM $in) t)""".stripMargin
+
+  /** The q339 body after the 16x16 grid CTE `g(id, x, y)`: morton index,
+    * 4 unrolled Hilbert rounds (s = 8, 4, 2, 1), and the locality law. */
+  private def hilbertBody: String =
+    s"""h0 AS (SELECT id,
+       |  (x & 1) + (y & 1) * 2 + (x & 2) * 2 + (y & 2) * 4
+       |  + (x & 4) * 4 + (y & 4) * 8 + (x & 8) * 8 + (y & 8) * 16 AS mx,
+       |  0 AS d, x, y FROM g),
+       |${hilbertStep(8, "h0", "h1")},
+       |${hilbertStep(4, "h1", "h2")},
+       |${hilbertStep(2, "h2", "h3")},
+       |${hilbertStep(1, "h3", "h4")},
+       |idx AS (SELECT g.id, g.x, g.y, h4.mx AS morton, h4.d AS hilbert
+       |        FROM g JOIN h4 ON g.id = h4.id),
+       |hd AS (SELECT ABS(x - LAG(x) OVER (ORDER BY hilbert))
+       |            + ABS(y - LAG(y) OVER (ORDER BY hilbert)) AS step FROM idx),
+       |hs AS (SELECT AVG(step) AS st FROM hd),
+       |md AS (SELECT ABS(x - LAG(x) OVER (ORDER BY morton))
+       |            + ABS(y - LAG(y) OVER (ORDER BY morton)) AS step FROM idx),
+       |ms AS (SELECT AVG(step) AS st FROM md)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  ROUND(hs.st, 4) AS avg_step_hilbert,
+       |  ROUND(ms.st, 4) AS avg_step_morton,
+       |  (hs.st = 1.0) AS hilbert_unit_steps,
+       |  (hs.st < ms.st) AS hilbert_wins
+       |FROM idx CROSS JOIN hs CROSS JOIN ms
+       |GROUP BY hs.st, ms.st""".stripMargin
+
   private def bpeSparkCtes: String = {
     def step(win: String, p: String, b: String, wout: String): String =
       s"""$p AS (
