@@ -245,7 +245,9 @@ class PlanSpec extends SparkSpec {
       "q321_pca_power_iteration", // 1-row mean-map broadcast + 1-row norm/eigenvalue broadcasts
       "q330_distribution_drift",  // 2-snapshot x 64-bin constant spine cross join
       "q331_gap_fill_interpolate", // series x dense-bucket spine from a 1-row min/max aggregate
-      "q336_multiprobe_recall")   // q51c's shape: 5 broadcast query vectors x corpus exact audit
+      "q336_multiprobe_recall",   // q51c's shape: 5 broadcast query vectors x corpus exact audit
+      "q338_heldout_xent",        // CROSS JOIN with the 1-row train-vocab-size aggregate
+      "q339_hilbert_locality")    // 1-row locality summaries over the constant 256-cell grid
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
