@@ -4779,7 +4779,94 @@ object Queries {
          |$hilbertBody""".stripMargin,
       s"""WITH g AS (SELECT id, CAST(id % 16 AS INT) AS x, CAST(id // 16 AS INT) AS y
          |           FROM (SELECT unnest(range(0, 256)) AS id)),
-         |$hilbertBody""".stripMargin)
+         |$hilbertBody""".stripMargin),
+
+    // ---- [EXT] the END-TO-END pipeline funnel: one report chaining the
+    // canonical corpus stages — raw → exact dedup (keep-first on
+    // md5(text)) → near-dup drop (higher id of any exact-Jaccard >= 0.5
+    // pair among survivors; q49 pins that the banded-LSH path finds
+    // exactly these pairs) → quality filter (q293's integer logit) →
+    // temperature-mixed selection (q296's n^0.7 quotas) — with per-stage
+    // doc and token retention. This is the survivors-funnel telemetry a
+    // 100 TB ingestion run publishes after every build; each stage keeps
+    // its scale shape (hash groupBys, capped gram joins, broadcast
+    // quotas). ----
+    q2("q340_pipeline_funnel",
+      """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
+        |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
+        |ex AS (SELECT d0.* FROM d0
+        |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
+        |         ON d0.h = g.h AND d0.doc_id = g.kid),
+        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
+        |       (SELECT doc_id, split(lt, ' ') AS ws FROM ex WHERE size(split(lt, ' ')) >= 3) t
+        |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT i.b_id FROM inter i
+        |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
+        |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
+        |nd AS (SELECT ex.* FROM ex LEFT ANTI JOIN drops ON ex.doc_id = drops.b_id),
+        |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
+        |        nd.wc * nd.wc - 300 * nd.wc + 50 * nd.n_chars
+        |        + 200 * size(filter(split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
+        |        + 300 * size(array_distinct(split(nd.text, ' '))) > 0),
+        |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
+        |tw AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS t FROM sq),
+        |qt AS (SELECT sq.source,
+        |         CAST(FLOOR(ROUND(200 * POWER(CAST(sq.n AS DOUBLE), 0.7) / tw.t, 9)) AS BIGINT) AS quota
+        |       FROM sq CROSS JOIN tw),
+        |mx AS (SELECT q.doc_id, q.wc FROM
+        |       (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.source
+        |          ORDER BY md5(CAST(q.doc_id AS STRING)), q.doc_id) AS rk FROM q) q
+        |       JOIN qt ON q.source = qt.source WHERE q.rk <= qt.quota)
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs, SUM(wc) AS n_tokens FROM d0
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(wc) FROM ex
+        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(wc) FROM nd
+        |  UNION ALL SELECT 4, 'quality', COUNT(*), SUM(wc) FROM q
+        |  UNION ALL SELECT 5, 'mixed', COUNT(*), SUM(wc) FROM mx
+        |) ORDER BY ord""".stripMargin,
+      """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
+        |             len(string_split(text, ' ')) AS wc, n_chars, text FROM documents),
+        |ex AS (SELECT d0.* FROM d0
+        |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
+        |         ON d0.h = g.h AND d0.doc_id = g.kid),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM
+        |       (SELECT doc_id, string_split(lt, ' ') AS ws FROM ex
+        |        WHERE len(string_split(lt, ' ')) >= 3) t,
+        |       UNNEST(range(1, len(ws) - 1)) AS x(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT i.b_id FROM inter i
+        |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
+        |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
+        |nd AS (SELECT ex.* FROM ex ANTI JOIN drops ON ex.doc_id = drops.b_id),
+        |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
+        |        nd.wc * nd.wc - 300 * nd.wc + 50 * nd.n_chars
+        |        + 200 * len(list_filter(string_split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
+        |        + 300 * len(list_distinct(string_split(nd.text, ' '))) > 0),
+        |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
+        |tw AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS t FROM sq),
+        |qt AS (SELECT sq.source,
+        |         CAST(FLOOR(ROUND(200 * POWER(CAST(sq.n AS DOUBLE), 0.7) / tw.t, 9)) AS BIGINT) AS quota
+        |       FROM sq CROSS JOIN tw),
+        |mx AS (SELECT q.doc_id, q.wc FROM
+        |       (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.source
+        |          ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id) AS rk FROM q) q
+        |       JOIN qt ON q.source = qt.source WHERE q.rk <= qt.quota)
+        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs, SUM(wc) AS n_tokens FROM d0
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(wc) FROM ex
+        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(wc) FROM nd
+        |  UNION ALL SELECT 4, 'quality', COUNT(*), SUM(wc) FROM q
+        |  UNION ALL SELECT 5, 'mixed', COUNT(*), SUM(wc) FROM mx
+        |) ORDER BY ord""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
