@@ -4866,7 +4866,37 @@ object Queries {
         |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(wc) FROM nd
         |  UNION ALL SELECT 4, 'quality', COUNT(*), SUM(wc) FROM q
         |  UNION ALL SELECT 5, 'mixed', COUNT(*), SUM(wc) FROM mx
-        |) ORDER BY ord""".stripMargin)
+        |) ORDER BY ord""".stripMargin),
+
+    // ---- [EXT] normalization-sensitivity dedup report: how many extra
+    // duplicate docs a canonicalization pass (lowercase, punctuation
+    // strip, whitespace collapse) exposes beyond raw byte-identity — the
+    // audit that decides whether a 100 TB dedup keys on raw or
+    // normalized text. Both passes are one hash groupBy on md5 of the
+    // respective key; the normalizer is a pure per-row map. ----
+    q2("q341_normalization_dedup",
+      """WITH d AS (SELECT doc_id, text,
+        |    md5(text) AS hr,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''),
+        |        ' +', ' '))) AS hn
+        |  FROM documents),
+        |r AS (SELECT COUNT(*) AS n, COUNT(DISTINCT hr) AS dr, COUNT(DISTINCT hn) AS dn FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(n - dr AS BIGINT) AS dups_raw,
+        |  CAST(n - dn AS BIGINT) AS dups_normalized,
+        |  CAST(dr - dn AS BIGINT) AS extra_dups_from_normalization
+        |FROM r""".stripMargin,
+      """WITH d AS (SELECT doc_id, text,
+        |    md5(text) AS hr,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |        ' +', ' ', 'g'))) AS hn
+        |  FROM documents),
+        |r AS (SELECT COUNT(*) AS n, COUNT(DISTINCT hr) AS dr, COUNT(DISTINCT hn) AS dn FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(n - dr AS BIGINT) AS dups_raw,
+        |  CAST(n - dn AS BIGINT) AS dups_normalized,
+        |  CAST(dr - dn AS BIGINT) AS extra_dups_from_normalization
+        |FROM r""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
