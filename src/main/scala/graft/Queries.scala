@@ -4896,7 +4896,64 @@ object Queries {
         |  CAST(n - dr AS BIGINT) AS dups_raw,
         |  CAST(n - dn AS BIGINT) AS dups_normalized,
         |  CAST(dr - dn AS BIGINT) AS extra_dups_from_normalization
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin),
+
+    // ---- [EXT] chunk-level BM25 passage retrieval (the RAG shape: score
+    // PASSAGES, not documents, so a long doc's one relevant chunk isn't
+    // drowned by its length). q71's 32-word/24-stride windows re-chunk
+    // the corpus; BM25's df/length stats are computed AT CHUNK
+    // GRANULARITY (the correct normalization for passage ranking); the
+    // same Lucene-IDF arithmetic as q266 with its ROUND(,6) discipline.
+    // Distributed top-k before the rank window (q266's shape). ----
+    q2("q342_chunk_bm25",
+      """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
+        |ch AS (SELECT doc_id, CAST((i - 1) DIV 24 AS BIGINT) AS chunk_id,
+        |         slice(ws, i, 32) AS cw
+        |       FROM t LATERAL VIEW explode(sequence(1, size(ws), 24)) x AS i),
+        |lens AS (SELECT doc_id, chunk_id, size(cw) AS len FROM ch),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM lens),
+        |toks AS (SELECT doc_id, chunk_id, tok FROM
+        |         (SELECT doc_id, chunk_id, explode(cw) AS tok FROM ch)
+        |         WHERE tok IN ('hash', 'join', 'scan')),
+        |tf AS (SELECT doc_id, chunk_id, tok, COUNT(*) AS tfreq
+        |       FROM toks GROUP BY doc_id, chunk_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS dfreq FROM
+        |       (SELECT DISTINCT doc_id, chunk_id, tok FROM toks) GROUP BY tok),
+        |sc AS (SELECT tf.doc_id, tf.chunk_id,
+        |         ROUND(SUM(LN((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tfreq * 2.2 /
+        |           (tfreq + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS score
+        |       FROM tf JOIN df USING (tok)
+        |       JOIN lens ON tf.doc_id = lens.doc_id AND tf.chunk_id = lens.chunk_id
+        |       CROSS JOIN stats
+        |       GROUP BY tf.doc_id, tf.chunk_id),
+        |top AS (SELECT doc_id, chunk_id, score FROM sc
+        |        ORDER BY score DESC, doc_id, chunk_id LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rnk,
+        |  doc_id, chunk_id, score FROM top ORDER BY rnk""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |ch AS (SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+        |         ws[i:i+31] AS cw
+        |       FROM t, UNNEST(range(1, len(ws) + 1, 24)) AS x(i)),
+        |lens AS (SELECT doc_id, chunk_id, len(cw) AS len FROM ch),
+        |stats AS (SELECT COUNT(*) AS n, AVG(len) AS avglen FROM lens),
+        |toks AS (SELECT doc_id, chunk_id, tok FROM
+        |         (SELECT doc_id, chunk_id, unnest(cw) AS tok FROM ch)
+        |         WHERE tok IN ('hash', 'join', 'scan')),
+        |tf AS (SELECT doc_id, chunk_id, tok, COUNT(*) AS tfreq
+        |       FROM toks GROUP BY doc_id, chunk_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS dfreq FROM
+        |       (SELECT DISTINCT doc_id, chunk_id, tok FROM toks) GROUP BY tok),
+        |sc AS (SELECT tf.doc_id, tf.chunk_id,
+        |         ROUND(SUM(LN((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * tfreq * 2.2 /
+        |           (tfreq + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS score
+        |       FROM tf JOIN df USING (tok)
+        |       JOIN lens ON tf.doc_id = lens.doc_id AND tf.chunk_id = lens.chunk_id
+        |       CROSS JOIN stats
+        |       GROUP BY tf.doc_id, tf.chunk_id),
+        |top AS (SELECT doc_id, chunk_id, score FROM sc
+        |        ORDER BY score DESC, doc_id, chunk_id LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rnk,
+        |  doc_id, chunk_id, score FROM top ORDER BY rnk""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
