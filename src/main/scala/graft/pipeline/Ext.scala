@@ -20,6 +20,33 @@ object Ext {
       ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
     "q332_cc_star_contraction" ->
       ((s: SparkSession, d: String) => Dedup.starComponents(s, d)),
+    // Quality-based canonical selection: near-dup clusters keep their
+    // HIGHEST-q293-logit member, not the minimum id — the production
+    // keeper policy (dedup should discard the worse copies). The logit
+    // ordering is the same double both engines compute from exact
+    // integer numerators, tie-broken by doc_id.
+    "q343_quality_canonical" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.register(s, d)
+      val comp = Dedup.nearDupComponents(s, d)
+      val logit = s.sql(
+        """SELECT doc_id,
+          |  CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+          |    AS lnum, wc
+          |FROM (SELECT doc_id, n_chars, size(split(text, ' ')) AS wc,
+          |        size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+          |        size(array_distinct(split(text, ' '))) AS uniq
+          |      FROM documents) WHERE wc > 0""".stripMargin)
+      comp.join(logit, "doc_id")
+        .withColumn("logit", col("lnum").cast("double") / (lit(100.0) * col("wc")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("canonical_id").orderBy(col("logit").desc, col("doc_id"))))
+        .where(col("rk") === 1)
+        .select(col("canonical_id"), col("doc_id").as("keeper_id"),
+          round(col("logit"), 4).as("keeper_logit"), col("cluster_size"))
+        .orderBy("canonical_id")
+    }),
     "q49c_incremental_neardup" ->
       ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
     "q50_simhash" -> (Dedup.simhash _),
@@ -957,6 +984,49 @@ object Ext {
          |SELECT doc_id, canonical_id, cluster_size
          |FROM comp JOIN csizes USING (canonical_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Quality-keeper selection over the same exact closure: per component,
+    // the member with the highest q293 logit (tie: lowest doc_id) wins.
+    "q343_quality_canonical" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+         |         FROM reach GROUP BY u),
+         |csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id),
+         |lg AS (SELECT doc_id,
+         |         CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+         |           AS lnum, wc
+         |       FROM (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS wc,
+         |               len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+         |               len(list_distinct(string_split(text, ' '))) AS uniq
+         |             FROM documents) WHERE wc > 0),
+         |rk AS (SELECT comp.canonical_id, comp.doc_id,
+         |         CAST(lg.lnum AS DOUBLE) / (100.0 * lg.wc) AS logit,
+         |         ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
+         |           ORDER BY CAST(lg.lnum AS DOUBLE) / (100.0 * lg.wc) DESC, comp.doc_id) AS r
+         |       FROM comp JOIN lg ON comp.doc_id = lg.doc_id)
+         |SELECT rk.canonical_id, rk.doc_id AS keeper_id,
+         |  ROUND(rk.logit, 4) AS keeper_logit, csz.cluster_size
+         |FROM rk JOIN csz ON rk.canonical_id = csz.canonical_id
+         |WHERE rk.r = 1 ORDER BY rk.canonical_id""".stripMargin,
 
     // The star-contraction CC must land on the IDENTICAL labeling as the
     // label-propagation form — both are checked against the same exact
