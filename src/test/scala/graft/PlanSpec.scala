@@ -248,7 +248,8 @@ class PlanSpec extends SparkSpec {
       "q336_multiprobe_recall",   // q51c's shape: 5 broadcast query vectors x corpus exact audit
       "q338_heldout_xent",        // CROSS JOIN with the 1-row train-vocab-size aggregate
       "q339_hilbert_locality",    // 1-row locality summaries over the constant 256-cell grid
-      "q340_pipeline_funnel")     // q296's 1-row temperature-weight aggregate broadcast
+      "q340_pipeline_funnel",     // q296's 1-row temperature-weight aggregate broadcast
+      "q342_chunk_bm25")          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
