@@ -75,6 +75,20 @@ class KmvAggSpec extends SparkSpec {
     }
   }
 
+  test("kmv_agg edge cases: empty input, all-null input, nulls ignored") {
+    val s = registered()
+    import s.implicits._
+    val empty = Seq.empty[String].toDF("v")
+      .agg(expr("kmv_agg(v, 8)").as("sk")).collect().head.getSeq[String](0)
+    assert(empty.isEmpty) // empty array, not null (nullable = false)
+    val allNull = Seq[Option[String]](None, None).toDF("v")
+      .agg(expr("kmv_agg(v, 8)").as("sk")).collect().head.getSeq[String](0)
+    assert(allNull.isEmpty)
+    val mixed = Seq(Some("b"), None, Some("a"), None, Some("c")).toDF("v")
+      .agg(expr("kmv_agg(v, 2)").as("sk")).collect().head.getSeq[String](0)
+    assert(mixed == Seq("a", "b"))
+  }
+
   test("kmv_agg rejects non-string input and non-literal k") {
     val s = registered()
     val e1 = intercept[Exception](s.sql("SELECT kmv_agg(o_orderkey, 8) FROM orders").collect())

@@ -50,6 +50,13 @@ class StarContractSpec extends SparkSpec {
     assert(got(3L) == 3L && got(7L) == 3L)
   }
 
+  test("self-loops and duplicate/reversed edges are absorbed by canonicalization") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (9L, 9L), (2L, 3L))
+    val got = components(edges)
+    // self-loop-only nodes never appear (no real edge); the chain collapses
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("seeded random graphs match a union-find ground truth") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
