@@ -4712,6 +4712,93 @@ object Queries {
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY r.r_name, n.n_name""".stripMargin),
 
+    // ---- the SHUFFLE_HASH side of the hint surface (q337 covers MERGE):
+    // forces a shuffled hash join — the choice for a large build side
+    // that still fits per-partition memory, where a sort-merge's sorts
+    // are pure overhead. PlanSpec asserts ShuffledHashJoin; result ≡
+    // unhinted. ----
+    q2("q344_shuffle_hash_hint",
+      """SELECT /*+ SHUFFLE_HASH(c) */ c.c_mktsegment,
+        |  COUNT(*) AS n, CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n, CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin),
+
+    // ---- [EXT] per-source quality distribution (which ingestion sources
+    // are about to be gutted by the quality filter): q293's integer-exact
+    // logit summarized per source — keep-rate plus quartiles via the
+    // proven (n-1)p interpolation. One scan + one grouped aggregate. ----
+    q2("q345_source_quality_profile",
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |    size(split(text, ' ')) AS wc,
+        |    size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    size(array_distinct(split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT source,
+        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+        |      AS lnum, wc
+        |  FROM f WHERE wc > 0),
+        |lg AS (SELECT source, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit,
+        |         CASE WHEN lnum > 0 THEN 1 ELSE 0 END AS keep FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(SUM(keep) / CAST(COUNT(*) AS DOUBLE), 4) AS keep_rate,
+        |  ROUND(percentile(logit, 0.25), 4) AS logit_p25,
+        |  ROUND(percentile(logit, 0.5), 4) AS logit_p50,
+        |  ROUND(percentile(logit, 0.75), 4) AS logit_p75
+        |FROM lg GROUP BY source ORDER BY source""".stripMargin,
+      """WITH f AS (SELECT doc_id, source, n_chars,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    len(list_distinct(string_split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT source,
+        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+        |      AS lnum, wc
+        |  FROM f WHERE wc > 0),
+        |lg AS (SELECT source, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit,
+        |         CASE WHEN lnum > 0 THEN 1 ELSE 0 END AS keep FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(SUM(keep) / CAST(COUNT(*) AS DOUBLE), 4) AS keep_rate,
+        |  ROUND(quantile_cont(logit, 0.25), 4) AS logit_p25,
+        |  ROUND(quantile_cont(logit, 0.5), 4) AS logit_p50,
+        |  ROUND(quantile_cont(logit, 0.75), 4) AS logit_p75
+        |FROM lg GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- [EXT] event-type co-occurrence PMI (association mining over
+    // per-user behavior: which event types co-occur in the same user's
+    // history beyond what their base rates predict). PMI = ln(p(a,b) /
+    // (p(a) p(b))) over user-presence sets; every probability is a ratio
+    // of exact integer counts, so LN agrees cross-engine. types² output
+    // rows; work is one distinct + two grouped counts + one equi-join. ----
+    q2("q346_event_pmi",
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cab
+        |      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.cab AS BIGINT) AS n_users_both,
+        |  ROUND(LN((CAST(p.cab AS DOUBLE) / n.nu)
+        |    / ((CAST(ma.c AS DOUBLE) / n.nu) * (CAST(mb.c AS DOUBLE) / n.nu))), 4) AS pmi
+        |FROM p JOIN m ma ON p.type_a = ma.event_type
+        |       JOIN m mb ON p.type_b = mb.event_type CROSS JOIN n
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+        |m AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cab
+        |      FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.cab AS BIGINT) AS n_users_both,
+        |  ROUND(LN((CAST(p.cab AS DOUBLE) / n.nu)
+        |    / ((CAST(ma.c AS DOUBLE) / n.nu) * (CAST(mb.c AS DOUBLE) / n.nu))), 4) AS pmi
+        |FROM p JOIN m ma ON p.type_a = ma.event_type
+        |       JOIN m mb ON p.type_b = mb.event_type CROSS JOIN n
+        |ORDER BY p.type_a, p.type_b""".stripMargin),
+
     // ---- [EXT] HELD-OUT bigram cross-entropy (the methodology gap q265
     // leaves: that model scores the corpus it was trained on; a real
     // quality filter trains on one split and evaluates generalization on

@@ -106,6 +106,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), s"hint should suppress broadcast:\n$plan")
   }
 
+  test("q344 SHUFFLE_HASH hint forces a shuffled hash join") {
+    val plan = run("q344_shuffle_hash_hint")
+    assert(plan.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint not honored:\n$plan")
+  }
+
   test("q02 compound predicate is (partially) pushed to the orders scan") {
     val plan = run("q02_filter_compound")
     assert(plan.contains("PushedFilters:") && plan.contains("Or(EqualTo(o_orderstatus,F)"),
@@ -249,7 +254,8 @@ class PlanSpec extends SparkSpec {
       "q338_heldout_xent",        // CROSS JOIN with the 1-row train-vocab-size aggregate
       "q339_hilbert_locality",    // 1-row locality summaries over the constant 256-cell grid
       "q340_pipeline_funnel",     // q296's 1-row temperature-weight aggregate broadcast
-      "q342_chunk_bm25")          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
+      "q342_chunk_bm25",          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
+      "q346_event_pmi")           // CROSS JOIN with the 1-row distinct-user-count aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
