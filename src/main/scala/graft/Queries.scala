@@ -483,7 +483,7 @@ object Queries {
       """WITH ds AS (
         |  SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
         |                                                  i -> substr(text, i, 3)))) AS g
-        |  FROM documents),
+        |  FROM documents WHERE length(text) >= 3),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
@@ -494,7 +494,8 @@ object Queries {
         |ORDER BY i.a_id""".stripMargin,
       """WITH ds AS (
         |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i FROM documents) x),
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+        |        FROM documents WHERE length(text) >= 3) x),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
@@ -3578,11 +3579,18 @@ object Queries {
     // train side streams map-side — the corpus is touched once. Top-3
     // suspects per eval doc + a contamination flag at est-J >= 0.5.
     // (Production would LSH-band the slots first — q49's path — but the
-    // broadcast-vs-tiny-eval shape is already corpus-linear.) ----
+    // broadcast-vs-tiny-eval shape is already corpus-linear.) Output is
+    // INTEGER-only (matches·625 = est-J ×10⁴ exactly, since 16 slots make
+    // every estimate a multiple of 1/16): the driver hash can only
+    // disagree on integers (VERDICT r7 #2). The shingle CTE guards
+    // size(w) >= 3 — Spark sequence(1, n) DESCENDS for n < 1 where DuckDB
+    // generate_series is empty, so unguarded <3-word docs would emit
+    // phantom shingles (VERDICT r7 #6). ----
     q2("q301_fuzzy_decontamination",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
         |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS STRING)))) AS mh
         |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -3592,11 +3600,13 @@ object Queries {
         |rk AS (SELECT eval_id, train_id, matches,
         |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM p)
         |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
-        |  ROUND(matches / 16.0, 4) AS est_jaccard, (matches >= 8) AS contaminated
+        |  CAST(matches * 625 AS BIGINT) AS est_jaccard_x1e4,
+        |  (matches >= 8) AS contaminated
         |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
         |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS VARCHAR)))) AS mh
         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -3606,7 +3616,8 @@ object Queries {
         |rk AS (SELECT eval_id, train_id, matches,
         |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM p)
         |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
-        |  ROUND(matches / 16.0, 4) AS est_jaccard, (matches >= 8) AS contaminated
+        |  CAST(matches * 625 AS BIGINT) AS est_jaccard_x1e4,
+        |  (matches >= 8) AS contaminated
         |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin),
 
     // ---- [EXT] join-key skew audit (the pre-flight diagnostic that decides
@@ -3647,12 +3658,14 @@ object Queries {
     q2("q303_containment_neardup",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
-        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
         |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
@@ -3665,12 +3678,14 @@ object Queries {
         |ORDER BY a_id, b_id""".stripMargin,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
-        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
         |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
@@ -3815,12 +3830,14 @@ object Queries {
     q2("q312_split_leakage",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
-        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
         |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
@@ -3840,12 +3857,14 @@ object Queries {
         |ORDER BY p.a_id, p.b_id""".stripMargin,
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
-        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
         |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
-        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
@@ -4560,14 +4579,19 @@ object Queries {
     // regularization step before any rolling-window model runs on event
     // data. The windows PARTITION BY the series key (here event_type; at
     // scale the series id), so no corpus-wide frame exists; the spine
-    // bounds come from one 1-row aggregate broadcast. Interpolation runs
-    // on 4-dp-rounded bucket means, so both engines feed identical
-    // doubles; bucket indexes are exact epoch-µs integers. ----
+    // bounds come from one 1-row aggregate broadcast. Bucket means are
+    // EXACT integer arithmetic: each 4-dp value becomes a per-row BIGINT
+    // micro-unit (value*10⁴ is within 1 ULP of an integer, so the per-row
+    // ROUND has no .5 ties), then SUM(iv) DIV COUNT(*) — order-independent
+    // and bitwise-identical in both engines. (The r7 form rounded
+    // AVG(value)*10⁴ — one sf0.01 bucket sat exactly on a .5 boundary, so
+    // parallel summation order flipped the rounded integer: VERDICT r7 #1.)
+    // Bucket indexes are exact epoch-µs integers. ----
     q2("q331_gap_fill_interpolate",
       """WITH e AS (SELECT event_type, unix_micros(ts) DIV 1800000000 AS bk,
-        |             value FROM events),
+        |             CAST(ROUND(value * 10000, 0) AS BIGINT) AS iv FROM events),
         |b AS (SELECT event_type, bk,
-        |        CAST(ROUND(AVG(value) * 10000, 0) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |        SUM(iv) DIV COUNT(*) AS v FROM e GROUP BY 1, 2),
         |r AS (SELECT MIN(bk) AS mn, MAX(bk) AS mx FROM e),
         |sp AS (SELECT t.event_type, s.bk
         |       FROM (SELECT DISTINCT event_type FROM e) t
@@ -4595,9 +4619,9 @@ object Queries {
         |        / 10000.0, 4) AS filled
         |FROM w ORDER BY event_type, bk""".stripMargin,
       """WITH e AS (SELECT event_type, epoch_us(ts) // 1800000000 AS bk,
-        |             value FROM events),
+        |             CAST(ROUND(value * 10000, 0) AS BIGINT) AS iv FROM events),
         |b AS (SELECT event_type, bk,
-        |        CAST(ROUND(AVG(value) * 10000, 0) AS BIGINT) AS v FROM e GROUP BY 1, 2),
+        |        CAST(SUM(iv) // COUNT(*) AS BIGINT) AS v FROM e GROUP BY 1, 2),
         |r AS (SELECT MIN(bk) AS mn, MAX(bk) AS mx FROM e),
         |sp AS (SELECT t.event_type, s.bk
         |       FROM (SELECT DISTINCT event_type FROM e) t
@@ -4871,13 +4895,17 @@ object Queries {
     // ---- [EXT] the END-TO-END pipeline funnel: one report chaining the
     // canonical corpus stages — raw → exact dedup (keep-first on
     // md5(text)) → near-dup drop (higher id of any exact-Jaccard >= 0.5
-    // pair among survivors; q49 pins that the banded-LSH path finds
-    // exactly these pairs) → quality filter (q293's integer logit) →
-    // temperature-mixed selection (q296's n^0.7 quotas) — with per-stage
-    // doc and token retention. This is the survivors-funnel telemetry a
-    // 100 TB ingestion run publishes after every build; each stage keeps
-    // its scale shape (hash groupBys, capped gram joins, broadcast
-    // quotas). ----
+    // pair among CAPPED-gram candidates) → quality filter (q293's integer
+    // logit) → temperature-mixed selection (q296's n^0.7 quotas) — with
+    // per-stage doc and token retention. The near-dup stage uses q303's
+    // posting-window shape: candidates come only from grams shared by
+    // [2,32] docs (singleton grams pair nothing, >32-doc grams are
+    // boilerplate — q287's territory), then the EXACT 3-shingle Jaccard is
+    // computed on candidates only, so the pair fan-out is O(32·dup), never
+    // the k²-per-hot-gram blowup VERDICT r7 #3 flagged. This is the
+    // survivors-funnel telemetry a 100 TB ingestion run publishes after
+    // every build; each stage keeps its scale shape (hash groupBys, capped
+    // gram joins, broadcast quotas). ----
     q2("q340_pipeline_funnel",
       """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
         |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
@@ -4888,9 +4916,14 @@ object Queries {
         |       (SELECT doc_id, split(lt, ' ') AS ws FROM ex WHERE size(split(lt, ' ')) >= 3) t
         |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-        |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
+        |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
+        |         WHERE a.doc_id < b.doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
+        |          GROUP BY c.a_id, c.b_id),
         |drops AS (SELECT DISTINCT i.b_id FROM inter i
         |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
         |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
@@ -4926,9 +4959,14 @@ object Queries {
         |        WHERE len(string_split(lt, ' ')) >= 3) t,
         |       UNNEST(range(1, len(ws) - 1)) AS x(i)),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-        |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
+        |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
+        |         WHERE a.doc_id < b.doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
+        |          GROUP BY c.a_id, c.b_id),
         |drops AS (SELECT DISTINCT i.b_id FROM inter i
         |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
         |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),

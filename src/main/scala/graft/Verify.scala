@@ -5,12 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // Optional third arg: substring filter over query names (local iteration
-    // only — the driver always passes two args = run everything).
+    // Optional third arg: comma-separated substring filters over query names
+    // (local iteration only — the driver always passes two args = run
+    // everything; a name matching ANY listed substring runs).
     val (sfDir, outDir, nameFilter) = args match {
       case Array(s, o) => (s, o, "")
       case Array(s, o, f) => (s, o, f)
     }
+    val filters = nameFilter.split(',').toSeq
+    def matches(name: String): Boolean = filters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +33,7 @@ object Verify {
       val root = { var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause; c }
       System.err.println(s"[verify][preflight] register FAILED: ${root.getClass.getName}: ${root.getMessage}")
     }
-    SparkEntry.queries.filter(_._1.contains(nameFilter)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => matches(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -52,7 +55,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.contains(nameFilter))
+    val json = SparkEntry.oracleSql.filter(kv => matches(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -19,8 +19,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver rounds floats; our SQL already ROUNDs, this absorbs repr noise
-        return f"{v:.4f}"
+        # BITWISE comparison (IEEE-754 hex) — the driver hashes exact values,
+        # so the local gate must be at least as strict (VERDICT r7: the old
+        # 4-dp canon let two driver hash-fails through as local passes).
+        return float(v).hex()
     return str(v)
 
 
