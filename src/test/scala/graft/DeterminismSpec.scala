@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Cross-run determinism gate (VERDICT r7 #4): entries re-run under a
+  * perturbed physical config (shuffle partitions 5+AQE-off vs 32+AQE-on)
+  * must be BITWISE identical — the driver hashes exact values in row
+  * order, so 1-ULP summation drift or unstable ordering is a driver-red
+  * even when the 4-dp eye test passes. The spec sweeps every batch entry
+  * whose schema carries a float/double (the only type where parallel
+  * summation order can leak into the output) plus the two entries the
+  * driver actually caught in r7; the full-catalog sweep runs per-round via
+  * `runMain graft.Determinism <sfDir>`. */
+class DeterminismSpec extends SparkSpec {
+
+  private def hasFloat(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => true
+    case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+    case a: ArrayType => hasFloat(a.elementType)
+    case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+    case _ => false
+  }
+
+  test("every float-bearing batch entry is bitwise-identical across perturbed shuffle configs") {
+    val floaty = Determinism.batchNames.filter { n =>
+      // analysis only — no execution — to pick the float-bearing subset
+      SparkEntry.queries(n)(spark, sfDir).schema.fields.exists(f => hasFloat(f.dataType))
+    }
+    val bitten = Seq("q301_fuzzy_decontamination", "q331_gap_fill_interpolate")
+    val names = (floaty ++ bitten).distinct.sorted
+    assert(names.size >= 50, s"float sweep unexpectedly small: ${names.size}")
+    val bad = Determinism.check(spark, sfDir, names).filterNot(_._2)
+    assert(bad.isEmpty, "config-sensitive entries:\n" +
+      bad.map { case (n, _, d) => s"  $n: $d" }.mkString("\n"))
+  }
+
+  test("lint: no entry rounds a scaled or raw-double AVG (the q331 tie class)") {
+    // The class that shipped a driver hash-fail: ROUND(AVG(x) * 10^k) or
+    // ROUND(AVG(value)) where x is an ALREADY-ROUNDED double column — the
+    // true mean can sit exactly on a .5 boundary that only parallel
+    // summation order resolves. Integer-unit averages
+    // (CAST(ROUND(AVG(vk), 0)) over BIGINT micro-units) are exempt: their
+    // sums are exact, so the tie value is the same representable double in
+    // both engines and both round half-away-from-zero identically.
+    val scaledAvg = """ROUND\(AVG\([^)]*\)\s*\*\s*10+""".r
+    val rawValueAvg = """ROUND\(AVG\(value\)""".r
+    val offenders = Queries.specs.flatMap { s =>
+      Seq(s.name + "[spark]" -> s.spark) ++ s.oracle.map(s.name + "[oracle]" -> _)
+    }.collect {
+      case (tag, sql) if scaledAvg.findFirstIn(sql).isDefined ||
+        rawValueAvg.findFirstIn(sql).isDefined => tag
+    }
+    assert(offenders.isEmpty, s"rounded-scaled-AVG (q331 tie class) in: $offenders")
+  }
+}
