@@ -2613,11 +2613,18 @@ object Queries {
 
     // ---- approx_top_k mergeable form: per-group accumulate → combine →
     // estimate. 5 distinct priorities ≪ the k=10 buffer, so the merged
-    // estimates are exact and the oracle is the exact frequency top-5. ----
+    // estimates are exact and the oracle is the exact frequency top-5.
+    // REPARTITION(1) feeds the combine from one non-empty partition:
+    // Spark 4.1's ApproxTopKCombine.serialize MatchErrors on the empty
+    // partial buffer an input-less map task emits for a global aggregate
+    // (hit whenever upstream partitions > accumulator rows — found by the
+    // perturbed-config determinism sweep); the acc side is ≤ #status rows,
+    // so one partition is also the right scale shape. ----
     q2("q228_approx_topk_merge",
       """WITH acc AS (SELECT o_orderstatus, approx_top_k_accumulate(o_orderpriority, 10) AS st
         |             FROM orders GROUP BY o_orderstatus),
-        |comb AS (SELECT approx_top_k_combine(st, 10) AS st FROM acc),
+        |acc1 AS (SELECT /*+ REPARTITION(1) */ st FROM acc),
+        |comb AS (SELECT approx_top_k_combine(st, 10) AS st FROM acc1),
         |est AS (SELECT explode(approx_top_k_estimate(st, 5)) AS e FROM comb)
         |SELECT e.item AS item, CAST(e.count AS BIGINT) AS cnt FROM est
         |ORDER BY cnt DESC, item""".stripMargin,
@@ -4297,10 +4304,14 @@ object Queries {
     // the law that makes heavy-hitter telemetry trustworthy when the
     // sketch IS small enough to never purge, and mergeable O(k) state
     // (vs q297's hand-rolled Misra-Gries, which exercises the lossy
-    // regime with error bounds). ----
+    // regime with error bounds). k = 100 sits far above any plausible
+    // event-type cardinality (fixtures have 5), so a fixture regen that
+    // adds types keeps the exact-regime law holding instead of silently
+    // truncating to top-k and failing as a baffling row-count mismatch
+    // (ADVICE r7). ----
     q2("q322_approx_topk_law",
       """SELECT t.tk.item AS event_type, CAST(t.tk.count AS BIGINT) AS n
-        |FROM (SELECT explode(approx_top_k(event_type, 8)) AS tk FROM events) t
+        |FROM (SELECT explode(approx_top_k(event_type, 100)) AS tk FROM events) t
         |ORDER BY event_type""".stripMargin,
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),

@@ -24,7 +24,11 @@ object Ext {
     // HIGHEST-q293-logit member, not the minimum id — the production
     // keeper policy (dedup should discard the worse copies). The logit
     // ordering is the same double both engines compute from exact
-    // integer numerators, tie-broken by doc_id.
+    // integer numerators, tie-broken by doc_id. The logit side is a LEFT
+    // join with NULL logits ranked LAST (ADVICE r7): a cluster member
+    // with no computable logit can't vanish from keeper selection, and a
+    // cluster whose members ALL lack one still emits exactly one keeper
+    // (doc_id tie-break) instead of disappearing while q49b/q332 report it.
     "q343_quality_canonical" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -38,10 +42,11 @@ object Ext {
           |        size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
           |        size(array_distinct(split(text, ' '))) AS uniq
           |      FROM documents) WHERE wc > 0""".stripMargin)
-      comp.join(logit, "doc_id")
+      comp.join(logit, Seq("doc_id"), "left")
         .withColumn("logit", col("lnum").cast("double") / (lit(100.0) * col("wc")))
         .withColumn("rk", row_number().over(
-          Window.partitionBy("canonical_id").orderBy(col("logit").desc, col("doc_id"))))
+          Window.partitionBy("canonical_id")
+            .orderBy(col("logit").desc_nulls_last, col("doc_id"))))
         .where(col("rk") === 1)
         .select(col("canonical_id"), col("doc_id").as("keeper_id"),
           round(col("logit"), 4).as("keeper_logit"), col("cluster_size"))
@@ -1021,8 +1026,9 @@ object Ext {
          |rk AS (SELECT comp.canonical_id, comp.doc_id,
          |         CAST(lg.lnum AS DOUBLE) / (100.0 * lg.wc) AS logit,
          |         ROW_NUMBER() OVER (PARTITION BY comp.canonical_id
-         |           ORDER BY CAST(lg.lnum AS DOUBLE) / (100.0 * lg.wc) DESC, comp.doc_id) AS r
-         |       FROM comp JOIN lg ON comp.doc_id = lg.doc_id)
+         |           ORDER BY CAST(lg.lnum AS DOUBLE) / (100.0 * lg.wc)
+         |             DESC NULLS LAST, comp.doc_id) AS r
+         |       FROM comp LEFT JOIN lg ON comp.doc_id = lg.doc_id)
          |SELECT rk.canonical_id, rk.doc_id AS keeper_id,
          |  ROUND(rk.logit, 4) AS keeper_logit, csz.cluster_size
          |FROM rk JOIN csz ON rk.canonical_id = csz.canonical_id

@@ -89,6 +89,33 @@ class KmvAggSpec extends SparkSpec {
     assert(mixed == Seq("a", "b"))
   }
 
+  test("kmv_agg orders by BINARY UTF-8, not Java UTF-16 (supplementary-plane safety)") {
+    // U+FFFD is 3-byte UTF-8 (EF BF BD); U+10000 is 4-byte (F0 90 80 80).
+    // Binary UTF-8: U+FFFD < U+10000. Java String (UTF-16 code units):
+    // the U+10000 surrogate pair (D800 DC00) sorts BELOW FFFD — the
+    // opposite. Spark/DuckDB collate binary, so the sketch must too.
+    val s = registered()
+    import graft.TestSpark.spark.implicits._
+    val supp = "𐀀" // U+10000
+    val got = Seq(supp, "�").toDF("v").repartition(3)
+      .agg(expr("kmv_agg(v, 1)").as("sk")).collect().head.getSeq[String](0)
+    assert(got == Seq("�"),
+      s"binary UTF-8 bottom-1 must keep U+FFFD, got ${got.map(_.codePointAt(0).toHexString)}")
+    // and SQL string comparison agrees with the sketch's choice
+    val sqlMin = Seq(supp, "�").toDF("v").agg(expr("min(v)"))
+      .collect().head.getString(0)
+    assert(sqlMin == "�", "Spark min() should also pick the 3-byte char")
+  }
+
+  test("kmv_agg survives values past the 64 KB writeUTF limit across a shuffle") {
+    val s = registered()
+    import graft.TestSpark.spark.implicits._
+    val big = "x" * 70000 // would throw UTFDataFormatException under writeUTF
+    val got = Seq(big, "aaa", "zzz").toDF("v").repartition(4)
+      .agg(expr("kmv_agg(v, 2)").as("sk")).collect().head.getSeq[String](0)
+    assert(got == Seq("aaa", big), "the 70 KB value must round-trip the serializer intact")
+  }
+
   test("kmv_agg rejects non-string input and non-literal k") {
     val s = registered()
     val e1 = intercept[Exception](s.sql("SELECT kmv_agg(o_orderkey, 8) FROM orders").collect())
