@@ -37,4 +37,27 @@ class ContractSpec extends SparkSpec {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty, "driver smoke contract: entry must return rows")
   }
+
+  test("no all-pairs gram self-join escapes the [2,32] posting-list cap") {
+    // The k²-per-hot-gram blowup (VERDICT r6/r7): `a JOIN b ON a.gram =
+    // b.gram AND a.doc_id < b.doc_id` over an exploded n-gram table pairs
+    // every co-occurrence — boilerplate grams in a crawl corpus make that
+    // quadratic. Every such join must sit in a query that first windows
+    // the posting list to [2, 32] docs per gram (singletons pair nothing,
+    // hotter grams are boilerplate handled by q287's spread ranking).
+    // Adjacent-id joins (b.doc_id = a.doc_id + 1, q46's shape) are linear
+    // by construction and exempt.
+    // Lint the SPARK dialect only: it is the production path that must
+    // hold at 100 TB. The DuckDB oracles of the banded-LSH entries
+    // (q49/q49b/q49c/q327/q332/q343) DELIBERATELY recompute the exact
+    // all-pairs ground truth — that quadratic runs once, in DuckDB, at the
+    // sf-pinned gate, and is the point of having an oracle.
+    val allPairs =
+      """JOIN\s+\w+\s+b\s+ON\s+a\.(g|gram|h|bh)\s*=\s*b\.\1\s+AND\s+a\.doc_id\s*<\s*b\.doc_id""".r
+    val uncapped = Queries.specs.collect {
+      case s if allPairs.findFirstIn(s.spark).isDefined &&
+        !s.spark.contains("BETWEEN 2 AND 32") => s.name
+    }
+    assert(uncapped.isEmpty, s"uncapped all-pairs gram self-join in: $uncapped")
+  }
 }

@@ -267,4 +267,15 @@ class PlanSpec extends SparkSpec {
     assert(unexpected.isEmpty,
       s"queries with all-pairs physical joins outside the intentional set: $unexpected")
   }
+
+  test("q340 funnel: the [2,32] posting cap survives into the physical plan") {
+    // The near-dup stage must generate pair candidates only from grams a
+    // COUNT-filtered aggregate admits — i.e. the executed plan carries the
+    // `count BETWEEN 2 AND 32` filter (VERDICT r7 #3: the Scaladoc claimed
+    // a cap the plan didn't have; this pins claim to plan).
+    val plan = run("q340_pipeline_funnel")
+    val capped = """count\(1\)#\d+L?\s*>=\s*2\)""".r.findFirstIn(plan).isDefined &&
+      """count\(1\)#\d+L?\s*<=\s*32\)""".r.findFirstIn(plan).isDefined
+    assert(capped, s"q340 plan lacks the [2,32] posting-count filter:\n$plan")
+  }
 }

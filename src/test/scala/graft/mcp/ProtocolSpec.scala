@@ -213,6 +213,38 @@ class ProtocolSpec extends SparkSpec {
     assert(tables.size >= graft.Tables.tableNames.size)
   }
 
+  test("corpus_funnel YAML tool: the q340 funnel as a declarative parameterized tool") {
+    // The reference's extension model (reference: CONTRIBUTING.md:218-248):
+    // a new capability ships as a YAML tool, not code. examples/tools.yaml
+    // exposes the pipeline funnel with a named Jaccard threshold and a
+    // mixing budget; this drives it end to end through the MCP path.
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    val listed = mapper.readTree(
+      srv.handleLine("""{"jsonrpc":"2.0","id":20,"method":"tools/list"}""").get)
+    val tools = listed.at("/result/tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
+    assert(names.contains("corpus_funnel"), s"tools/list missing corpus_funnel: $names")
+
+    val r = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":21,"method":"tools/call","params":{"name":"corpus_funnel","arguments":{"threshold_x1e4":"5000","budget":"200"}}}""").get)
+    assert(!r.at("/result/isError").asBoolean(false), s"corpus_funnel errored: $r")
+    val stages = (0 until r.at("/result/content").size())
+      .map(i => mapper.readTree(r.at("/result/content").get(i).get("text").asText()))
+    assert(stages.map(_.get("stage").asText()) ==
+      Seq("raw", "exact_dedup", "near_dedup", "quality", "mixed"))
+    // retention is monotone non-increasing through the funnel
+    val docs = stages.map(_.get("n_docs").asLong())
+    assert(docs == docs.sorted.reverse, s"funnel stages must shrink: $docs")
+    assert(docs.head > 0 && docs.last > 0)
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")
