@@ -83,14 +83,21 @@ object Tables {
   // key would retain every stopped session's state for the JVM lifetime).
   // Registration happens inside the lock so a concurrent second caller blocks
   // until the views exist; a throwing registration leaves no entry behind.
-  private val registered = new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  // The value is the LAST dir registered — not a set of ever-registered
+  // dirs: the temp views are one mutable binding per session, so after
+  // registering dir B, a call for previously-seen dir A must RE-register
+  // (a set made that call a no-op and left A's caller reading B's views —
+  // caught when a test fixture registration left the info schema pointing
+  // at a one-table temp dir).
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 
-  /** Idempotent per (session, dir): registers all test tables + info schema. */
+  /** Idempotent per (session, current dir): registers all test tables +
+    * info schema; re-registers whenever the requested dir differs from the
+    * session's LAST registered dir. */
   def register(spark: SparkSession, dir: String): Unit = registered.synchronized {
-    val dirs = registered.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
-    if (!dirs.contains(dir)) {
+    if (registered.get(spark) != dir) {
       doRegister(spark, dir)
-      dirs.add(dir)
+      registered.put(spark, dir)
     }
   }
 
