@@ -369,6 +369,78 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "funnel_stage_profile") {
+      // Times q340's funnel stage by stage (cardinality + wall seconds per
+      // CTE prefix) to attribute cost: candidate generation vs exact
+      // intersection vs the cheap tail stages.
+      val prefix =
+        """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
+          |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
+          |ex AS (SELECT d0.* FROM d0
+          |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
+          |         ON d0.h = g.h AND d0.doc_id = g.kid),
+          |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
+          |       (SELECT doc_id, split(lt, ' ') AS ws FROM ex WHERE size(split(lt, ' ')) >= 3) t
+          |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |         FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
+          |         WHERE a.doc_id < b.doc_id),
+          |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+          |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
+          |          GROUP BY c.a_id, c.b_id),
+          |drops AS (SELECT DISTINCT i.b_id FROM inter i
+          |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
+          |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5)
+          |""".stripMargin
+      for (stage <- Seq("sh", "gc", "cand", "inter", "drops"); i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = spark.sql(prefix + s"SELECT COUNT(*) AS n FROM $stage").collect()(0).getLong(0)
+        println(f"run$i $stage%-6s rows=$n%9d  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      // Pruned variant: Jaccard >= 0.5 iff i >= (na+nb)/3, and the true
+      // intersection is bounded by shared-capped-grams + min(hot-gram
+      // counts) (singleton grams can't be shared) — so prune candidate
+      // pairs with that bound BEFORE the exact per-pair re-join.
+      val pruned =
+        """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
+          |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
+          |ex AS (SELECT d0.* FROM d0
+          |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
+          |         ON d0.h = g.h AND d0.doc_id = g.kid),
+          |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
+          |       (SELECT doc_id, split(lt, ' ') AS ws FROM ex WHERE size(split(lt, ' ')) >= 3) t
+          |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
+          |cp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+          |       FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
+          |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+          |hotg AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 32),
+          |hz AS (SELECT doc_id, COUNT(*) AS hn FROM sh JOIN hotg USING (gram) GROUP BY doc_id),
+          |cand AS (SELECT cp.a_id, cp.b_id FROM cp
+          |         JOIN sz na ON cp.a_id = na.doc_id JOIN sz nb ON cp.b_id = nb.doc_id
+          |         LEFT JOIN hz ha ON cp.a_id = ha.doc_id
+          |         LEFT JOIN hz hb ON cp.b_id = hb.doc_id
+          |         WHERE 3 * (cp.ic + LEAST(COALESCE(ha.hn, 0), COALESCE(hb.hn, 0)))
+          |               >= na.n + nb.n),
+          |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+          |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+          |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
+          |          GROUP BY c.a_id, c.b_id),
+          |drops AS (SELECT DISTINCT i.b_id FROM inter i
+          |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
+          |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5)
+          |""".stripMargin
+      for (stage <- Seq("cand", "inter", "drops"); i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = spark.sql(pruned + s"SELECT COUNT(*) AS n FROM $stage").collect()(0).getLong(0)
+        println(f"run$i pruned-$stage%-6s rows=$n%9d  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

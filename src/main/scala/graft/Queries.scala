@@ -4916,7 +4916,16 @@ object Queries {
     // the k²-per-hot-gram blowup VERDICT r7 #3 flagged. This is the
     // survivors-funnel telemetry a 100 TB ingestion run publishes after
     // every build; each stage keeps its scale shape (hash groupBys, capped
-    // gram joins, broadcast quotas). ----
+    // gram joins, broadcast quotas). The Spark side adds a sound algebraic
+    // PRUNE between candidate generation and exact verification: the drop
+    // predicate ROUND(J*10^4) >= 5000 implies i*10^4 >= 4999.5*(na+nb-i),
+    // i.e. i*29999 >= 9999*(na+nb) (the half-unit slack covers 4-dp
+    // round-up), and i <= ic + min(hot_a, hot_b) (ic = shared capped
+    // grams; singleton grams pair nothing, so the only uncounted shared
+    // grams are the >32-doc hot ones) — measured at sf0.1 this cuts
+    // 1,127,406 candidate pairs to ~241 with the identical 236 drops, and
+    // the stage from ~12 s to ~2.3 s. The DuckDB oracle stays UNPRUNED, so
+    // the gate independently re-proves the bound's soundness on every run. ----
     q2("q340_pipeline_funnel",
       """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
         |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
@@ -4928,9 +4937,17 @@ object Queries {
         |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
-        |         WHERE a.doc_id < b.doc_id),
+        |cp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |       FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |hotg AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 32),
+        |hz AS (SELECT doc_id, COUNT(*) AS hn FROM sh JOIN hotg USING (gram) GROUP BY doc_id),
+        |cand AS (SELECT cp.a_id, cp.b_id FROM cp
+        |         JOIN sz na ON cp.a_id = na.doc_id JOIN sz nb ON cp.b_id = nb.doc_id
+        |         LEFT JOIN hz ha ON cp.a_id = ha.doc_id
+        |         LEFT JOIN hz hb ON cp.b_id = hb.doc_id
+        |         WHERE 29999 * (cp.ic + LEAST(COALESCE(ha.hn, 0), COALESCE(hb.hn, 0)))
+        |               >= 9999 * (na.n + nb.n)),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
         |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
         |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram

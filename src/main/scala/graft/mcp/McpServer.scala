@@ -186,6 +186,15 @@ final class McpServer(
         a.propertyStream().iterator().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       case _ => Map.empty
     }
+    // Declared-but-omitted args default to "" inside Params.bind (the
+    // reference's empty-filter idiom), but an UNDECLARED argument name is a
+    // caller typo: it would silently bind nothing while the intended param
+    // empty-defaults, surfacing later as a confusing downstream SQL error.
+    val unknown = args.keySet -- tool.params.map(_.name)
+    if (unknown.nonEmpty)
+      return response(id, errorContent(
+        s"unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")} for tool $name; " +
+          s"declared: ${if (tool.params.isEmpty) "(none)" else tool.params.map(_.name).mkString(", ")}"))
     try {
       val bound = Params.bind(tool.statement, args, tool.params)
       // Gate caller-supplied SQL: passthrough tools always; any tool whose

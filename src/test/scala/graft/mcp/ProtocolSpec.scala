@@ -132,6 +132,19 @@ class ProtocolSpec extends SparkSpec {
     assert(r2.get("error").get("code").asInt() == -32601)
   }
 
+  test("undeclared argument name is a tool error, not a silent empty-bind") {
+    // A typo'd argument would otherwise bind nothing while the intended
+    // param empty-defaults — surfacing as a confusing downstream SQL error.
+    val r = call("""{"jsonrpc":"2.0","id":80,"method":"tools/call","params":{"name":"list_tables","arguments":{"tables":"lineitem"}}}""")
+    assert(r.at("/result/isError").asBoolean(false), s"expected isError: $r")
+    val msg = r.at("/result/content").get(0).get("text").asText()
+    assert(msg.contains("tables") && msg.contains("table_names"), msg)
+    // Declared-but-omitted still empty-defaults (the reference's empty-filter
+    // idiom): no arguments at all lists every table.
+    val ok = call("""{"jsonrpc":"2.0","id":81,"method":"tools/call","params":{"name":"list_tables","arguments":{}}}""")
+    assert(!ok.at("/result/isError").asBoolean(false), s"empty args must stay valid: $ok")
+  }
+
   test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
     val yaml =
       """sources:
