@@ -5106,7 +5106,85 @@ object Queries {
         |top AS (SELECT doc_id, chunk_id, score FROM sc
         |        ORDER BY score DESC, doc_id, chunk_id LIMIT 10)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rnk,
-        |  doc_id, chunk_id, score FROM top ORDER BY rnk""".stripMargin)
+        |  doc_id, chunk_id, score FROM top ORDER BY rnk""".stripMargin),
+
+    // ---- [EXT] count-min sketch one-sided-error LAW through the NATIVE
+    // mergeable aggregate (functions/CmsSketchAgg.scala, registered as
+    // cms_agg): d=4 rows x w=64 counters over the 150-user key set, so
+    // collisions genuinely occur and the law has teeth: the estimate
+    // (min over a key's d counters) can only OVERCOUNT, never under.
+    // The bucket function is portable md5 arithmetic (hex digits
+    // [1+6r, 6] mod w), so DuckDB rebuilds the IDENTICAL sketch from the
+    // exact per-key counts and the summary is cross-engine deterministic
+    // integers. Scale shape: the agg runs as a partial-aggregating
+    // ObjectHashAggregate with a FIXED d*w-long buffer per partition —
+    // heavy-hitter telemetry over 100 TB of events shuffles kilobytes
+    // (vs q297's Misra-Gries, which keeps top-k candidates; CMS answers
+    // point queries for ANY key and unions across shards by addition). ----
+    q2("q347_cms_law",
+      """WITH k AS (SELECT CAST(user_id AS STRING) AS key, COUNT(*) AS exact
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT cms_agg(CAST(user_id AS STRING), 4, 64) AS sk FROM events),
+        |b AS (SELECT key, exact, r,
+        |        CAST(conv(substr(md5(key), 1 + 6 * r, 6), 16, 10) AS BIGINT) % 64 AS bk
+        |      FROM k LATERAL VIEW explode(sequence(0, 3)) x AS r),
+        |e AS (SELECT b.key, b.exact,
+        |        MIN(element_at(s.sk, CAST(b.r * 64 + b.bk + 1 AS INT))) AS est
+        |      FROM b CROSS JOIN s GROUP BY b.key, b.exact)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT) AS n_undercount,
+        |  CAST(SUM(CASE WHEN est = exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(est - exact) AS BIGINT) AS total_overcount,
+        |  CAST(MAX(est - exact) AS BIGINT) AS max_overcount
+        |FROM e""".stripMargin,
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS exact
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT key, exact, r,
+        |        CAST(('0x' || substr(md5(key), 1 + 6 * r, 6)) AS BIGINT) % 64 AS bk
+        |      FROM k, UNNEST(range(0, 4)) AS x(r)),
+        |cells AS (SELECT r, bk, SUM(exact) AS c FROM b GROUP BY r, bk),
+        |e AS (SELECT b.key, b.exact, MIN(cells.c) AS est
+        |      FROM b JOIN cells ON b.r = cells.r AND b.bk = cells.bk
+        |      GROUP BY b.key, b.exact)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT) AS n_undercount,
+        |  CAST(SUM(CASE WHEN est = exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(est - exact) AS BIGINT) AS total_overcount,
+        |  CAST(MAX(est - exact) AS BIGINT) AS max_overcount
+        |FROM e""".stripMargin),
+
+    // ---- [EXT] vocabulary-growth (Heaps-law) curve over 3-gram shingles:
+    // per 100-doc bucket, how many never-before-seen grams appear (first
+    // occurrence = MIN(doc_id) per gram), plus the running vocabulary
+    // size — the diminishing-returns telemetry that decides when more
+    // crawl data stops buying new content. 3-grams, not unigrams: the
+    // synthetic corpus draws from a fixed 31-word vocabulary, so the
+    // unigram curve saturates in bucket 0 (degenerate 1-row report, the
+    // ADVICE-r7 regime trap), while the gram space keeps growing. Scale
+    // shape: one groupBy gram (Heaps-bounded shuffle key, no hot key),
+    // then the cumulative window runs over the tiny bucket spine
+    // (corpus/100 rows AFTER aggregation, so the unpartitioned window is
+    // safe at any SF). The short-doc guard keeps Spark's descending
+    // sequence(1, n<1) out (ShortDocSpec class). ----
+    q2("q348_vocab_growth",
+      """WITH w AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
+        |       (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
+        |        WHERE size(split(lower(text), ' ')) >= 3) t
+        |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM w GROUP BY gram),
+        |d AS (SELECT first_doc DIV 100 AS bucket, COUNT(*) AS new_grams FROM f GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(new_grams AS BIGINT) AS new_grams,
+        |  CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+        |FROM d ORDER BY bucket""".stripMargin,
+      """WITH w AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM
+        |       (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |        WHERE len(string_split(lower(text), ' ')) >= 3) t,
+        |       UNNEST(range(1, len(ws) - 1)) AS x(i)),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM w GROUP BY gram),
+        |d AS (SELECT first_doc // 100 AS bucket, COUNT(*) AS new_grams FROM f GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(new_grams AS BIGINT) AS new_grams,
+        |  CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+        |FROM d ORDER BY bucket""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

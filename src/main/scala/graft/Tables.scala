@@ -137,6 +137,7 @@ object Tables {
     graft.functions.LshCodes.register(spark)
     graft.functions.BloomFns.register(spark)
     graft.functions.KmvSketchAgg.register(spark)
+    graft.functions.CmsSketchAgg.register(spark)
 
     // Per-table isolation (round-6 lesson): one unreadable table must not
     // take down queries that never touch it. A failing table is skipped with

@@ -255,7 +255,8 @@ class PlanSpec extends SparkSpec {
       "q339_hilbert_locality",    // 1-row locality summaries over the constant 256-cell grid
       "q340_pipeline_funnel",     // q296's 1-row temperature-weight aggregate broadcast
       "q342_chunk_bm25",          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
-      "q346_event_pmi")           // CROSS JOIN with the 1-row distinct-user-count aggregate
+      "q346_event_pmi",           // CROSS JOIN with the 1-row distinct-user-count aggregate
+      "q347_cms_law")             // CROSS JOIN with the 1-row cms_agg sketch aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))

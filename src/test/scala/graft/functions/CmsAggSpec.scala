@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The native mergeable count-min sketch aggregate (cms_agg): the sketch
+  * matches the pure-SQL reconstruction from exact counts (same portable
+  * md5 bucket arithmetic), the one-sided error law (estimate >= exact for
+  * every key), partition-invariance (merge = elementwise addition), and
+  * the plan property — a partial-aggregating ObjectHashAggregate with a
+  * FIXED d*w buffer, so the shuffle carries partitions x d x w longs
+  * regardless of key cardinality. */
+class CmsAggSpec extends SparkSpec {
+
+  private def registered() = { Tables.register(spark, sfDir); spark }
+
+  test("cms_agg equals the SQL-reconstructed sketch from exact counts") {
+    val s = registered()
+    val native = s.sql(
+      "SELECT cms_agg(CAST(user_id AS STRING), 4, 64) AS sk FROM events")
+      .collect().head.getSeq[Long](0)
+    assert(native.size == 4 * 64)
+    // Rebuild each cell from the exact per-key counts with the documented
+    // portable bucket function: cell(r, b) = sum of counts of keys whose
+    // md5 hex digits [1+6r, 6] mod w == b.
+    val cells = s.sql(
+      """SELECT r, bk, SUM(c) AS v FROM (
+        |  SELECT CAST(conv(substr(md5(key), 1 + 6 * r, 6), 16, 10) AS BIGINT) % 64 AS bk,
+        |         r, c
+        |  FROM (SELECT CAST(user_id AS STRING) AS key, COUNT(*) AS c FROM events GROUP BY 1)
+        |  LATERAL VIEW explode(sequence(0, 3)) x AS r)
+        |GROUP BY r, bk""".stripMargin)
+      .collect().map(row => (row.getInt(0) * 64 + row.getLong(1).toInt) -> row.getLong(2)).toMap
+    val rebuilt = (0 until 4 * 64).map(i => cells.getOrElse(i, 0L))
+    assert(native == rebuilt)
+    // total mass: every row of the sketch sums to the input row count
+    val n = s.sql("SELECT COUNT(*) FROM events").collect().head.getLong(0)
+    (0 until 4).foreach(r => assert(native.slice(r * 64, (r + 1) * 64).sum == n))
+  }
+
+  test("cms_agg estimates never undercount (one-sided error law)") {
+    val s = registered()
+    val bad = s.sql(
+      """WITH k AS (SELECT CAST(user_id AS STRING) AS key, COUNT(*) AS exact
+        |           FROM events GROUP BY 1),
+        |s AS (SELECT cms_agg(CAST(user_id AS STRING), 4, 64) AS sk FROM events),
+        |b AS (SELECT key, exact, r,
+        |        CAST(conv(substr(md5(key), 1 + 6 * r, 6), 16, 10) AS BIGINT) % 64 AS bk
+        |      FROM k LATERAL VIEW explode(sequence(0, 3)) x AS r),
+        |e AS (SELECT b.key, b.exact,
+        |        MIN(element_at(s.sk, CAST(b.r * 64 + b.bk + 1 AS INT))) AS est
+        |      FROM b CROSS JOIN s GROUP BY b.key, b.exact)
+        |SELECT COUNT(*) FROM e WHERE est < exact""".stripMargin)
+      .collect().head.getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("cms_agg is partition-invariant (merge = elementwise addition)") {
+    val s = registered()
+    import s.implicits._
+    val base = (1 to 5000).map(i => s"k${i % 137}")
+    val one = base.toDF("v").coalesce(1)
+      .agg(expr("cms_agg(v, 3, 32)").as("sk")).collect().head.getSeq[Long](0)
+    val many = base.toDF("v").repartition(16)
+      .agg(expr("cms_agg(v, 3, 32)").as("sk")).collect().head.getSeq[Long](0)
+    assert(one == many)
+    assert(one.size == 3 * 32)
+    assert(one.sum == 3L * 5000) // each row counts every input once
+  }
+
+  test("cms_agg runs as a partial-aggregating ObjectHashAggregate") {
+    val s = registered()
+    val df = s.sql(
+      "SELECT event_type, cms_agg(CAST(user_id AS STRING), 4, 64) AS sk " +
+      "FROM events GROUP BY event_type")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_cms_agg"), plan)
+    assert(plan.indexOf("functions=[cms_agg") < plan.indexOf("partial_cms_agg"), plan)
+  }
+
+  test("cms_agg rejects bad arguments") {
+    val s = registered()
+    intercept[Exception](s.sql("SELECT cms_agg(CAST(user_id AS STRING), 6, 64) FROM events").collect())
+    intercept[Exception](s.sql("SELECT cms_agg(user_id, 4, 64) FROM events").collect())
+    intercept[Exception](s.sql("SELECT cms_agg(CAST(user_id AS STRING), 4) FROM events").collect())
+  }
+}
