@@ -51,6 +51,31 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "cms_scale") {
+      // 50x events with per-copy-salted keys (50x the key cardinality too):
+      // the native CMS keeps a FIXED 4x256 buffer per partition while the
+      // exact per-key count's shuffle grows with the key set. Measures both
+      // at 1x and 50x — the ratio gap is the communication-shape argument.
+      import org.apache.spark.sql.functions._
+      val ev = spark.table("events")
+      val big = spark.range(0, 50).crossJoin(ev)
+        .select(concat(lit("c"), col("id"), lit("_"), col("user_id")).as("key"))
+      big.createOrReplaceTempView("events_big")
+      spark.table("events")
+        .select(concat(lit("c0_"), col("user_id")).as("key"))
+        .createOrReplaceTempView("events_1x")
+      println(s"rows 50x: ${big.count()}")
+      for (i <- 1 to 2; (label, sql) <- Seq(
+          "cms 1x " -> "SELECT cms_agg(key, 4, 256) AS sk FROM events_1x",
+          "cms 50x" -> "SELECT cms_agg(key, 4, 256) AS sk FROM events_big",
+          "exact 1x " -> "SELECT key, COUNT(*) AS c FROM events_1x GROUP BY key",
+          "exact 50x" -> "SELECT key, COUNT(*) AS c FROM events_big GROUP BY key")) {
+        val t0 = System.nanoTime()
+        spark.sql(sql).queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "asof_native_vs_window") {
       // Same as-of query (q205 shape) through the custom merge operator vs
       // the union+window formulation; both pay one shuffle per side.

@@ -5184,7 +5184,62 @@ object Queries {
         |d AS (SELECT first_doc // 100 AS bucket, COUNT(*) AS new_grams FROM f GROUP BY 1)
         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(new_grams AS BIGINT) AS new_grams,
         |  CAST(SUM(new_grams) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
-        |FROM d ORDER BY bucket""".stripMargin)
+        |FROM d ORDER BY bucket""".stripMargin),
+
+    // ---- [EXT] curriculum-learning schedule: q293's integer quality
+    // logit in milli-units (10*lnum DIV wc — integer division, identical
+    // truncate-toward-zero on negatives in both engines) bucketed into 4
+    // training phases by quartile cutoffs, with per-phase doc/token mass
+    // and the logit range — the easy-first (phase 4 -> 1) schedule a
+    // data-ordering pipeline publishes. Scale shape = q286b's: the
+    // cutoffs are a 1-row percentile aggregate BROADCAST to the scoring
+    // pass (never a global NTILE sort); phase stats are a 4-group
+    // hash aggregate; means are exact SUM DIV COUNT. ----
+    q2("q349_curriculum_schedule",
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    size(split(text, ' ')) AS wc,
+        |    size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    size(array_distinct(split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT doc_id, wc,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      DIV wc AS mlogit
+        |  FROM f WHERE wc > 0),
+        |cut AS (SELECT percentile(CAST(mlogit AS DOUBLE), 0.25) AS c1,
+        |               percentile(CAST(mlogit AS DOUBLE), 0.50) AS c2,
+        |               percentile(CAST(mlogit AS DOUBLE), 0.75) AS c3 FROM sc),
+        |ph AS (SELECT doc_id, wc, mlogit,
+        |         CASE WHEN mlogit <= c1 THEN 1 WHEN mlogit <= c2 THEN 2
+        |              WHEN mlogit <= c3 THEN 3 ELSE 4 END AS phase
+        |       FROM sc CROSS JOIN cut)
+        |SELECT CAST(phase AS INT) AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(mlogit) DIV COUNT(*) AS BIGINT) AS mean_mlogit,
+        |  CAST(MIN(mlogit) AS BIGINT) AS min_mlogit,
+        |  CAST(MAX(mlogit) AS BIGINT) AS max_mlogit
+        |FROM ph GROUP BY phase ORDER BY phase""".stripMargin,
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS wc,
+        |    len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
+        |    len(list_distinct(string_split(text, ' '))) AS uniq
+        |  FROM documents),
+        |sc AS (SELECT doc_id, wc,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      // wc AS mlogit
+        |  FROM f WHERE wc > 0),
+        |cut AS (SELECT quantile_cont(CAST(mlogit AS DOUBLE), 0.25) AS c1,
+        |               quantile_cont(CAST(mlogit AS DOUBLE), 0.50) AS c2,
+        |               quantile_cont(CAST(mlogit AS DOUBLE), 0.75) AS c3 FROM sc),
+        |ph AS (SELECT doc_id, wc, mlogit,
+        |         CASE WHEN mlogit <= c1 THEN 1 WHEN mlogit <= c2 THEN 2
+        |              WHEN mlogit <= c3 THEN 3 ELSE 4 END AS phase
+        |       FROM sc CROSS JOIN cut)
+        |SELECT CAST(phase AS INT) AS phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(mlogit) // COUNT(*) AS BIGINT) AS mean_mlogit,
+        |  CAST(MIN(mlogit) AS BIGINT) AS min_mlogit,
+        |  CAST(MAX(mlogit) AS BIGINT) AS max_mlogit
+        |FROM ph GROUP BY phase ORDER BY phase""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

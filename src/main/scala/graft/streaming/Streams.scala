@@ -195,6 +195,19 @@ object Streams {
       }.select(col("event_type"), explode(col("sk")).as("h"))
         .orderBy("event_type", "h")),
 
+    // The NATIVE count-min sketch through streaming state (q324's shape for
+    // cms_agg): per-type 2x32 sketch built BY the streaming engine in
+    // complete mode — the fixed d*w buffer serializes/merges through the
+    // state store, so per-key frequency telemetry over an unbounded stream
+    // holds O(d*w) state per group, never O(keys). The drained flattened
+    // cells (zeros included) equal the batch-rebuilt sketch exactly.
+    "q350_stream_cms_sketch" -> ((s: SparkSession, d: String) =>
+      drainEvents(s, d, "complete") { ev =>
+        ev.groupBy(col("event_type"))
+          .agg(expr("cms_agg(CAST(user_id AS STRING), 2, 32)").as("sk"))
+      }.select(col("event_type"), posexplode(col("sk")).as(Seq("i", "c")))
+        .orderBy("event_type", "i")),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -680,6 +693,25 @@ object Streams {
         |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h)
         |SELECT event_type, h FROM r WHERE rk <= 64
         |ORDER BY event_type, h""".stripMargin,
+
+    // rebuild each per-type 2x32 sketch from exact (type, user) counts with
+    // the documented portable bucket arithmetic; the dense cell spine keeps
+    // the zero cells the drained array also carries
+    "q350_stream_cms_sketch" ->
+      """WITH k AS (SELECT event_type, CAST(user_id AS VARCHAR) AS key, COUNT(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, r,
+        |        CAST(('0x' || substr(md5(key), 1 + 6 * r, 6)) AS BIGINT) % 32 AS bk,
+        |        SUM(c) AS v
+        |      FROM k, UNNEST(range(0, 2)) AS x(r) GROUP BY 1, 2, 3),
+        |spine AS (SELECT t.event_type, y.i
+        |          FROM (SELECT DISTINCT event_type FROM events) t,
+        |               UNNEST(range(0, 64)) AS y(i))
+        |SELECT s.event_type, CAST(s.i AS INT) AS i,
+        |  CAST(COALESCE(b.v, 0) AS BIGINT) AS c
+        |FROM spine s LEFT JOIN b
+        |  ON s.event_type = b.event_type AND b.r * 32 + b.bk = s.i
+        |ORDER BY s.event_type, s.i""".stripMargin,
 
     // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;
     // >= matches Spark's half-open [start, start+gap) session merge rule)

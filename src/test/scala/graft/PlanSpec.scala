@@ -256,7 +256,8 @@ class PlanSpec extends SparkSpec {
       "q340_pipeline_funnel",     // q296's 1-row temperature-weight aggregate broadcast
       "q342_chunk_bm25",          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
       "q346_event_pmi",           // CROSS JOIN with the 1-row distinct-user-count aggregate
-      "q347_cms_law")             // CROSS JOIN with the 1-row cms_agg sketch aggregate
+      "q347_cms_law",             // CROSS JOIN with the 1-row cms_agg sketch aggregate
+      "q349_curriculum_schedule") // q286b's 1-row percentile-cutoff broadcast
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
