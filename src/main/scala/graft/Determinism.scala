@@ -70,11 +70,18 @@ object Determinism {
   /** All batch (non-streaming) entry names: the SQL catalog + the
     * DataFrame-coded [EXT] operators. Streaming entries manage their own
     * micro-batch clocks and checkpoint dirs — their restart determinism is
-    * exercised in StreamingSpec instead. */
+    * exercised in StreamingSpec, and their perturbed-config rerun
+    * stability by [[streamingNames]] through the same check (every
+    * invocation builds a fresh source/checkpoint, so two runs under
+    * different shuffle-partition counts are independent end-to-end drains
+    * whose sinks must still agree bitwise). */
   def batchNames: Seq[String] = {
     val streamNames = streaming.Streams.queries.map(_._1).toSet
     SparkEntry.queries.keys.filterNot(streamNames).toSeq
   }
+
+  /** The streaming entry names, for the perturbed-config rerun gate. */
+  def streamingNames: Seq[String] = streaming.Streams.queries.map(_._1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

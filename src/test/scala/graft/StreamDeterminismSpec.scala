@@ -1,0 +1,23 @@
+package graft
+
+/** Perturbed-config rerun gate for the STREAMING entries (the surface
+  * DeterminismSpec deliberately leaves to this spec): each entry is a full
+  * end-to-end drain that builds its own source files and checkpoint, so
+  * running it twice — once at 5 shuffle partitions with AQE off, once at
+  * 32 with AQE on — produces two independent streaming executions whose
+  * sinks must agree BITWISE. This is the stream-side analogue of the
+  * driver's exact hash: it would catch order-sensitive stateful logic
+  * (session merges, CDC tombstone application, sketch merges through the
+  * state store) that happens to pass a single-run oracle. Entries that pin
+  * their own state-partition count internally (the stream-stream drains)
+  * still get a rerun-stability check under different surrounding configs. */
+class StreamDeterminismSpec extends SparkSpec {
+
+  test("every streaming entry is bitwise-identical across perturbed shuffle configs") {
+    val names = Determinism.streamingNames.sorted
+    assert(names.size >= 16, s"streaming sweep unexpectedly small: ${names.size}")
+    val bad = Determinism.check(spark, sfDir, names).filterNot(_._2)
+    assert(bad.isEmpty, "config-sensitive streaming entries:\n" +
+      bad.map { case (n, _, d) => s"  $n: $d" }.mkString("\n"))
+  }
+}
