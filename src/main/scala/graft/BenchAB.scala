@@ -35,6 +35,12 @@ object BenchAB {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+  /** Nearest-rank 90th percentile (ceil(0.9n)-th smallest) — index
+    * (9n)/10 would select the MAX for n <= 10 (p100, not p90). */
+  private def p90(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else xs.sorted.apply(math.ceil(0.9 * xs.size).toInt.max(1) - 1)
+
   def main(args: Array[String]): Unit = {
     val priorPath = args.headOption.getOrElse("BENCH_local_r6.json")
     val outPath = if (args.length > 1) args(1) else "BENCH_AB_latest.json"
@@ -124,7 +130,7 @@ object BenchAB {
       f"""{"metric":"bench_ab","sf":"$sfDir","prior_artifact":"$priorPath",""" +
       f""""common_n":${commonNames.size},"full_n":${allNames.size},""" +
       f""""a_total":$aTotal%.3f,"b_common_total":$bCommonTotal%.3f,"b_full_total":$bFullTotal%.3f,"prior_total":$priorTotal%.3f,""" +
-      f""""drift_ratio_median":${median(driftRatios)}%.3f,"drift_ratio_p90":${driftRatios.sorted.lift((driftRatios.size * 9) / 10).getOrElse(-1.0)}%.3f,""" +
+      f""""drift_ratio_median":${median(driftRatios)}%.3f,"drift_ratio_p90":${p90(driftRatios)}%.3f,""" +
       f""""interference_ratio_median":${median(interfRatios)}%.3f,""" +
       f""""queries":$pq}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")

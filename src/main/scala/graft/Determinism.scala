@@ -39,6 +39,11 @@ object Determinism {
     * (name, identical?, detail). Restores the session's config after. */
   def check(spark: SparkSession, sfDir: String, names: Seq[String]): Seq[(String, Boolean, String)] = {
     val qs = SparkEntry.queries
+    // Register BEFORE perturbing: in a fresh session the first entry's own
+    // Tables.register would run doRegister, which force-sets the session
+    // posture (AQE on) and would silently undo the AQE-off half of run A
+    // for that entry — weakening exactly the gate this harness is.
+    Tables.register(spark, sfDir)
     val conf = spark.conf
     val keepParts = conf.get("spark.sql.shuffle.partitions")
     val keepAqe = conf.get("spark.sql.adaptive.enabled")

@@ -190,11 +190,15 @@ final class McpServer(
     // reference's empty-filter idiom), but an UNDECLARED argument name is a
     // caller typo: it would silently bind nothing while the intended param
     // empty-defaults, surfacing later as a confusing downstream SQL error.
-    val unknown = args.keySet -- tool.params.map(_.name)
+    // {{template}} names in the statement count as declared — reference
+    // YAML tools (e.g. a bare `{{sql}}` passthrough) routinely omit the
+    // parameters block, and Params.bind substitutes them regardless.
+    val accepted = tool.params.map(_.name).toSet ++ Params.templateNames(tool.statement)
+    val unknown = args.keySet -- accepted
     if (unknown.nonEmpty)
       return response(id, errorContent(
         s"unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")} for tool $name; " +
-          s"declared: ${if (tool.params.isEmpty) "(none)" else tool.params.map(_.name).mkString(", ")}"))
+          s"declared: ${if (accepted.isEmpty) "(none)" else accepted.toSeq.sorted.mkString(", ")}"))
     try {
       val bound = Params.bind(tool.statement, args, tool.params)
       // Gate caller-supplied SQL: passthrough tools always; any tool whose

@@ -15,6 +15,11 @@ object Params {
   private val Positional = raw"\$$(\d+)".r
   private val Template = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
 
+  /** The {{x}} names a statement references — implicitly-declared params
+    * (reference YAML tools often template without a parameters block). */
+  def templateNames(statement: String): Set[String] =
+    Template.findAllMatchIn(statement).map(_.group(1)).toSet
+
   final case class Bound(sql: String, args: Map[String, String])
 
   /** Binds `argValues` into `statement`, returning the SQL to execute plus

@@ -42,7 +42,11 @@ class DeterminismSpec extends SparkSpec {
     // (CAST(ROUND(AVG(vk), 0)) over BIGINT micro-units) are exempt: their
     // sums are exact, so the tie value is the same representable double in
     // both engines and both round half-away-from-zero identically.
-    val scaledAvg = """ROUND\(AVG\([^)]*\)\s*\*\s*10+""".r
+    // Greedy .* (not [^)]*) so AVG arguments containing nested parens —
+    // e.g. ROUND(AVG(COALESCE(value, 0)) * 10000) — still match; a lint
+    // false-positive fails loudly and gets reviewed, a false-negative
+    // ships the q331 class.
+    val scaledAvg = """ROUND\(AVG\(.*\)\s*\*\s*10+""".r
     val rawValueAvg = """ROUND\(AVG\(value\)""".r
     val offenders = Queries.specs.flatMap { s =>
       Seq(s.name + "[spark]" -> s.spark) ++ s.oracle.map(s.name + "[oracle]" -> _)

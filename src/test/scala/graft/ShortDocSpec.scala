@@ -40,6 +40,7 @@ class ShortDocSpec extends SparkSpec {
   }
 
   test("guarded shingle CTEs yield ZERO shingles for 1- and 2-word docs (DuckDB-empty parity)") {
+    try {
     Tables.register(spark, shortDir)
     val shingles = spark.sql(
       """SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
@@ -49,9 +50,11 @@ class ShortDocSpec extends SparkSpec {
     val shortIds = shingles.where("doc_id IN (0, 97, 98)").count()
     assert(shortIds == 0, s"short docs emitted $shortIds phantom shingles")
     assert(shingles.count() > 0, "long docs must still shingle")
+    } finally Tables.register(spark, sfDir) // restore even on assertion failure
   }
 
   test("affected catalog entries run clean on short docs and never surface one") {
+    try {
     val cases = Map(
       "q301_fuzzy_decontamination" -> Seq("eval_id", "train_id"),
       "q303_containment_neardup" -> Seq("a_id", "b_id"),
@@ -76,6 +79,9 @@ class ShortDocSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(funnel("raw") == 7L, s"funnel raw stage: $funnel")
     assert(funnel("exact_dedup") == 5L, s"funnel exact_dedup stage: $funnel")
-    Tables.register(spark, sfDir) // restore the shared fixture for later specs
+    // restore the shared fixture for later specs — in finally, so a failed
+    // assertion above cannot leave the 7-row fixture registered and cascade
+    // misleading failures through every later suite in the shared session
+    } finally Tables.register(spark, sfDir)
   }
 }

@@ -143,6 +143,26 @@ class ProtocolSpec extends SparkSpec {
     // idiom): no arguments at all lists every table.
     val ok = call("""{"jsonrpc":"2.0","id":81,"method":"tools/call","params":{"name":"list_tables","arguments":{}}}""")
     assert(!ok.at("/result/isError").asBoolean(false), s"empty args must stay valid: $ok")
+    // A {{template}} name counts as declared even with NO parameters block —
+    // reference YAML passthrough tools routinely omit it.
+    val yaml =
+      """sources:
+        |  testdata:
+        |    kind: dataset-dir
+        |    path: /root/testdata/sf0.001
+        |tools:
+        |  bare_sql:
+        |    kind: spark-execute-sql
+        |    description: Template with no parameters block.
+        |    statement: "{{sql}}"
+        |""".stripMargin
+    val config = Config.parse(yaml)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+    val r2 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":82,"method":"tools/call","params":{"name":"bare_sql","arguments":{"sql":"SELECT 6 * 7 AS x"}}}""").get)
+    assert(!r2.at("/result/isError").asBoolean(false), s"undeclared template arg must bind: $r2")
+    assert(mapper.readTree(r2.at("/result/content").get(0).get("text").asText()).get("x").asInt() == 42)
   }
 
   test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
@@ -256,6 +276,19 @@ class ProtocolSpec extends SparkSpec {
     val docs = stages.map(_.get("n_docs").asLong())
     assert(docs == docs.sorted.reverse, s"funnel stages must shrink: $docs")
     assert(docs.head > 0 && docs.last > 0)
+
+    // DRIFT GUARD: the funnel exists in two hand-synced copies (the YAML
+    // statement and the oracle-gated q340). At the q340 operating point
+    // (threshold 5000 -> the prune constants 29999/9999, budget 200) the
+    // YAML tool must produce EXACTLY the catalog entry's rows — only q340
+    // is DuckDB-gated, so divergence here is the MCP surface silently
+    // shipping unverified semantics.
+    val q340 = graft.SparkEntry.queries("q340_pipeline_funnel")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val yamlRows = stages.map(s =>
+      (s.get("stage").asText(), s.get("n_docs").asLong(), s.get("n_tokens").asLong()))
+    assert(yamlRows == q340,
+      s"corpus_funnel(5000, 200) diverged from q340:\n yaml=$yamlRows\n q340=$q340")
   }
 
   test("env substitution in config text") {
