@@ -5239,7 +5239,241 @@ object Queries {
         |  CAST(SUM(mlogit) // COUNT(*) AS BIGINT) AS mean_mlogit,
         |  CAST(MIN(mlogit) AS BIGINT) AS min_mlogit,
         |  CAST(MAX(mlogit) AS BIGINT) AS max_mlogit
-        |FROM ph GROUP BY phase ORDER BY phase""".stripMargin)
+        |FROM ph GROUP BY phase ORDER BY phase""".stripMargin),
+
+    // ---- [EXT] quality-classifier calibration table: does q293's linear
+    // milli-logit actually PREDICT anything? Label = the doc carries an
+    // 8-gram shared by 2-32 documents (q312's posting window — the
+    // boilerplate-bearing signal; the fixture has NO byte-exact text dups,
+    // so md5(text) would be a degenerate label). Logits are binned into 10
+    // fixed-width bins via a 1-row min/max broadcast (never a global NTILE
+    // sort). Per bin: population, positives, and the rate in basis points
+    // — the reliability/lift table a scorer ships with. Exactness
+    // discipline: every output is integer arithmetic ((x - lo)·10 DIV
+    // span, SUM·10⁴ DIV COUNT) — no double anywhere. ----
+    q2("q351_quality_calibration",
+      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      DIV wc AS mlogit
+        |  FROM (SELECT doc_id, n_chars, size(w) AS wc,
+        |          size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |          size(array_distinct(w)) AS uniq FROM wd) f
+        |  WHERE wc > 0),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lab AS (SELECT wd.doc_id, CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+        |        FROM wd LEFT JOIN bp ON bp.doc_id = wd.doc_id),
+        |rng AS (SELECT MIN(mlogit) AS lo, MAX(mlogit) AS hi FROM sc),
+        |bn AS (SELECT s.mlogit, lab.is_bp,
+        |         CAST((s.mlogit - r.lo) * 10 DIV (r.hi - r.lo + 1) AS INT) AS bin
+        |       FROM sc s CROSS JOIN rng r JOIN lab ON lab.doc_id = s.doc_id)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(is_bp) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(is_bp) * 10000 DIV COUNT(*) AS BIGINT) AS boiler_rate_x1e4,
+        |  CAST(SUM(mlogit) DIV COUNT(*) AS BIGINT) AS mean_mlogit
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
+      """WITH wd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      // wc AS mlogit
+        |  FROM (SELECT doc_id, n_chars, len(w) AS wc,
+        |          len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |          len(list_distinct(w)) AS uniq FROM wd) f
+        |  WHERE wc > 0),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM wd
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lab AS (SELECT wd.doc_id, CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+        |        FROM wd LEFT JOIN bp ON bp.doc_id = wd.doc_id),
+        |rng AS (SELECT MIN(mlogit) AS lo, MAX(mlogit) AS hi FROM sc),
+        |bn AS (SELECT s.mlogit, lab.is_bp,
+        |         CAST((s.mlogit - r.lo) * 10 // (r.hi - r.lo + 1) AS INT) AS bin
+        |       FROM sc s CROSS JOIN rng r JOIN lab ON lab.doc_id = s.doc_id)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(is_bp) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(is_bp) * 10000 // COUNT(*) AS BIGINT) AS boiler_rate_x1e4,
+        |  CAST(SUM(mlogit) // COUNT(*) AS BIGINT) AS mean_mlogit
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // ---- [EXT] Zipf rank-frequency law over 3-gram shingles (q348's
+    // companion: q348 measures vocabulary GROWTH, this measures the
+    // frequency DECAY — freq·rank ≈ const under Zipf). Deterministic total
+    // order (freq DESC, gram), probed at power-of-two ranks. Scale shape:
+    // one bounded groupBy gram, then ORDER BY + LIMIT 64 plans as
+    // TakeOrderedAndProject (per-partition top-64 + driver merge, never a
+    // global sort); the rank window runs over 64 rows; the corpus total is
+    // a 1-row broadcast. share in basis points = exact integer DIV. ----
+    q2("q352_zipf_rank_frequency",
+      """WITH w AS (SELECT split(lower(text), ' ') AS ws FROM documents
+        |           WHERE size(split(lower(text), ' ')) >= 3),
+        |g AS (SELECT concat_ws(' ', slice(ws, i, 3)) AS gram
+        |      FROM w LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
+        |gc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |top AS (SELECT gram, c FROM gc ORDER BY c DESC, gram LIMIT 64),
+        |tot AS (SELECT SUM(c) AS t FROM gc),
+        |r AS (SELECT gram, c, ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rnk FROM top)
+        |SELECT CAST(rnk AS BIGINT) AS rank, gram, CAST(c AS BIGINT) AS freq,
+        |  CAST(c * 10000 DIV t AS BIGINT) AS share_x1e4,
+        |  CAST(c * rnk AS BIGINT) AS freq_x_rank
+        |FROM r CROSS JOIN tot
+        |WHERE rnk IN (1, 2, 4, 8, 16, 32, 64) ORDER BY rank""".stripMargin,
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents
+        |           WHERE len(string_split(lower(text), ' ')) >= 3),
+        |g AS (SELECT array_to_string(ws[i:i+2], ' ') AS gram
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) AS x(i)),
+        |gc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+        |top AS (SELECT gram, c FROM gc ORDER BY c DESC, gram LIMIT 64),
+        |tot AS (SELECT SUM(c) AS t FROM gc),
+        |r AS (SELECT gram, c, ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS rnk FROM top)
+        |SELECT CAST(rnk AS BIGINT) AS rank, gram, CAST(c AS BIGINT) AS freq,
+        |  CAST(c * 10000 // t AS BIGINT) AS share_x1e4,
+        |  CAST(c * rnk AS BIGINT) AS freq_x_rank
+        |FROM r CROSS JOIN tot
+        |WHERE rnk IN (1, 2, 4, 8, 16, 32, 64) ORDER BY rank""".stripMargin),
+
+    // ---- [EXT] context-window contamination audit (GPT-style
+    // concat-and-chop packing, the complement of q292's doc-level shard
+    // packing): concatenate docs in doc_id order, chop into fixed
+    // 512-token attention windows, and report the docs-per-window
+    // histogram — how many windows mix content from 2+ documents
+    // (cross-doc attention contamination) and the exact token mass per
+    // class. The running offset is q292's DISTRIBUTED TWO-LEVEL PREFIX
+    // SUM (per-bucket partials → tiny spine window → partitioned
+    // within-bucket windows); per-doc window spans explode to at most
+    // n_tok/512 + 1 rows. All-integer: clip arithmetic is
+    // LEAST/GREATEST on BIGINT offsets. ----
+    q2("q353_window_contamination",
+      """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok FROM documents),
+        |b AS (SELECT doc_id, n_tok, doc_id DIV 1000 AS bkt FROM tok WHERE n_tok > 0),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM b JOIN bo USING (bkt)),
+        |sp AS (SELECT doc_id, n_tok, cb, cb DIV 512 AS fw,
+        |         (cb + n_tok - 1) DIV 512 AS lw FROM c),
+        |x AS (SELECT doc_id, cb, n_tok, explode(sequence(fw, lw)) AS win FROM sp),
+        |wt AS (SELECT win, COUNT(*) AS n_docs,
+        |         SUM(LEAST((win + 1) * 512, cb + n_tok) - GREATEST(win * 512, cb)) AS toks
+        |       FROM x GROUP BY win)
+        |SELECT CAST(n_docs AS BIGINT) AS docs_in_window,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(toks) AS BIGINT) AS window_tokens,
+        |  CAST(MIN(win) AS BIGINT) AS first_window,
+        |  CAST(MAX(win) AS BIGINT) AS last_window
+        |FROM wt GROUP BY n_docs ORDER BY docs_in_window""".stripMargin,
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |b AS (SELECT doc_id, n_tok, doc_id // 1000 AS bkt FROM tok WHERE n_tok > 0),
+        |bt AS (SELECT bkt, SUM(n_tok) AS tot FROM b GROUP BY bkt),
+        |bo AS (SELECT bkt, COALESCE(SUM(tot) OVER (ORDER BY bkt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM bt),
+        |c AS (SELECT b.doc_id, b.n_tok,
+        |        bo.off + COALESCE(SUM(b.n_tok) OVER (PARTITION BY b.bkt
+        |          ORDER BY b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM b JOIN bo USING (bkt)),
+        |sp AS (SELECT doc_id, n_tok, cb, CAST(cb // 512 AS BIGINT) AS fw,
+        |         CAST((cb + n_tok - 1) // 512 AS BIGINT) AS lw FROM c),
+        |x AS (SELECT doc_id, cb, n_tok, win FROM sp, UNNEST(range(fw, lw + 1)) AS u(win)),
+        |wt AS (SELECT win, COUNT(*) AS n_docs,
+        |         SUM(LEAST((win + 1) * 512, cb + n_tok) - GREATEST(win * 512, cb)) AS toks
+        |       FROM x GROUP BY win)
+        |SELECT CAST(n_docs AS BIGINT) AS docs_in_window,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(toks) AS BIGINT) AS window_tokens,
+        |  CAST(MIN(win) AS BIGINT) AS first_window,
+        |  CAST(MAX(win) AS BIGINT) AS last_window
+        |FROM wt GROUP BY n_docs ORDER BY docs_in_window""".stripMargin),
+
+    // ---- [EXT] MinHash estimator-error law (completes the sketch-law
+    // family: HLL q317, KMV q318, CMS q347, approx_top_k q322): on q312's
+    // capped-gram candidate pairs, compare the 16-slot MinHash Jaccard
+    // estimate (matches·625, q301's slot construction) against the EXACT
+    // 3-shingle Jaccard, as an error histogram in 250-bp buckets plus the
+    // signed bias. Exact Jaccard in pure integers via round-half-up
+    // (2·10⁴·i + u) DIV (2u) — no double ratio anywhere, so no rounding
+    // tie can flip a bucket. Scale: candidates from the [2,32] posting
+    // window, estimate and exact both touch candidates only — the 16-slot
+    // signature pass is semi-joined to candidate docs BEFORE hashing, so
+    // non-candidate docs (the overwhelming majority) never pay it. ----
+    q2("q354_minhash_error_law",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |ex AS (SELECT a_id, b_id,
+        |         (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) AS exact_x1e4
+        |       FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id),
+        |cd AS (SELECT a_id AS doc_id FROM cand UNION SELECT b_id FROM cand),
+        |mh AS (SELECT sh.doc_id, s, MIN(md5(concat(g, '#', CAST(s AS STRING)))) AS mh
+        |       FROM sh JOIN cd ON cd.doc_id = sh.doc_id
+        |       LATERAL VIEW explode(sequence(0, 15)) t AS s GROUP BY sh.doc_id, s),
+        |m AS (SELECT c.a_id, c.b_id, SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+        |      FROM cand c JOIN mh a ON a.doc_id = c.a_id
+        |      JOIN mh b ON b.doc_id = c.b_id AND a.s = b.s
+        |      GROUP BY c.a_id, c.b_id),
+        |e AS (SELECT ex.a_id, m.matches * 625 - ex.exact_x1e4 AS signed
+        |      FROM ex JOIN m ON ex.a_id = m.a_id AND ex.b_id = m.b_id)
+        |SELECT CAST(ABS(signed) DIV 250 AS BIGINT) AS err_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(ABS(signed)) AS BIGINT) AS min_err_x1e4,
+        |  CAST(MAX(ABS(signed)) AS BIGINT) AS max_err_x1e4,
+        |  CAST(SUM(signed) AS BIGINT) AS sum_signed_x1e4
+        |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |ex AS (SELECT a_id, b_id,
+        |         (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) AS exact_x1e4
+        |       FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id),
+        |cd AS (SELECT a_id AS doc_id FROM cand UNION SELECT b_id FROM cand),
+        |mh AS (SELECT sh.doc_id, s, MIN(md5(g || '#' || CAST(s AS VARCHAR))) AS mh
+        |       FROM sh JOIN cd ON cd.doc_id = sh.doc_id,
+        |       UNNEST(range(0, 16)) AS t(s) GROUP BY sh.doc_id, s),
+        |m AS (SELECT c.a_id, c.b_id, SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+        |      FROM cand c JOIN mh a ON a.doc_id = c.a_id
+        |      JOIN mh b ON b.doc_id = c.b_id AND a.s = b.s
+        |      GROUP BY c.a_id, c.b_id),
+        |e AS (SELECT ex.a_id, m.matches * 625 - ex.exact_x1e4 AS signed
+        |      FROM ex JOIN m ON ex.a_id = m.a_id AND ex.b_id = m.b_id)
+        |SELECT CAST(ABS(signed) // 250 AS BIGINT) AS err_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(ABS(signed)) AS BIGINT) AS min_err_x1e4,
+        |  CAST(MAX(ABS(signed)) AS BIGINT) AS max_err_x1e4,
+        |  CAST(SUM(signed) AS BIGINT) AS sum_signed_x1e4
+        |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -257,7 +257,9 @@ class PlanSpec extends SparkSpec {
       "q342_chunk_bm25",          // q266's shape: CROSS JOIN with the 1-row chunk-stats aggregate
       "q346_event_pmi",           // CROSS JOIN with the 1-row distinct-user-count aggregate
       "q347_cms_law",             // CROSS JOIN with the 1-row cms_agg sketch aggregate
-      "q349_curriculum_schedule") // q286b's 1-row percentile-cutoff broadcast
+      "q349_curriculum_schedule", // q286b's 1-row percentile-cutoff broadcast
+      "q351_quality_calibration", // CROSS JOIN with the 1-row min/max logit-range aggregate
+      "q352_zipf_rank_frequency") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
