@@ -5473,7 +5473,148 @@ object Queries {
         |  CAST(MIN(ABS(signed)) AS BIGINT) AS min_err_x1e4,
         |  CAST(MAX(ABS(signed)) AS BIGINT) AS max_err_x1e4,
         |  CAST(SUM(signed) AS BIGINT) AS sum_signed_x1e4
-        |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin)
+        |FROM e GROUP BY 1 ORDER BY err_bucket""".stripMargin),
+
+    // ---- [EXT] cluster-assignment margin audit: how confidently does
+    // each embedding sit in its nearest cell? Vectors quantize on a
+    // GLOBAL 1e-3 lattice (ROUND(x·1000) is provably tie-free for binary
+    // floats: x·1000 = n + 1/2 needs a factor 125 in x's denominator,
+    // impossible in base-2, so both engines produce the identical
+    // integer), then EXACT BIGINT squared distances to the 8 seed cells
+    // and margin = d(2nd-nearest) − d(nearest), reported per (cell,
+    // label) with exact integer sums — the embedding-space separation /
+    // assignment-confidence telemetry a SemDeDup/IVF pipeline monitors.
+    // Scale: the 8-seed table broadcasts (q51e's N×k Lloyd-assign
+    // shape); per-vec windows run over 8 rows; no float leaves the
+    // quantization step, so no summation-order hazard exists. ----
+    q2("q355_cluster_margin",
+      """WITH e AS (SELECT vec_id, label,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, q AS sq FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, e.label, s.cell,
+        |        aggregate(zip_with(e.q, s.sq, (x, y) -> (x - y) * (x - y)),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS dist
+        |      FROM e CROSS JOIN s),
+        |r AS (SELECT vec_id, label, cell, dist,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d),
+        |m AS (SELECT a.vec_id, a.label, a.cell, b.dist - a.dist AS margin
+        |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+        |SELECT CAST(cell AS BIGINT) AS cell, label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+        |  CAST(MIN(margin) AS BIGINT) AS min_margin,
+        |  CAST(MAX(margin) AS BIGINT) AS max_margin
+        |FROM m GROUP BY cell, label ORDER BY cell, label""".stripMargin,
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, q AS sq FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, e.label, s.cell,
+        |        list_sum(list_transform(range(1, len(e.q) + 1),
+        |                 j -> (e.q[j] - s.sq[j]) * (e.q[j] - s.sq[j]))) AS dist
+        |      FROM e, s),
+        |r AS (SELECT vec_id, label, cell, dist,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d),
+        |m AS (SELECT a.vec_id, a.label, a.cell, b.dist - a.dist AS margin
+        |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+        |SELECT CAST(cell AS BIGINT) AS cell, label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+        |  CAST(MIN(margin) AS BIGINT) AS min_margin,
+        |  CAST(MAX(margin) AS BIGINT) AS max_margin
+        |FROM m GROUP BY cell, label ORDER BY cell, label""".stripMargin),
+
+    // ---- [EXT] kNN label-agreement audit (embedding-quality telemetry:
+    // do nearest neighbors share labels?): IVF-style search restricted to
+    // the vector's own seed cell (q355's assignment, nprobe=1), exact
+    // BIGINT distances on the same tie-free 1e-3 lattice, top-3 neighbors
+    // (tie vec_id), majority vote (tie smallest label) vs the vector's own
+    // label. Per label: population, scored (has >= 1 cellmate), agreeing,
+    // and the agreement rate in basis points — all integer. Scale: the
+    // candidate join is an EQUI-join on cell; production sizes k ~ sqrt(n)
+    // to bound cell population (the q51b/q271 IVF family's contract), so
+    // the per-cell quadratic never sees the corpus. The hot pair scoring
+    // runs through the NATIVE codegen'd dot_product (d² = |a|²+|b|²−2a·b)
+    // and stays EXACT: lattice values < 2²⁴ are exact floats, every
+    // product/partial sum is an integer < 2⁵³ — no rounding ever occurs,
+    // so the double-typed dot equals the BIGINT fold bit for bit. ----
+    q2("q357_knn_label_agreement",
+      """WITH e AS (SELECT vec_id, label,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, q AS sq FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, e.label, s.cell,
+        |        aggregate(zip_with(e.q, s.sq, (x, y) -> (x - y) * (x - y)),
+        |                  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dist
+        |      FROM e CROSS JOIN s),
+        |a AS (SELECT vec_id, label, cell FROM
+        |        (SELECT vec_id, label, cell,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d)
+        |      WHERE rn = 1),
+        |ef AS (SELECT vec_id, transform(q, v -> CAST(v AS FLOAT)) AS qf FROM e),
+        |en AS (SELECT vec_id, qf, dot_product(qf, qf) AS n2 FROM ef),
+        |p AS (SELECT x.vec_id, y.vec_id AS nb_id, y.label AS nb_label,
+        |        CAST(ex.n2 + ey.n2 - 2 * dot_product(ex.qf, ey.qf) AS BIGINT) AS dist
+        |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        |      JOIN en ex ON ex.vec_id = x.vec_id
+        |      JOIN en ey ON ey.vec_id = y.vec_id),
+        |t AS (SELECT vec_id, nb_label FROM
+        |        (SELECT vec_id, nb_label,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, nb_id) AS rn FROM p)
+        |      WHERE rn <= 3),
+        |v AS (SELECT vec_id, nb_label, COUNT(*) AS c FROM t GROUP BY vec_id, nb_label),
+        |mj AS (SELECT vec_id, nb_label AS maj FROM
+        |         (SELECT vec_id, nb_label, ROW_NUMBER() OVER
+        |            (PARTITION BY vec_id ORDER BY c DESC, nb_label) AS rn FROM v)
+        |       WHERE rn = 1),
+        |ag AS (SELECT a.label,
+        |         CASE WHEN mj.vec_id IS NULL THEN CAST(NULL AS INT)
+        |              WHEN mj.maj = a.label THEN 1 ELSE 0 END AS agree
+        |       FROM a LEFT JOIN mj ON mj.vec_id = a.vec_id)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(agree) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(SUM(agree), 0) AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN COUNT(agree) > 0
+        |       THEN SUM(agree) * 10000 DIV COUNT(agree) ELSE 0 END AS BIGINT) AS agree_rate_x1e4
+        |FROM ag GROUP BY label ORDER BY label""".stripMargin,
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cell, q AS sq FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, e.label, s.cell,
+        |        list_sum(list_transform(range(1, len(e.q) + 1),
+        |                 j -> (e.q[j] - s.sq[j]) * (e.q[j] - s.sq[j]))) AS dist
+        |      FROM e, s),
+        |a AS (SELECT vec_id, label, cell FROM
+        |        (SELECT vec_id, label, cell,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d) z
+        |      WHERE rn = 1),
+        |p AS (SELECT x.vec_id, y.vec_id AS nb_id, y.label AS nb_label,
+        |        list_sum(list_transform(range(1, len(ex.q) + 1),
+        |                 j -> (ex.q[j] - ey.q[j]) * (ex.q[j] - ey.q[j]))) AS dist
+        |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        |      JOIN e ex ON ex.vec_id = x.vec_id
+        |      JOIN e ey ON ey.vec_id = y.vec_id),
+        |t AS (SELECT vec_id, nb_label FROM
+        |        (SELECT vec_id, nb_label,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, nb_id) AS rn FROM p) z
+        |      WHERE rn <= 3),
+        |v AS (SELECT vec_id, nb_label, COUNT(*) AS c FROM t GROUP BY vec_id, nb_label),
+        |mj AS (SELECT vec_id, nb_label AS maj FROM
+        |         (SELECT vec_id, nb_label, ROW_NUMBER() OVER
+        |            (PARTITION BY vec_id ORDER BY c DESC, nb_label) AS rn FROM v) z
+        |       WHERE rn = 1),
+        |ag AS (SELECT a.label,
+        |         CASE WHEN mj.vec_id IS NULL THEN CAST(NULL AS INT)
+        |              WHEN mj.maj = a.label THEN 1 ELSE 0 END AS agree
+        |       FROM a LEFT JOIN mj ON mj.vec_id = a.vec_id)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(agree) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(SUM(agree), 0) AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN COUNT(agree) > 0
+        |       THEN SUM(agree) * 10000 // COUNT(agree) ELSE 0 END AS BIGINT) AS agree_rate_x1e4
+        |FROM ag GROUP BY label ORDER BY label""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -48,6 +48,25 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Runs one real streaming drain over the DOCUMENTS file (no time
+    * column): readStream(documents) → transform → memory sink,
+    * AvailableNow; returns the sink table. */
+  private def drainDocs(spark: SparkSession, dir: String, mode: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    Tables.register(spark, dir)
+    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
+      .parquet(dir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val name = s"graft_stream_sink_${runId.incrementAndGet()}"
+    val q = xform(docs).writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Runs one real streaming drain: readStream(events) → transform → memory
     * sink, complete or append mode, AvailableNow; returns the sink table. */
   private def drainEvents(spark: SparkSession, dir: String, mode: String)(
@@ -207,6 +226,28 @@ object Streams {
           .agg(expr("cms_agg(CAST(user_id AS STRING), 2, 32)").as("sk"))
       }.select(col("event_type"), posexplode(col("sk")).as(Seq("i", "c")))
         .orderBy("event_type", "i")),
+
+    // The q293 quality classifier applied IN-STREAM (the ingest-time keep/
+    // drop gate a crawl pipeline runs before anything is persisted):
+    // stateless per-doc integer-logit scoring inside the micro-batch, then
+    // per-(source, keep) totals through complete-mode state. Every number
+    // is an order-invariant BIGINT sum, so the drained totals equal the
+    // batch rebuild exactly at any partitioning — and the oracle is the
+    // same aggregation in DuckDB.
+    "q356_stream_quality_gate" -> ((s: SparkSession, d: String) =>
+      drainDocs(s, d, "complete") { docs =>
+        docs.withColumn("ws", expr("split(text, ' ')"))
+          .withColumn("wc", expr("size(ws)"))
+          .where("wc > 0")
+          .withColumn("lnum", expr(
+            "CAST(wc * wc - 300 * wc + 50 * n_chars" +
+              " + 200 * size(filter(ws, w -> w = 'the' OR w = 'a'))" +
+              " + 300 * size(array_distinct(ws)) AS BIGINT)"))
+          .groupBy(col("source"), expr("lnum > 0").as("keep"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("wc").cast("long").as("n_tokens"),
+            sum("lnum").cast("long").as("sum_lnum"))
+      }.orderBy("source", "keep")),
 
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
@@ -712,6 +753,19 @@ object Streams {
         |FROM spine s LEFT JOIN b
         |  ON s.event_type = b.event_type AND b.r * 32 + b.bk = s.i
         |ORDER BY s.event_type, s.i""".stripMargin,
+
+    // the in-stream quality gate's totals are order-invariant BIGINT sums,
+    // so the batch rebuild is an exact equality
+    "q356_stream_quality_gate" ->
+      """WITH f AS (SELECT source, len(string_split(text, ' ')) AS wc,
+        |    CAST(len(string_split(text, ' ')) * len(string_split(text, ' '))
+        |         - 300 * len(string_split(text, ' ')) + 50 * n_chars
+        |         + 200 * len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+        |         + 300 * len(list_distinct(string_split(text, ' '))) AS BIGINT) AS lnum
+        |  FROM documents)
+        |SELECT source, (lnum > 0) AS keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens, CAST(SUM(lnum) AS BIGINT) AS sum_lnum
+        |FROM f WHERE wc > 0 GROUP BY source, keep ORDER BY source, keep""".stripMargin,
 
     // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;
     // >= matches Spark's half-open [start, start+gap) session merge rule)

@@ -259,7 +259,9 @@ class PlanSpec extends SparkSpec {
       "q347_cms_law",             // CROSS JOIN with the 1-row cms_agg sketch aggregate
       "q349_curriculum_schedule", // q286b's 1-row percentile-cutoff broadcast
       "q351_quality_calibration", // CROSS JOIN with the 1-row min/max logit-range aggregate
-      "q352_zipf_rank_frequency") // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q352_zipf_rank_frequency", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
+      "q355_cluster_margin",      // N x 8 broadcast-seed assignment (q51e's Lloyd-assign shape)
+      "q357_knn_label_agreement") // same N x 8 broadcast-seed assignment feeding the cell equi-join
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
