@@ -173,6 +173,15 @@ final class McpServer(
         pn.put("type", if (p.typ.isEmpty) "string" else p.typ)
         pn.put("description", p.description)
       }
+      // {{template}} names bind even without a parameters block (the
+      // reference's bare-passthrough idiom); advertise them so a
+      // schema-driven client can discover the argument instead of calling
+      // with {} and hitting an empty-SQL parse error.
+      (Params.templateNames(t.statement) -- t.params.map(_.name)).toSeq.sorted.foreach { n =>
+        val pn = props.putObject(n)
+        pn.put("type", "string")
+        pn.put("description", s"Template parameter {{$n}} (implicitly declared by the statement).")
+      }
     }
     r
   }

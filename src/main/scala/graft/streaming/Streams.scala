@@ -48,18 +48,14 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
-  /** Runs one real streaming drain over the DOCUMENTS file (no time
-    * column): readStream(documents) → transform → memory sink,
-    * AvailableNow; returns the sink table. */
-  private def drainDocs(spark: SparkSession, dir: String, mode: String)(
+  /** Runs one real streaming drain of a prepared source: writeStream →
+    * memory sink, complete or append mode, AvailableNow; returns the sink
+    * table. The source-specific helpers below only differ in how they
+    * build the streaming DataFrame. */
+  private def drain(spark: SparkSession, source: DataFrame, mode: String,
       xform: DataFrame => DataFrame): DataFrame = {
-    Tables.register(spark, dir)
-    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
-      .parquet(dir).schema
-    val docs = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
-    val q = xform(docs).writeStream
+    val q = xform(source).writeStream
       .format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow())
       .start()
@@ -67,8 +63,18 @@ object Streams {
     spark.table(name)
   }
 
-  /** Runs one real streaming drain: readStream(events) → transform → memory
-    * sink, complete or append mode, AvailableNow; returns the sink table. */
+  /** Streaming drain over the DOCUMENTS file (no time column). */
+  private def drainDocs(spark: SparkSession, dir: String, mode: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    Tables.register(spark, dir)
+    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
+      .parquet(dir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    drain(spark, docs, mode, xform)
+  }
+
+  /** Streaming drain over the EVENTS file with the normalized ts column. */
   private def drainEvents(spark: SparkSession, dir: String, mode: String)(
       xform: DataFrame => DataFrame): DataFrame = {
     Tables.register(spark, dir) // session posture (nanosAsLong, UTC, AQE)
@@ -78,13 +84,7 @@ object Streams {
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", Tables.tsAsTimestamp(schema("ts").dataType))
-    val name = s"graft_stream_sink_${runId.incrementAndGet()}"
-    val q = xform(events).writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    drain(spark, events, mode, xform)
   }
 
   /** Writes one half of events (split at `cutUs`, µs epoch; columns

@@ -163,6 +163,15 @@ class ProtocolSpec extends SparkSpec {
       """{"jsonrpc":"2.0","id":82,"method":"tools/call","params":{"name":"bare_sql","arguments":{"sql":"SELECT 6 * 7 AS x"}}}""").get)
     assert(!r2.at("/result/isError").asBoolean(false), s"undeclared template arg must bind: $r2")
     assert(mapper.readTree(r2.at("/result/content").get(0).get("text").asText()).get("x").asInt() == 42)
+    // ...and tools/list must ADVERTISE the implicit param so a
+    // schema-driven client can discover it (not just call-time acceptance)
+    val lst = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":83,"method":"tools/list","params":{}}""").get)
+    val bare = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      lst.at("/result/tools").elements()).asScala
+      .find(_.get("name").asText() == "bare_sql").get
+    assert(bare.at("/inputSchema/properties/sql/type").asText() == "string",
+      s"implicit {{sql}} param missing from advertised schema: $bare")
   }
 
   test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
