@@ -5614,7 +5614,83 @@ object Queries {
         |  CAST(COALESCE(SUM(agree), 0) AS BIGINT) AS n_agree,
         |  CAST(CASE WHEN COUNT(agree) > 0
         |       THEN SUM(agree) * 10000 // COUNT(agree) ELSE 0 END AS BIGINT) AS agree_rate_x1e4
-        |FROM ag GROUP BY label ORDER BY label""".stripMargin)
+        |FROM ag GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- [EXT] dedup threshold sweep (the operating curve that picks a
+    // near-dup threshold BEFORE committing a corpus-wide dedup): one
+    // candidate + exact-intersection pass (q312's [2,32] capped 8-gram
+    // candidates, exact 3-shingle Jaccard in tie-free integer 4-dp units),
+    // then pair counts, docs dropped (greedy keep-smaller-id: a doc drops
+    // if it is the LARGER id of any qualifying pair), and dropped token
+    // mass at four thresholds in the high-precision regime the capped
+    // candidate scheme surfaces (the fixture's verified pairs span
+    // J in [0.80, 1.00]) — all from the SAME verified pair set, so
+    // sweeping costs one extra aggregation, not four dedup runs. ----
+    q2("q358_dedup_threshold_sweep",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |ex AS (SELECT a_id, b_id,
+        |         (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) AS j_x1e4
+        |       FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id),
+        |th AS (SELECT explode(array(8500, 9200, 9700, 9900)) AS thr),
+        |hit AS (SELECT th.thr, ex.a_id, ex.b_id FROM ex JOIN th ON ex.j_x1e4 >= th.thr),
+        |dropped AS (SELECT DISTINCT thr, b_id FROM hit),
+        |wc AS (SELECT doc_id, size(w) AS n_tok FROM w)
+        |SELECT CAST(t.thr AS BIGINT) AS thr,
+        |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(COALESCE(d.dropped_tokens, 0) AS BIGINT) AS dropped_tokens
+        |FROM th t
+        |LEFT JOIN (SELECT thr, COUNT(*) AS n_pairs FROM hit GROUP BY thr) p ON p.thr = t.thr
+        |LEFT JOIN (SELECT dr.thr, COUNT(*) AS n_dropped, SUM(wc.n_tok) AS dropped_tokens
+        |           FROM dropped dr JOIN wc ON wc.doc_id = dr.b_id GROUP BY dr.thr) d
+        |  ON d.thr = t.thr
+        |ORDER BY thr""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |ex AS (SELECT a_id, b_id,
+        |         (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) AS j_x1e4
+        |       FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id),
+        |th AS (SELECT unnest([8500, 9200, 9700, 9900]) AS thr),
+        |hit AS (SELECT th.thr, ex.a_id, ex.b_id FROM ex JOIN th ON ex.j_x1e4 >= th.thr),
+        |dropped AS (SELECT DISTINCT thr, b_id FROM hit),
+        |wc AS (SELECT doc_id, len(w) AS n_tok FROM w)
+        |SELECT CAST(t.thr AS BIGINT) AS thr,
+        |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(COALESCE(d.dropped_tokens, 0) AS BIGINT) AS dropped_tokens
+        |FROM th t
+        |LEFT JOIN (SELECT thr, COUNT(*) AS n_pairs FROM hit GROUP BY thr) p ON p.thr = t.thr
+        |LEFT JOIN (SELECT dr.thr, COUNT(*) AS n_dropped, SUM(wc.n_tok) AS dropped_tokens
+        |           FROM dropped dr JOIN wc ON wc.doc_id = dr.b_id GROUP BY dr.thr) d
+        |  ON d.thr = t.thr
+        |ORDER BY thr""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
