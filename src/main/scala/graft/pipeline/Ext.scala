@@ -153,6 +153,7 @@ object Ext {
     "q52b_multimodal_meta" -> (Multimodal.meta _),
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
     "q52d_audio_frames" -> (Multimodal.audioFrames _),
+    "q359_image_thumbnail" -> (Multimodal.thumbnails _),
     "q204_range_join_binned" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -1461,5 +1462,24 @@ object Ext {
         |SELECT rms.doc_id, rms.frame_idx, rms.rms, zc.n_zero_cross
         |FROM rms JOIN zc ON rms.doc_id = zc.doc_id AND rms.frame_idx = zc.frame_idx
         |ORDER BY rms.doc_id, rms.frame_idx""".stripMargin,
+
+    // 2x2 nearest-neighbor thumbnail of each BMP: output (px, py) samples
+    // source (px*w DIV 2, py*h DIV 2) of the generator's closed-form
+    // affine-mod-256 pixels (R = id*3+x*29+y*19, G = id*11+x*17+y*5,
+    // B = id*7+x*13+y*31) — the Spark side decodes and samples the REAL
+    // bytes, so equality proves the whole decode+resize path.
+    "q359_image_thumbnail" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, w, h, py.i AS py, qx.i AS px
+        |       FROM m, UNNEST(range(0, 2)) AS py(i), UNNEST(range(0, 2)) AS qx(i)),
+        |s AS (SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+        |        px * w // 2 AS sx, py * h // 2 AS sy FROM px)
+        |SELECT doc_id, py, px,
+        |  CAST((doc_id * 3 + sx * 29 + sy * 19) % 256 AS INT) AS r,
+        |  CAST((doc_id * 11 + sx * 17 + sy * 5) % 256 AS INT) AS g,
+        |  CAST((doc_id * 7 + sx * 13 + sy * 31) % 256 AS INT) AS b
+        |FROM s ORDER BY doc_id, py, px""".stripMargin,
   )
 }

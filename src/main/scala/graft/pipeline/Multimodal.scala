@@ -216,6 +216,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Nearest-neighbor downsample of a 24-bit BMP's REAL pixel bytes to
+    * `ow`×`oh`: output pixel (px, py) samples source (px·w DIV ow,
+    * py·h DIV oh) — the standard floor-NN convention, integer-exact and
+    * engine-independent. Returns row-major top-down (r, g, b) triples. */
+  def resizeBmpNearest(bytes: Array[Byte], ow: Int, oh: Int): Array[Int] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+    val dataOffset = b.getInt(10)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
+    require(b.getShort(28) == 24 && b.getInt(30) == 0, "unsupported BMP")
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val out = new Array[Int](ow * oh * 3)
+    var py = 0
+    while (py < oh) {
+      val sy = py * h / oh
+      val row = dataOffset + (h - 1 - sy) * rowSize // bottom-up storage
+      var px = 0
+      while (px < ow) {
+        val sx = px * w / ow
+        val o = (py * ow + px) * 3
+        out(o) = bytes(row + 3 * sx + 2) & 0xff     // R
+        out(o + 1) = bytes(row + 3 * sx + 1) & 0xff // G
+        out(o + 2) = bytes(row + 3 * sx) & 0xff     // B
+        px += 1
+      }
+      py += 1
+    }
+    out
+  }
+
+  /** Distributed thumbnail pass (q359): every BMP payload's real bytes are
+    * nearest-neighbor downsampled to 2×2 in a mapPartitions codec pass
+    * (the resize step of an image-training pipeline); one row per output
+    * pixel, oracle-checked against the generator's closed-form pixels. */
+  def thumbnails(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val t = resizeBmpNearest(r.media, 2, 2)
+          Iterator.tabulate(4) { i =>
+            (r.doc_id, i / 2, i % 2, t(3 * i), t(3 * i + 1), t(3 * i + 2))
+          }
+        }
+      }
+      .toDF("doc_id", "py", "px", "r", "g", "b")
+      .orderBy("doc_id", "py", "px")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */

@@ -26,6 +26,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP nearest-neighbor resize samples the exact closed-form pixels (all padding cases)") {
+    // ids 0..8 (even → BMP) cover every width 4..8, i.e. row padding 0..3,
+    // and every height 3..5 — the floor-NN convention is px*w DIV ow.
+    for (id <- 0L to 8L by 2) {
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 3).toInt)
+      val t = Multimodal.resizeBmpNearest(Multimodal.encodeBmp(id), 2, 2)
+      assert(t.length == 12, s"id=$id")
+      for (py <- 0 until 2; px <- 0 until 2) {
+        val (sx, sy) = (px * w / 2, py * h / 2)
+        val o = (py * 2 + px) * 3
+        assert(t(o) == ((id * 3 + sx * 29 + sy * 19) % 256).toInt, s"id=$id R($px,$py)")
+        assert(t(o + 1) == ((id * 11 + sx * 17 + sy * 5) % 256).toInt, s"id=$id G($px,$py)")
+        assert(t(o + 2) == ((id * 7 + sx * 13 + sy * 31) % 256).toInt, s"id=$id B($px,$py)")
+      }
+      // identity resize returns every pixel unchanged (top-down row-major)
+      val full = Multimodal.resizeBmpNearest(Multimodal.encodeBmp(id), w, h)
+      assert(full.length == 3 * w * h)
+      assert(full(0) == ((id * 3) % 256).toInt && full(2) == ((id * 7) % 256).toInt, s"id=$id origin")
+    }
+  }
+
   test("WAV decode recovers sample count, rate, mean and peak from real bytes") {
     for (id <- 1L to 9L by 2) {
       val bytes = Multimodal.encodeWav(id)
