@@ -154,6 +154,7 @@ object Ext {
     "q52c_frame_counts" -> (Multimodal.frameCounts _),
     "q52d_audio_frames" -> (Multimodal.audioFrames _),
     "q359_image_thumbnail" -> (Multimodal.thumbnails _),
+    "q360_audio_decimate" -> (Multimodal.audioDecimate _),
     "q204_range_join_binned" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -1481,5 +1482,18 @@ object Ext {
         |  CAST((doc_id * 11 + sx * 17 + sy * 5) % 256 AS INT) AS g,
         |  CAST((doc_id * 7 + sx * 13 + sy * 31) % 256 AS INT) AS b
         |FROM s ORDER BY doc_id, py, px""".stripMargin,
+
+    // 4:1 decimation of each WAV's closed-form samples (keep i % 4 = 0;
+    // sample i = (id*31 + i*73) % 4001 - 2000); the Spark side decimates
+    // the REAL decoded PCM16 bytes, so equality proves decode+resample.
+    "q360_audio_decimate" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, (doc_id * 31 + i * 73) % 4001 - 2000 AS v
+        |      FROM m, UNNEST(range(0, n)) t(i) WHERE i % 4 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_out,
+        |  CAST(SUM(v) AS BIGINT) AS sum_out,
+        |  CAST(MIN(v) AS INT) AS min_out, CAST(MAX(v) AS INT) AS max_out
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -267,6 +267,26 @@ object Multimodal {
       .orderBy("doc_id", "py", "px")
   }
 
+  /** Distributed audio decimation pass (q360): every WAV payload's real
+    * PCM16 samples are 4:1 decimated (keep every 4th sample — the integer
+    * resample an audio-training pipeline runs before featurization); exact
+    * integer summary per doc, oracle-checked against the generator's
+    * closed-form samples. */
+  def audioDecimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("format") === "wav").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = decodeWavSamples(r.media)
+          val d = s.indices.collect { case i if i % 4 == 0 => s(i) }
+          (r.doc_id, d.length, d.map(_.toLong).sum, d.min, d.max)
+        }
+      }
+      .toDF("doc_id", "n_out", "sum_out", "min_out", "max_out")
+      .orderBy("doc_id")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */
