@@ -5690,7 +5690,72 @@ object Queries {
         |LEFT JOIN (SELECT dr.thr, COUNT(*) AS n_dropped, SUM(wc.n_tok) AS dropped_tokens
         |           FROM dropped dr JOIN wc ON wc.doc_id = dr.b_id GROUP BY dr.thr) d
         |  ON d.thr = t.thr
-        |ORDER BY thr""".stripMargin)
+        |ORDER BY thr""".stripMargin),
+
+    // ---- [EXT] ranking AUC of the quality logit (q351's calibration
+    // companion: calibration asks "are the rates right per bin", AUC asks
+    // "does the score RANK boilerplate above clean at all"): exact
+    // tie-aware Mann-Whitney over the (mlogit, is_boilerplate) pairs —
+    // 2U = Σ_v (2·pos_v·negs_below_v + pos_v·neg_v), AUC·10⁴ = 2U·10⁴
+    // DIV (2·P·N) — pure integer arithmetic, no global per-row ranking:
+    // the cumulative runs over the DISTINCT-logit spine (bounded values
+    // after aggregation, the q348 bucket-spine shape), never the corpus.
+    // Label: doc carries a [2,32]-shared 8-gram (q351's). ----
+    q2("q361_ranking_auc",
+      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      DIV wc AS mlogit
+        |  FROM (SELECT doc_id, n_chars, size(w) AS wc,
+        |          size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |          size(array_distinct(w)) AS uniq FROM wd) f
+        |  WHERE wc > 0),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lv AS (SELECT s.mlogit,
+        |         SUM(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p,
+        |         SUM(CASE WHEN bp.doc_id IS NULL THEN 1 ELSE 0 END) AS q
+        |       FROM sc s LEFT JOIN bp ON bp.doc_id = s.doc_id GROUP BY s.mlogit),
+        |cum AS (SELECT mlogit, p, q,
+        |          COALESCE(SUM(q) OVER (ORDER BY mlogit
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+        |        FROM lv),
+        |u AS (SELECT SUM(p) AS np, SUM(q) AS nn,
+        |        SUM(2 * p * negs_below + p * q) AS u2 FROM cum)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  CAST(u2 * 10000 DIV (2 * np * nn) AS BIGINT) AS auc_x1e4
+        |FROM u""".stripMargin,
+      """WITH wd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      // wc AS mlogit
+        |  FROM (SELECT doc_id, n_chars, len(w) AS wc,
+        |          len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |          len(list_distinct(w)) AS uniq FROM wd) f
+        |  WHERE wc > 0),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM wd
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lv AS (SELECT s.mlogit,
+        |         SUM(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p,
+        |         SUM(CASE WHEN bp.doc_id IS NULL THEN 1 ELSE 0 END) AS q
+        |       FROM sc s LEFT JOIN bp ON bp.doc_id = s.doc_id GROUP BY s.mlogit),
+        |cum AS (SELECT mlogit, p, q,
+        |          COALESCE(SUM(q) OVER (ORDER BY mlogit
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+        |        FROM lv),
+        |u AS (SELECT SUM(p) AS np, SUM(q) AS nn,
+        |        SUM(2 * p * negs_below + p * q) AS u2 FROM cum)
+        |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(u2 AS BIGINT) AS u2,
+        |  CAST(u2 * 10000 // (2 * np * nn) AS BIGINT) AS auc_x1e4
+        |FROM u""".stripMargin)
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
