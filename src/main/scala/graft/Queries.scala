@@ -3360,7 +3360,7 @@ object Queries {
         |    size(array_distinct(split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT doc_id, wc,
-        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
+        |    CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
         |  FROM f WHERE wc > 0)
         |SELECT doc_id, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit, (lnum > 0) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
@@ -3370,7 +3370,7 @@ object Queries {
         |    len(list_distinct(string_split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT doc_id, wc,
-        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
+        |    CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT) AS lnum
         |  FROM f WHERE wc > 0)
         |SELECT doc_id, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit, (lnum > 0) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin),
@@ -4773,7 +4773,7 @@ object Queries {
         |    size(array_distinct(split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT source,
-        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+        |    CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
         |      AS lnum, wc
         |  FROM f WHERE wc > 0),
         |lg AS (SELECT source, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit,
@@ -4790,7 +4790,7 @@ object Queries {
         |    len(list_distinct(string_split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT source,
-        |    CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+        |    CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
         |      AS lnum, wc
         |  FROM f WHERE wc > 0),
         |lg AS (SELECT source, CAST(lnum AS DOUBLE) / (100.0 * wc) AS logit,
@@ -4957,7 +4957,7 @@ object Queries {
         |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
         |nd AS (SELECT ex.* FROM ex LEFT ANTI JOIN drops ON ex.doc_id = drops.b_id),
         |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
-        |        nd.wc * nd.wc - 300 * nd.wc + 50 * nd.n_chars
+        |        CAST(nd.wc AS BIGINT) * nd.wc - 300 * nd.wc + 50 * nd.n_chars
         |        + 200 * size(filter(split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
         |        + 300 * size(array_distinct(split(nd.text, ' '))) > 0),
         |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
@@ -5000,7 +5000,7 @@ object Queries {
         |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
         |nd AS (SELECT ex.* FROM ex ANTI JOIN drops ON ex.doc_id = drops.b_id),
         |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
-        |        nd.wc * nd.wc - 300 * nd.wc + 50 * nd.n_chars
+        |        CAST(nd.wc AS BIGINT) * nd.wc - 300 * nd.wc + 50 * nd.n_chars
         |        + 200 * len(list_filter(string_split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
         |        + 300 * len(list_distinct(string_split(nd.text, ' '))) > 0),
         |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
@@ -5202,7 +5202,7 @@ object Queries {
         |    size(array_distinct(split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT doc_id, wc,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      DIV wc AS mlogit
         |  FROM f WHERE wc > 0),
         |cut AS (SELECT percentile(CAST(mlogit AS DOUBLE), 0.25) AS c1,
@@ -5224,7 +5224,7 @@ object Queries {
         |    len(list_distinct(string_split(text, ' '))) AS uniq
         |  FROM documents),
         |sc AS (SELECT doc_id, wc,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      // wc AS mlogit
         |  FROM f WHERE wc > 0),
         |cut AS (SELECT quantile_cont(CAST(mlogit AS DOUBLE), 0.25) AS c1,
@@ -5254,7 +5254,7 @@ object Queries {
     q2("q351_quality_calibration",
       """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      DIV wc AS mlogit
         |  FROM (SELECT doc_id, n_chars, size(w) AS wc,
         |          size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
@@ -5278,7 +5278,7 @@ object Queries {
         |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
       """WITH wd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      // wc AS mlogit
         |  FROM (SELECT doc_id, n_chars, len(w) AS wc,
         |          len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stops,
@@ -5704,7 +5704,7 @@ object Queries {
     q2("q361_ranking_auc",
       """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      DIV wc AS mlogit
         |  FROM (SELECT doc_id, n_chars, size(w) AS wc,
         |          size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
@@ -5731,7 +5731,7 @@ object Queries {
         |FROM u""".stripMargin,
       """WITH wd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
-        |    (10 * CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      // wc AS mlogit
         |  FROM (SELECT doc_id, n_chars, len(w) AS wc,
         |          len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stops,

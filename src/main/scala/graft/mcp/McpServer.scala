@@ -176,11 +176,20 @@ final class McpServer(
       // {{template}} names bind even without a parameters block (the
       // reference's bare-passthrough idiom); advertise them so a
       // schema-driven client can discover the argument instead of calling
-      // with {} and hitting an empty-SQL parse error.
-      (Params.templateNames(t.statement) -- t.params.map(_.name)).toSeq.sorted.foreach { n =>
+      // with {} and hitting an empty-SQL parse error. Unlike DECLARED
+      // params (whose empty default is the reference's list-all idiom),
+      // an implicit template substitutes into the statement text itself —
+      // the call cannot mean anything without it — so mark it required.
+      val implicitNames =
+        (Params.templateNames(t.statement) -- t.params.map(_.name)).toSeq.sorted
+      implicitNames.foreach { n =>
         val pn = props.putObject(n)
         pn.put("type", "string")
         pn.put("description", s"Template parameter {{$n}} (implicitly declared by the statement).")
+      }
+      if (implicitNames.nonEmpty) {
+        val req = schema.putArray("required")
+        implicitNames.foreach(req.add)
       }
     }
     r

@@ -36,7 +36,7 @@ object Ext {
       val comp = Dedup.nearDupComponents(s, d)
       val logit = s.sql(
         """SELECT doc_id,
-          |  CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+          |  CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
           |    AS lnum, wc
           |FROM (SELECT doc_id, n_chars, size(split(text, ' ')) AS wc,
           |        size(filter(split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,
@@ -1019,7 +1019,7 @@ object Ext {
          |         FROM reach GROUP BY u),
          |csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id),
          |lg AS (SELECT doc_id,
-         |         CAST(wc * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
+         |         CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT)
          |           AS lnum, wc
          |       FROM (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS wc,
          |               len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS stops,

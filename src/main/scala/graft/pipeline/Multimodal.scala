@@ -227,7 +227,11 @@ object Multimodal {
     val w = b.getInt(18)
     val h = b.getInt(22)
     require(b.getShort(28) == 24 && b.getInt(30) == 0, "unsupported BMP")
+    // decodeBmp's loud-reject contract: positive bottom-up dimensions and
+    // complete pixel data, or a readable error instead of a raw AIOOBE.
+    require(w > 0 && h > 0, s"unsupported BMP dimensions ${w}x$h")
     val rowSize = ((3 * w + 3) / 4) * 4
+    require(bytes.length >= dataOffset + rowSize * h, "truncated BMP pixel data")
     val out = new Array[Int](ow * oh * 3)
     var py = 0
     while (py < oh) {
@@ -279,6 +283,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val s = decodeWavSamples(r.media)
+          require(s.nonEmpty, s"empty WAV data chunk (doc_id=${r.doc_id})")
           val d = s.indices.collect { case i if i % 4 == 0 => s(i) }
           (r.doc_id, d.length, d.map(_.toLong).sum, d.min, d.max)
         }

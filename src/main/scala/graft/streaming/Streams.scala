@@ -240,7 +240,7 @@ object Streams {
           .withColumn("wc", expr("size(ws)"))
           .where("wc > 0")
           .withColumn("lnum", expr(
-            "CAST(wc * wc - 300 * wc + 50 * n_chars" +
+            "CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars" +
               " + 200 * size(filter(ws, w -> w = 'the' OR w = 'a'))" +
               " + 300 * size(array_distinct(ws)) AS BIGINT)"))
           .groupBy(col("source"), expr("lnum > 0").as("keep"))

@@ -172,6 +172,8 @@ class ProtocolSpec extends SparkSpec {
       .find(_.get("name").asText() == "bare_sql").get
     assert(bare.at("/inputSchema/properties/sql/type").asText() == "string",
       s"implicit {{sql}} param missing from advertised schema: $bare")
+    assert(bare.at("/inputSchema/required/0").asText() == "sql",
+      s"implicit template param must be marked required: $bare")
   }
 
   test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
