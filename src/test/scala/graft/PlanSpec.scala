@@ -262,7 +262,8 @@ class PlanSpec extends SparkSpec {
       "q352_zipf_rank_frequency", // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
       "q355_cluster_margin",      // N x 8 broadcast-seed assignment (q51e's Lloyd-assign shape)
       "q357_knn_label_agreement", // same N x 8 broadcast-seed assignment feeding the cell equi-join
-      "q358_dedup_threshold_sweep") // 4-row constant threshold spine theta-joined to verified pairs
+      "q358_dedup_threshold_sweep", // 4-row constant threshold spine theta-joined to verified pairs
+      "q362_dataset_card")          // CROSS JOIN of two 1-row summary aggregates (sketch-law shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
