@@ -155,6 +155,49 @@ object Ext {
     "q52d_audio_frames" -> (Multimodal.audioFrames _),
     "q359_image_thumbnail" -> (Multimodal.thumbnails _),
     "q360_audio_decimate" -> (Multimodal.audioDecimate _),
+    // [EXT] dataset card: the one-row summary a published corpus ships
+    // with — population, source/modality mix, language split (q44's
+    // stopword rule), quality-gate keep count (q293's integer logit), and
+    // the boilerplate rate (q351's [2,32]-shared-8-gram label) — ONE
+    // conditional-aggregation scan plus the capped gram pass, all integer.
+    // The modality split joins Multimodal.mediaTable's format column
+    // (Multimodal.formatOf — the generator invariant stated ONCE); the
+    // DuckDB oracle restates doc_id parity independently, so a generator
+    // change fails the hash instead of silently mis-reporting the card
+    // (VERDICT r8 #2). The 1-row x 1-row CROSS JOIN at the end is the
+    // sketch-law broadcast shape.
+    "q362_dataset_card" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      Multimodal.mediaFormats(s, d).createOrReplaceTempView("media_fmt")
+      s.sql(
+        """WITH wd AS (SELECT doc_id, source, n_chars, split(text, ' ') AS w, text
+          |            FROM documents),
+          |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+          |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
+          |       WHERE size(w) >= 8),
+          |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+          |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          |        CAST(SUM(size(w)) AS BIGINT) AS n_tokens,
+          |        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          |        CAST(SUM(CASE WHEN (' ' || text || ' ') LIKE '% the %'
+          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          |        CAST(SUM(CASE WHEN size(w) > 0 AND
+          |               CAST(size(w) AS BIGINT) * size(w) - 300 * size(w) + 50 * n_chars
+          |               + 200 * size(filter(w, x -> x = 'the' OR x = 'a'))
+          |               + 300 * size(array_distinct(w)) > 0
+          |             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          |        CAST(SUM(CASE WHEN mf.format = 'bmp' THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+          |        CAST(SUM(CASE WHEN mf.format = 'wav' THEN 1 ELSE 0 END) AS BIGINT) AS n_wav
+          |      FROM wd JOIN media_fmt mf ON mf.doc_id = wd.doc_id),
+          |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boiler FROM bp)
+          |SELECT m.n_docs, m.n_sources, m.n_tokens, m.total_chars, m.n_en,
+          |  m.n_keep, m.n_bmp, m.n_wav, b.n_boiler,
+          |  CAST(b.n_boiler * 10000 DIV m.n_docs AS BIGINT) AS boiler_rate_x1e4,
+          |  CAST(m.n_tokens DIV m.n_docs AS BIGINT) AS mean_tokens
+          |FROM m CROSS JOIN b""".stripMargin)
+    }),
     "q204_range_join_binned" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -1495,5 +1538,38 @@ object Ext {
         |  CAST(SUM(v) AS BIGINT) AS sum_out,
         |  CAST(MIN(v) AS INT) AS min_out, CAST(MAX(v) AS INT) AS max_out
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Dataset card: the oracle restates the generator's modality invariant
+    // (doc_id parity) INDEPENDENTLY of Multimodal.formatOf, which the
+    // Spark side joins — the hash is the cross-check between the two
+    // statements of the rule (VERDICT r8 #2).
+    "q362_dataset_card" ->
+      """WITH wd AS (SELECT doc_id, source, n_chars, string_split(text, ' ') AS w, text
+        |            FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM wd
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |        CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(SUM(CASE WHEN (' ' || text || ' ') LIKE '% the %'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |        CAST(SUM(CASE WHEN len(w) > 0 AND
+        |               CAST(len(w) AS BIGINT) * len(w) - 300 * len(w) + 50 * n_chars
+        |               + 200 * len(list_filter(w, x -> x = 'the' OR x = 'a'))
+        |               + 300 * len(list_distinct(w)) > 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+        |        CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav
+        |      FROM wd),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boiler FROM bp)
+        |SELECT m.n_docs, m.n_sources, m.n_tokens, m.total_chars, m.n_en,
+        |  m.n_keep, m.n_bmp, m.n_wav, b.n_boiler,
+        |  CAST(b.n_boiler * 10000 // m.n_docs AS BIGINT) AS boiler_rate_x1e4,
+        |  CAST(m.n_tokens // m.n_docs AS BIGINT) AS mean_tokens
+        |FROM m CROSS JOIN b""".stripMargin,
   )
 }

@@ -169,16 +169,34 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, format: String, n_bytes: Int, media: Array[Byte])
 
-  /** The opaque-binary media table: one payload per document, format by
-    * doc_id parity. `n_bytes` is the ACTUAL payload length (so the meta
+  /** THE generator invariant, stated once: media modality is doc_id
+    * parity. Every consumer (mediaTable payload encoding, the q362
+    * dataset-card modality split) derives from this function; the DuckDB
+    * oracles restate the parity rule independently, so a change here
+    * diverges the hashes instead of silently mis-reporting. */
+  def formatOf(id: Long): String = if (id % 2 == 0) "bmp" else "wav"
+
+  /** The opaque-binary media table: one payload per document, format from
+    * [[formatOf]]. `n_bytes` is the ACTUAL payload length (so the meta
     * oracle cross-checks the encoders' container arithmetic too). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     Tables.register(spark, dir)
     import spark.implicits._
     spark.table("documents").select(col("doc_id")).as[Long].map { id =>
-      val (fmt, bytes) = if (id % 2 == 0) ("bmp", encodeBmp(id)) else ("wav", encodeWav(id))
+      val fmt = formatOf(id)
+      val bytes = if (fmt == "bmp") encodeBmp(id) else encodeWav(id)
       MediaRow(id, fmt, bytes.length, bytes)
     }
+  }
+
+  /** Lightweight (doc_id, format) projection of the media table — the
+    * modality column without paying for payload encoding. Same single
+    * source of truth ([[formatOf]]) as the full table. */
+  def mediaFormats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    spark.table("documents").select(col("doc_id")).as[Long]
+      .map(id => (id, formatOf(id))).toDF("doc_id", "format")
   }
 
   final case class DecodedRow(
