@@ -286,4 +286,115 @@ class PlanSpec extends SparkSpec {
       """count\(1\)#\d+L?\s*<=\s*32\)""".r.findFirstIn(plan).isDefined
     assert(capped, s"q340 plan lacks the [2,32] posting-count filter:\n$plan")
   }
+
+  test("catalog-wide audit: unpartitioned windows and float-aggregate doubles pinned to declared registries") {
+    // VERDICT r8 next-5 + next-3 in one analysis-only pass (no execution:
+    // optimizedPlan + schema). Two EXACT-set registries:
+    //  (a) entries allowed to plan a logical Window with an EMPTY partition
+    //      spec (single-partition at execution — sf-pinned contract shapes
+    //      and post-aggregate small spines only, never a production-path
+    //      claim). Exactness both ways: a new entry silently adding a
+    //      global window fails, and a registry row whose entry no longer
+    //      plans one goes stale and fails too.
+    //  (b) entries whose FINAL schema carries a float/double AND whose plan
+    //      contains a float-typed aggregate function — the lineage class
+    //      that shipped both driver hash-fails (q301 r7, q331 r8). Every
+    //      registry row is a reviewed, justified exception (total frame
+    //      order, ROUND-absorbed ULP, or constant-bounded input); new
+    //      float-aggregate doubles must be consciously added here or
+    //      emitted as exact integers instead.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, MapType, StructType}
+    def hasFloat(dt: DataType): Boolean = dt match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    val globalWindowRegistry: Set[String] = Set(
+      // SURVEY-declared contract window shapes (sf-pinned by design):
+      "q31_range_frame",          // RANGE frame over the whole orders spine
+      "q66_distribution_windows", // NTILE/PERCENT_RANK/CUME_DIST contract
+      "q173_null_safe_eq",        // LAG over the full null-pattern probe
+      "q188_global_share",        // share-of-global ratio via empty-spec SUM
+      // corpus-ranking audits whose window sees only TakeOrderedAndProject
+      // survivors (<= 50 rows — the audit above proves the cut):
+      "q266_bm25_topk", "q267_rrf_fusion", "q287_boilerplate_ngrams",
+      "q289_dup_spans", "q342_chunk_bm25",
+      // post-aggregate small spines (bucket/rank/bin counts, <= thousands
+      // of rows by construction — cumsums and DENSE_RANK over aggregates):
+      "q276_pagerank",            // final rank over 25 node scores
+      "q286_perplexity_buckets",  // the DECLARED sf-pinned global-NTILE twin of q286b
+      "q292_shard_packing",       // cumsum over the sorted shard spine
+      "q315_packing_efficiency",  // cumsum over per-doc token counts (packing audit twin)
+      "q316_vocab_coverage",      // cumulative token share over vocab ranks
+      "q339_hilbert_locality",    // rank over the constant 256-cell grid
+      "q348_vocab_growth",        // cumulative distinct over the rank spine
+      "q352_zipf_rank_frequency", // rank over the 31-word vocabulary
+      "q353_window_contamination",// cumsum spine for 512-token packing (two-level prefix sum)
+      "q361_ranking_auc")         // cumulative negatives over distinct logit values
+    val floatAggDoubleRegistry: Set[String] = Set(
+      // Declared-contract aggregate shapes: ROUND(SUM/AVG(2-dp price),k)
+      // over commutative exact-in-double inputs, or statistical aggregates
+      // whose output IS the contract (driver-green bitwise since r1-r4):
+      "q20_star_join", "q21_tpch_q1", "q27_global_agg", "q30_running_sum",
+      "q35_asof_window", "q39_group_by_expr", "q47_window_tumbling",
+      "q63_stopword_ratio", "q65_sliding_frame", "q68_percentile_cont",
+      "q73_pivot", "q77_grouping_sets", "q81_stats_agg",
+      "q83_median_argminmax", "q84_ignore_nulls", "q86_group_by_all",
+      "q93_tpch_q5", "q94_cube", "q95_time_range_frame",
+      "q96_approx_percentile", "q107_percentile_disc", "q110_regr",
+      "q118_skew_kurt", "q123_named_window", "q167_multi_distinct",
+      "q185_having_global", "q187_pivot_multi_agg", "q188_global_share",
+      "q201_try_arith", "q207_group_order_all",
+      "q210_grouped_approx_percentile", "q237_distribute_by_invariant",
+      "q239_array_agg_sign", "q269_partial_agg_rollup",
+      // TPC-H shapes (revenue ROUND(SUM(price*(1-disc)),4) etc.):
+      "q100_tpch_q10", "q101_tpch_q7", "q102_tpch_q14", "q103_tpch_q19",
+      "q104_tpch_q22", "q124_tpch_q2", "q126_tpch_q6", "q127_tpch_q8",
+      "q128_tpch_q9", "q129_tpch_q11", "q132_tpch_q15", "q133_tpch_q17",
+      "q134_tpch_q18",
+      // as-of/salt/layout/readback entries whose double is a ROUND(MAX/AVG)
+      // over a total-ordered or per-key-unique frame:
+      "q205_asof_join_op", "q205b_asof_join_native", "q206_salted_join_op",
+      "q258_etl_partitioned_readback", "q260_zorder_readback",
+      "q261_compaction_readback", "q270_schema_evolution",
+      "q309_bucketed_join_readback", "q310_bloom_semijoin",
+      // [EXT] scoring/statistics: 6-dp-rounded ranking scores or LN of
+      // exact integer ratios (memory: LN of identical integer-ratio doubles
+      // is cross-engine safe; every ranking rounds before ORDER BY):
+      "q51_ann_lsh", "q51e_kmeans_cells", "q181_char_entropy",
+      "q265_bigram_lm_score", "q266_bm25_topk", "q267_rrf_fusion",
+      "q271_ivf_kmeans_topk", "q275_pq_adc_topk", "q280_ivfpq_topk",
+      "q286_perplexity_buckets", "q286b_perplexity_buckets_at_scale",
+      "q294_embedding_outliers", "q295_source_drift", "q302_skew_audit",
+      "q308_time_decay_score", "q315_packing_efficiency",
+      "q319_centroid_drift", "q320_linear_attribution",
+      "q321_pca_power_iteration", "q330_distribution_drift",
+      "q333_rolling_anomaly", "q335_ann_multiprobe", "q336_multiprobe_recall",
+      "q338_heldout_xent", "q339_hilbert_locality", "q342_chunk_bm25",
+      "q345_source_quality_profile")
+    var gw = Set.empty[String]
+    var fd = Set.empty[String]
+    for (name <- Determinism.batchNames.sorted) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.optimizedPlan
+      if (plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.nonEmpty)
+        gw += name
+      val floatAgg = plan.exists(_.expressions.exists(_.collect {
+        case a: AggregateExpression if hasFloat(a.dataType) => a
+      }.nonEmpty))
+      if (floatAgg && df.schema.fields.exists(f => hasFloat(f.dataType)))
+        fd += name
+    }
+    val msgs = Seq(
+      ("global-window", gw, globalWindowRegistry),
+      ("float-aggregate-double", fd, floatAggDoubleRegistry)
+    ).collect { case (tag, actual, declared) if actual != declared =>
+      s"$tag registry drift — unexpected: ${(actual -- declared).toSeq.sorted}, stale: ${(declared -- actual).toSeq.sorted}"
+    }
+    assert(msgs.isEmpty, msgs.mkString("\n"))
+  }
 }

@@ -3,8 +3,19 @@
 dumped by graft.Verify, run the declared DuckDB oracle SQL on the same
 parquet tables and compare (columns sorted by name, row order preserved).
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+With --perturb (VERDICT r8 next-2), each oracle is additionally executed
+under PRAGMA threads=1 and PRAGMA threads=8 and the two results compared
+BITWISE before the Spark compare: an oracle whose own output depends on
+DuckDB's thread count is a latent driver-side fail of exactly the q331
+shape (the driver's DuckDB config is not ours), so thread-sensitivity is
+reported as a FAIL even when the default-config compare matches.
+--sweep-out <json> records the per-query stability verdicts plus the local
+DuckDB version (VERDICT r8 next-8: make builder/driver DuckDB skew visible
+in the round record instead of inferred).
+
+Usage: check_oracle.py <sfDir> <verifyOutDir> [--perturb] [--sweep-out F]
 """
+import datetime
 import json, math, sys
 
 import duckdb
@@ -26,8 +37,10 @@ def canon(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir, threads=None):
     con = duckdb.connect()
+    if threads is not None:
+        con.execute(f"PRAGMA threads={threads}")
     for t in TABLES:
         try:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -35,8 +48,22 @@ def main(sf_dir, out_dir):
             # mirror graft.Tables per-table isolation: a fixture dir holding
             # only some tables still gates the queries that use them
             print(f"WARN table {t} not registered: {e}")
+    return con
+
+
+def canon_df(df, cols):
+    return [[canon(v) for v in row] for row in df[cols].itertuples(index=False)]
+
+
+def main(sf_dir, out_dir, perturb=False, sweep_out=None):
+    print(f"duckdb {duckdb.__version__}")
+    con = connect(sf_dir)
+    if perturb:
+        con1 = connect(sf_dir, threads=1)
+        con8 = connect(sf_dir, threads=8)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    sweep = {}
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).fetchdf()
@@ -44,6 +71,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
+        ec = sorted(exp.columns)
+        exp_rows = canon_df(exp, ec)
+        if perturb:
+            try:
+                r1 = canon_df(con1.execute(sql).fetchdf(), ec)
+                r8 = canon_df(con8.execute(sql).fetchdf(), ec)
+            except Exception as e:
+                print(f"FAIL {name}: oracle perturb error: {e}")
+                sweep[name] = "error"
+                n_fail += 1
+                continue
+            if r1 != r8 or r1 != exp_rows:
+                bad = next((i for i, (a, b) in enumerate(zip(r1, r8))
+                            if a != b), len(r1))
+                print(f"FAIL {name}: ORACLE-UNSTABLE (threads=1 vs threads=8 "
+                      f"vs default diverge; first diff near row {bad})")
+                sweep[name] = "unstable"
+                n_fail += 1
+                continue
+            sweep[name] = "stable"
         try:
             got = duckdb.connect().execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -51,7 +98,6 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: result missing: {e}")
             n_fail += 1
             continue
-        ec = sorted(exp.columns)
         gc = sorted(got.columns)
         if ec != gc:
             print(f"FAIL {name}: columns {gc} != oracle {ec}")
@@ -61,8 +107,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}")
             n_fail += 1
             continue
-        exp_rows = [[canon(v) for v in row] for row in exp[ec].itertuples(index=False)]
-        got_rows = [[canon(v) for v in row] for row in got[gc].itertuples(index=False)]
+        got_rows = canon_df(got, gc)
         if exp_rows != got_rows:
             bad = next(i for i, (a, b) in enumerate(zip(exp_rows, got_rows)) if a != b)
             print(f"FAIL {name}: first diff at row {bad}:")
@@ -73,8 +118,34 @@ def main(sf_dir, out_dir):
         print(f"PASS {name} ({len(exp)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if sweep_out is not None:
+        n_stable = sum(1 for v in sweep.values() if v == "stable")
+        with open(sweep_out, "w") as f:
+            json.dump({
+                "label": ("oracle-side perturbation sweep: each DuckDB oracle "
+                          "run under PRAGMA threads=1 and threads=8, compared "
+                          "bitwise (IEEE-754 hex canon) before the Spark "
+                          "compare (VERDICT r8 next-2)"),
+                "generated_at_utc": datetime.datetime.now(
+                    datetime.timezone.utc).isoformat(timespec="seconds"),
+                "duckdb_version": duckdb.__version__,
+                "sf_dir": sf_dir,
+                "n_queries": len(sweep),
+                "n_stable": n_stable,
+                "n_unstable": sum(1 for v in sweep.values() if v == "unstable"),
+                "n_error": sum(1 for v in sweep.values() if v == "error"),
+                "queries": dict(sorted(sweep.items())),
+            }, f, indent=4)
+            f.write("\n")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    perturb = "--perturb" in sys.argv
+    sweep_out = None
+    if "--sweep-out" in sys.argv:
+        sweep_out = sys.argv[sys.argv.index("--sweep-out") + 1]
+        args = [a for a in args if a != sweep_out]
+        perturb = True
+    sys.exit(main(args[0], args[1], perturb=perturb, sweep_out=sweep_out))

@@ -16,7 +16,11 @@ def main(rnd, sf_dir, verify_out, out_json):
         [sys.executable, "tools/check_oracle.py", sf_dir, verify_out],
         capture_output=True, text=True)
     queries = {}
+    duckdb_version = None
     for line in proc.stdout.splitlines():
+        vm = re.match(r"duckdb (\S+)", line)
+        if vm:
+            duckdb_version = vm.group(1)
         m = re.match(r"(PASS|FAIL) (\S+?)[ :]", line)
         if m:
             queries[m.group(2)] = "pass" if m.group(1) == "PASS" else "fail"
@@ -29,6 +33,9 @@ def main(rnd, sf_dir, verify_out, out_json):
         "generated_at_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
         "sf_dir": sf_dir,
+        # VERDICT r8 next-8: pin the local oracle version in the round
+        # record so builder/driver DuckDB skew is visible, not inferred.
+        "duckdb_version": duckdb_version,
         "n_queries": len(queries),
         "n_pass": n_pass,
         "n_fail": len(queries) - n_pass,
