@@ -425,10 +425,15 @@ object BenchOne {
         val n = spark.sql(prefix + s"SELECT COUNT(*) AS n FROM $stage").collect()(0).getLong(0)
         println(f"run$i $stage%-6s rows=$n%9d  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       }
-      // Pruned variant: Jaccard >= 0.5 iff i >= (na+nb)/3, and the true
+      // Pruned variant: the drops predicate is ROUND(J,4) >= 0.5 (true
+      // J >= 0.49995), so the sound integer bound carries the half-unit
+      // slack — i*29999 >= 9999*(na+nb), q340's EXACT production constants
+      // (ADVICE r9: the earlier 3*i >= na+nb corresponds to J >= 0.5 and
+      // would prune a pair with J in [0.49995, 0.5) that q340 keeps,
+      // skewing this diagnostic's per-stage counts) — and the true
       // intersection is bounded by shared-capped-grams + min(hot-gram
-      // counts) (singleton grams can't be shared) — so prune candidate
-      // pairs with that bound BEFORE the exact per-pair re-join.
+      // counts) (singleton grams can't be shared); prune candidate pairs
+      // with that bound BEFORE the exact per-pair re-join.
       val pruned =
         """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
           |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
@@ -449,8 +454,8 @@ object BenchOne {
           |         JOIN sz na ON cp.a_id = na.doc_id JOIN sz nb ON cp.b_id = nb.doc_id
           |         LEFT JOIN hz ha ON cp.a_id = ha.doc_id
           |         LEFT JOIN hz hb ON cp.b_id = hb.doc_id
-          |         WHERE 3 * (cp.ic + LEAST(COALESCE(ha.hn, 0), COALESCE(hb.hn, 0)))
-          |               >= na.n + nb.n),
+          |         WHERE (cp.ic + LEAST(COALESCE(ha.hn, 0), COALESCE(hb.hn, 0))) * 29999
+          |               >= 9999 * (na.n + nb.n)),
           |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
           |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
           |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram

@@ -210,13 +210,28 @@ final class McpServer(
     // empty-defaults, surfacing later as a confusing downstream SQL error.
     // {{template}} names in the statement count as declared — reference
     // YAML tools (e.g. a bare `{{sql}}` passthrough) routinely omit the
-    // parameters block, and Params.bind substitutes them regardless.
-    val accepted = tool.params.map(_.name).toSet ++ Params.templateNames(tool.statement)
+    // parameters block, and Params.bind substitutes them regardless. So do
+    // statement-referenced `:name` parameters: Params.bind has always bound
+    // those from caller args (ADVICE r8 #3 — rejecting them here would be a
+    // silent behavior change for external configs that rely on it).
+    val implicitTemplates = Params.templateNames(tool.statement) -- tool.params.map(_.name)
+    val accepted = tool.params.map(_.name).toSet ++ implicitTemplates ++
+      Params.namedRefs(tool.statement)
     val unknown = args.keySet -- accepted
     if (unknown.nonEmpty)
       return response(id, errorContent(
         s"unknown parameter(s) ${unknown.toSeq.sorted.mkString(", ")} for tool $name; " +
           s"declared: ${if (accepted.isEmpty) "(none)" else accepted.toSeq.sorted.mkString(", ")}"))
+    // Implicit {{template}} params are advertised as `required` in
+    // tools/list — enforce that here (ADVICE r8 #2): a call without one
+    // would substitute "" into the statement text and surface as a
+    // confusing downstream empty-SQL parse error instead of this message.
+    // (DECLARED params keep the reference's empty-default idiom.)
+    val missingTemplates = implicitTemplates -- args.keySet
+    if (missingTemplates.nonEmpty)
+      return response(id, errorContent(
+        s"missing required template parameter(s) " +
+          s"${missingTemplates.toSeq.sorted.mkString(", ")} for tool $name"))
     try {
       val bound = Params.bind(tool.statement, args, tool.params)
       // Gate caller-supplied SQL: passthrough tools always; any tool whose

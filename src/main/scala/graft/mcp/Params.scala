@@ -20,6 +20,17 @@ object Params {
   def templateNames(statement: String): Set[String] =
     Template.findAllMatchIn(statement).map(_.group(1)).toSet
 
+  private val NamedRef = raw"(?<![:\w]):([A-Za-z_][A-Za-z0-9_]*)\b".r
+
+  /** The `:name` parameters a statement references (scanned on the raw YAML
+    * text, same lookbehind as [[bind]]'s referenced-filter so `::cast` and
+    * `12:30` literals never match). `bind` has always bound these from
+    * caller args even when undeclared; the server's unknown-argument guard
+    * accepts them for the same reason (ADVICE r8 #3 — external configs may
+    * rely on undeclared `:name` binding). */
+  def namedRefs(statement: String): Set[String] =
+    NamedRef.findAllMatchIn(statement).map(_.group(1)).toSet
+
   final case class Bound(sql: String, args: Map[String, String])
 
   /** Binds `argValues` into `statement`, returning the SQL to execute plus

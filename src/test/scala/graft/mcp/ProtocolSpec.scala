@@ -174,6 +174,45 @@ class ProtocolSpec extends SparkSpec {
       s"implicit {{sql}} param missing from advertised schema: $bare")
     assert(bare.at("/inputSchema/required/0").asText() == "sql",
       s"implicit template param must be marked required: $bare")
+    // ...and the advertised `required` is ENFORCED at call time (ADVICE r9):
+    // a call omitting the implicit template must get THIS tool error, not
+    // the downstream empty-SQL parse error the schema exists to prevent.
+    val r3 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":84,"method":"tools/call","params":{"name":"bare_sql","arguments":{}}}""").get)
+    assert(r3.at("/result/isError").asBoolean(false), s"expected isError: $r3")
+    val m3 = r3.at("/result/content").get(0).get("text").asText()
+    assert(m3.contains("missing required template parameter") && m3.contains("sql"), m3)
+  }
+
+  test("undeclared statement-referenced :name parameter still binds (not rejected as unknown)") {
+    // Params.bind has always bound a caller arg whose :name appears in the
+    // statement even without a parameters block; the unknown-argument guard
+    // must keep accepting that shape (ADVICE r9 — rejecting it would be a
+    // silent behavior change for external YAML configs).
+    val yaml =
+      """sources:
+        |  testdata:
+        |    kind: dataset-dir
+        |    path: /root/testdata/sf0.001
+        |tools:
+        |  region_nations:
+        |    kind: spark-sql
+        |    description: Statement references :region_name with no parameters block.
+        |    statement: |
+        |      SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = :region_name ORDER BY n_name
+        |""".stripMargin
+    val config = Config.parse(yaml)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+    val r = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":85,"method":"tools/call","params":{"name":"region_nations","arguments":{"region_name":"AFRICA"}}}""").get)
+    assert(!r.at("/result/isError").asBoolean(false), s"statement-referenced :name must bind: $r")
+    assert(r.at("/result/content").size() == 5, s"expected 5 African nations: $r")
+    // a genuinely unknown name is still rejected
+    val bad = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":86,"method":"tools/call","params":{"name":"region_nations","arguments":{"region":"AFRICA"}}}""").get)
+    assert(bad.at("/result/isError").asBoolean(false), s"typo'd arg must still error: $bad")
   }
 
   test("custom YAML tool with :name, $1 and {{sql}} binding styles") {
