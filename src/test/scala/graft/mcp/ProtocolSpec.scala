@@ -341,6 +341,54 @@ class ProtocolSpec extends SparkSpec {
       s"corpus_funnel(5000, 200) diverged from q340:\n yaml=$yamlRows\n q340=$q340")
   }
 
+  test("dataset_card and dedup_threshold_sweep YAML tools drive the q362/q358 pipelines declaratively") {
+    // VERDICT r8 next-7: surface more of the pipeline through the
+    // reference's extension model. Both tools are drift-guarded against
+    // their DuckDB-gated catalog twins — only the catalog entries are
+    // oracle-verified, so YAML divergence = the MCP surface shipping
+    // unverified semantics.
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    val listed = mapper.readTree(
+      srv.handleLine("""{"jsonrpc":"2.0","id":30,"method":"tools/list"}""").get)
+    val tools = listed.at("/result/tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
+    assert(names.contains("dataset_card") && names.contains("dedup_threshold_sweep"),
+      s"tools/list missing new pipeline tools: $names")
+
+    // dataset_card: one row, exactly q362's values
+    val rc = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":31,"method":"tools/call","params":{"name":"dataset_card","arguments":{}}}""").get)
+    assert(!rc.at("/result/isError").asBoolean(false), s"dataset_card errored: $rc")
+    assert(rc.at("/result/content").size() == 1, s"card must be one row: $rc")
+    val card = mapper.readTree(rc.at("/result/content").get(0).get("text").asText())
+    val q362 = graft.SparkEntry.queries("q362_dataset_card")(spark, sfDir).collect()(0)
+    val cols = graft.SparkEntry.queries("q362_dataset_card")(spark, sfDir).columns
+    cols.zipWithIndex.foreach { case (c, i) =>
+      assert(card.get(c).asLong() == q362.getLong(i),
+        s"dataset_card.$c=${card.get(c)} diverged from q362=${q362.getLong(i)}")
+    }
+
+    // dedup_threshold_sweep at q358's operating points: exactly its rows
+    val rs = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":32,"method":"tools/call","params":{"name":"dedup_threshold_sweep","arguments":{"thresholds_x1e4":"8500,9200,9700,9900"}}}""").get)
+    assert(!rs.at("/result/isError").asBoolean(false), s"dedup_threshold_sweep errored: $rs")
+    val sweepRows = (0 until rs.at("/result/content").size())
+      .map(i => mapper.readTree(rs.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("thr").asLong(), n.get("n_pairs").asLong(),
+        n.get("n_dropped").asLong(), n.get("dropped_tokens").asLong()))
+    val q358 = graft.SparkEntry.queries("q358_dedup_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sweepRows == q358,
+      s"dedup_threshold_sweep diverged from q358:\n yaml=$sweepRows\n q358=$q358")
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")
