@@ -5767,6 +5767,122 @@ object Queries {
     // which needs a Scala-side temp view and so cannot stay a pure-SQL
     // q2 pair. The DuckDB oracle keeps the parity restatement as the
     // independent cross-check.
+
+    // ---- [EXT] train/val/test split leakage audit: assign every document
+    // to a split by deterministic md5 bucket (80/10/10 — the seedless
+    // hash-split every pipeline uses so reruns and late-arriving shards
+    // land identically), then count near-duplicate pairs (the [2,32]
+    // posting-window candidates, exact 3-gram Jaccard >= 0.90 in integer
+    // micro-units) that CROSS split boundaries — eval contamination by
+    // near-dup, the failure exact decontamination (q290) misses. Scale:
+    // candidates are the same capped gram equi-join as q312/q358 (never
+    // quadratic in hot grams); the split assignment is a map-side hash.
+    // All-integer output. ----
+    q2("q363_split_leakage",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w,
+        |    CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS sp
+        |  FROM documents),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |dup AS (SELECT a_id, b_id FROM inter
+        |        JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |        WHERE (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) >= 9000),
+        |lab AS (SELECT LEAST(wa.sp, wb.sp) AS sp_lo, GREATEST(wa.sp, wb.sp) AS sp_hi,
+        |          dup.a_id, dup.b_id, (wa.sp <> wb.sp) AS crosses
+        |        FROM dup JOIN w wa ON wa.doc_id = dup.a_id JOIN w wb ON wb.doc_id = dup.b_id)
+        |SELECT sp_lo, sp_hi, crosses,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_victim_docs
+        |FROM lab GROUP BY sp_lo, sp_hi, crosses ORDER BY sp_lo, sp_hi, crosses""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS sp
+        |  FROM documents),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |dup AS (SELECT a_id, b_id FROM inter
+        |        JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |        WHERE (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) >= 9000),
+        |lab AS (SELECT LEAST(wa.sp, wb.sp) AS sp_lo, GREATEST(wa.sp, wb.sp) AS sp_hi,
+        |          dup.a_id, dup.b_id, (wa.sp <> wb.sp) AS crosses
+        |        FROM dup JOIN w wa ON wa.doc_id = dup.a_id JOIN w wb ON wb.doc_id = dup.b_id)
+        |SELECT sp_lo, sp_hi, crosses,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_victim_docs
+        |FROM lab GROUP BY sp_lo, sp_hi, crosses ORDER BY sp_lo, sp_hi, crosses""".stripMargin),
+
+    // ---- [EXT] padding-waste audit for length-bucketed batching (the
+    // inference/training dataloader question: how many pad tokens does
+    // batch-of-32 padding cost, and how much does length-sorting save?).
+    // Two deterministic batch assignments per source — arrival order
+    // (doc_id) vs length-sorted (token count desc) — each batch padded to
+    // its max length; waste = Σ(batch_rows × batch_max − batch_tokens).
+    // Windows PARTITION BY source (the at-scale shard key), batch stats
+    // are plain groupBys, savings in exact basis points. ----
+    q2("q364_padding_waste",
+      """WITH t AS (SELECT doc_id, source, size(split(text, ' ')) AS n_tok FROM documents),
+        |a AS (SELECT source, n_tok,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS BIGINT) DIV 32 AS bk
+        |      FROM t),
+        |b AS (SELECT source, n_tok,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) AS BIGINT) DIV 32 AS bk
+        |      FROM t),
+        |wa AS (SELECT source, bk, COUNT(*) AS c, MAX(n_tok) AS mx, SUM(n_tok) AS s
+        |       FROM a GROUP BY source, bk),
+        |wb AS (SELECT source, bk, COUNT(*) AS c, MAX(n_tok) AS mx, SUM(n_tok) AS s
+        |       FROM b GROUP BY source, bk),
+        |ra AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |         CAST(SUM(c * mx - s) AS BIGINT) AS waste FROM wa GROUP BY source),
+        |rb AS (SELECT source, CAST(SUM(c * mx - s) AS BIGINT) AS waste FROM wb GROUP BY source)
+        |SELECT ra.source, ra.n_batches,
+        |  ra.waste AS waste_naive, rb.waste AS waste_sorted,
+        |  CAST((ra.waste - rb.waste) * 10000 DIV ra.waste AS BIGINT) AS savings_x1e4
+        |FROM ra JOIN rb ON ra.source = rb.source ORDER BY ra.source""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |a AS (SELECT source, n_tok,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS BIGINT) // 32 AS bk
+        |      FROM t),
+        |b AS (SELECT source, n_tok,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id) - 1) AS BIGINT) // 32 AS bk
+        |      FROM t),
+        |wa AS (SELECT source, bk, COUNT(*) AS c, MAX(n_tok) AS mx, SUM(n_tok) AS s
+        |       FROM a GROUP BY source, bk),
+        |wb AS (SELECT source, bk, COUNT(*) AS c, MAX(n_tok) AS mx, SUM(n_tok) AS s
+        |       FROM b GROUP BY source, bk),
+        |ra AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |         CAST(SUM(c * mx - s) AS BIGINT) AS waste FROM wa GROUP BY source),
+        |rb AS (SELECT source, CAST(SUM(c * mx - s) AS BIGINT) AS waste FROM wb GROUP BY source)
+        |SELECT ra.source, ra.n_batches,
+        |  ra.waste AS waste_naive, rb.waste AS waste_sorted,
+        |  CAST((ra.waste - rb.waste) * 10000 // ra.waste AS BIGINT) AS savings_x1e4
+        |FROM ra JOIN rb ON ra.source = rb.source ORDER BY ra.source""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
