@@ -5883,6 +5883,110 @@ object Queries {
         |  ra.waste AS waste_naive, rb.waste AS waste_sorted,
         |  CAST((ra.waste - rb.waste) * 10000 // ra.waste AS BIGINT) AS savings_x1e4
         |FROM ra JOIN rb ON ra.source = rb.source ORDER BY ra.source""".stripMargin),
+
+    // ---- [EXT] Matryoshka (prefix-dimension) retrieval audit: rank the
+    // corpus for 5 probe vectors by full-64-dim dot product vs the
+    // first-16-dim prefix (the MRL trick — store one embedding, search a
+    // cheap prefix, rerank survivors at full width), and measure
+    // recall@10 of the prefix ranking against the full one. Scoring is
+    // EXACT: both dots fold BIGINT lattice values (q355's provably
+    // tie-free 1e-3 quantization), ties broken by vec_id, so both engines
+    // rank identically. The 5 x N probe scan is the declared
+    // brute-force-audit shape (q51c) — production prefilters by the
+    // prefix score then reranks candidates only. ----
+    q2("q365_matryoshka_recall",
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        aggregate(zip_with(p.pq, e.q, (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS full_dot,
+        |        aggregate(zip_with(slice(p.pq, 1, 16), slice(e.q, 1, 16), (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS pre_dot
+        |      FROM p CROSS JOIN e WHERE e.vec_id <> p.qid),
+        |rf AS (SELECT qid, vec_id, full_dot,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY full_dot DESC, vec_id) AS rn FROM d),
+        |rp AS (SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pre_dot DESC, vec_id) AS rn FROM d)
+        |SELECT rf.qid,
+        |  CAST(COUNT(rp.vec_id) AS BIGINT) AS recall_at_10,
+        |  CAST(MAX(CASE WHEN rf.rn = 1 THEN rf.full_dot END) AS BIGINT) AS top1_full_dot
+        |FROM rf LEFT JOIN rp ON rf.qid = rp.qid AND rf.vec_id = rp.vec_id AND rp.rn <= 10
+        |WHERE rf.rn <= 10 GROUP BY rf.qid ORDER BY rf.qid""".stripMargin,
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        CAST(list_sum(list_transform(range(1, 65), j -> p.pq[j] * e.q[j])) AS BIGINT) AS full_dot,
+        |        CAST(list_sum(list_transform(range(1, 17), j -> p.pq[j] * e.q[j])) AS BIGINT) AS pre_dot
+        |      FROM p, e WHERE e.vec_id <> p.qid),
+        |rf AS (SELECT qid, vec_id, full_dot,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY full_dot DESC, vec_id) AS rn FROM d),
+        |rp AS (SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pre_dot DESC, vec_id) AS rn FROM d)
+        |SELECT rf.qid,
+        |  CAST(COUNT(rp.vec_id) AS BIGINT) AS recall_at_10,
+        |  CAST(MAX(CASE WHEN rf.rn = 1 THEN rf.full_dot END) AS BIGINT) AS top1_full_dot
+        |FROM rf LEFT JOIN rp ON rf.qid = rp.qid AND rf.vec_id = rp.vec_id AND rp.rn <= 10
+        |WHERE rf.rn <= 10 GROUP BY rf.qid ORDER BY rf.qid""".stripMargin),
+
+    // ---- [EXT] binary-quantized ANN (sign bits + Hamming): pack each
+    // 64-dim embedding's sign pattern into two BIGINT halves (32 distinct
+    // powers of two summed — identical to OR since bits are disjoint; two
+    // halves keep every value well inside the positive BIGINT range in
+    // both engines), rank by Hamming distance bit_count(xor(hi)) +
+    // bit_count(xor(lo)), and audit recall@10 against the exact lattice
+    // dot-product ranking — the 64x-compression regime (8 bytes/vector)
+    // used for first-stage retrieval at the 100 TB scale. All integer;
+    // ties by vec_id. ----
+    q2("q366_hamming_ann_recall",
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q,
+        |    aggregate(sequence(1, 32), CAST(0 AS BIGINT), (a, j) ->
+        |      a + CASE WHEN element_at(embedding, j) > 0
+        |            THEN shiftleft(CAST(1 AS BIGINT), j - 1) ELSE CAST(0 AS BIGINT) END) AS h_lo,
+        |    aggregate(sequence(33, 64), CAST(0 AS BIGINT), (a, j) ->
+        |      a + CASE WHEN element_at(embedding, j) > 0
+        |            THEN shiftleft(CAST(1 AS BIGINT), j - 33) ELSE CAST(0 AS BIGINT) END) AS h_hi
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq, h_lo AS plo, h_hi AS phi FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        aggregate(zip_with(p.pq, e.q, (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS dot,
+        |        bit_count(p.plo ^ e.h_lo) + bit_count(p.phi ^ e.h_hi) AS ham
+        |      FROM p CROSS JOIN e WHERE e.vec_id <> p.qid),
+        |rf AS (SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM d),
+        |rh AS (SELECT qid, vec_id, ham,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn FROM d)
+        |SELECT rf.qid,
+        |  CAST(COUNT(rh.vec_id) AS BIGINT) AS recall_at_10,
+        |  CAST(MIN(rh.ham) AS BIGINT) AS best_overlap_ham
+        |FROM rf LEFT JOIN rh ON rf.qid = rh.qid AND rf.vec_id = rh.vec_id AND rh.rn <= 10
+        |WHERE rf.rn <= 10 GROUP BY rf.qid ORDER BY rf.qid""".stripMargin,
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q,
+        |    CAST(list_sum(list_transform(range(1, 33), j ->
+        |      CASE WHEN embedding[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(33, 65), j ->
+        |      CASE WHEN embedding[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 33)) ELSE 0 END)) AS BIGINT) AS h_hi
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq, h_lo AS plo, h_hi AS phi FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        CAST(list_sum(list_transform(range(1, 65), j -> p.pq[j] * e.q[j])) AS BIGINT) AS dot,
+        |        bit_count(xor(p.plo, e.h_lo)) + bit_count(xor(p.phi, e.h_hi)) AS ham
+        |      FROM p, e WHERE e.vec_id <> p.qid),
+        |rf AS (SELECT qid, vec_id,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rn FROM d),
+        |rh AS (SELECT qid, vec_id, ham,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn FROM d)
+        |SELECT rf.qid,
+        |  CAST(COUNT(rh.vec_id) AS BIGINT) AS recall_at_10,
+        |  CAST(MIN(rh.ham) AS BIGINT) AS best_overlap_ham
+        |FROM rf LEFT JOIN rh ON rf.qid = rh.qid AND rf.vec_id = rh.vec_id AND rh.rn <= 10
+        |WHERE rf.rn <= 10 GROUP BY rf.qid ORDER BY rf.qid""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpec {
       "q355_cluster_margin",      // N x 8 broadcast-seed assignment (q51e's Lloyd-assign shape)
       "q357_knn_label_agreement", // same N x 8 broadcast-seed assignment feeding the cell equi-join
       "q358_dedup_threshold_sweep", // 4-row constant threshold spine theta-joined to verified pairs
-      "q362_dataset_card")          // CROSS JOIN of two 1-row summary aggregates (sketch-law shape)
+      "q362_dataset_card",          // CROSS JOIN of two 1-row summary aggregates (sketch-law shape)
+      "q365_matryoshka_recall",     // 5 broadcast probe vectors x corpus (q51c's brute-force-audit shape)
+      "q366_hamming_ann_recall")    // same 5-probe broadcast audit shape (exact-vs-Hamming recall)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
