@@ -5987,6 +5987,92 @@ object Queries {
         |  CAST(MIN(rh.ham) AS BIGINT) AS best_overlap_ham
         |FROM rf LEFT JOIN rh ON rf.qid = rh.qid AND rf.vec_id = rh.vec_id AND rh.rn <= 10
         |WHERE rf.rn <= 10 GROUP BY rf.qid ORDER BY rf.qid""".stripMargin),
+
+    // ---- [EXT] ranking-quality audit beyond recall: Spearman footrule
+    // (sum of |rank_full - rank_prefix| over the corpus, plus the top-10
+    // restriction) between the exact 64-dim ranking and the 16-dim
+    // Matryoshka prefix ranking, and the prefix rank of the true nearest
+    // neighbor (the MRR ingredient — "how deep must the reranker read").
+    // All ranks are integer ROW_NUMBERs over exact BIGINT lattice dots
+    // with vec_id tie-breaks, so both engines agree bitwise. Same 5-probe
+    // brute-force-audit shape as q365 (production computes footrule@k on
+    // prefiltered candidates only). ----
+    q2("q367_rank_footrule",
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        aggregate(zip_with(p.pq, e.q, (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS full_dot,
+        |        aggregate(zip_with(slice(p.pq, 1, 16), slice(e.q, 1, 16), (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS pre_dot
+        |      FROM p CROSS JOIN e WHERE e.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY full_dot DESC, vec_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pre_dot DESC, vec_id) AS rp
+        |      FROM d)
+        |SELECT qid,
+        |  CAST(SUM(ABS(rf - rp)) AS BIGINT) AS footrule,
+        |  CAST(SUM(CASE WHEN rf <= 10 THEN ABS(rf - rp) ELSE 0 END) AS BIGINT) AS footrule_at_10,
+        |  CAST(MAX(CASE WHEN rf = 1 THEN rp END) AS BIGINT) AS nn_prefix_rank
+        |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq FROM e WHERE vec_id < 5),
+        |d AS (SELECT p.qid, e.vec_id,
+        |        CAST(list_sum(list_transform(range(1, 65), j -> p.pq[j] * e.q[j])) AS BIGINT) AS full_dot,
+        |        CAST(list_sum(list_transform(range(1, 17), j -> p.pq[j] * e.q[j])) AS BIGINT) AS pre_dot
+        |      FROM p, e WHERE e.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY full_dot DESC, vec_id) AS rf,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pre_dot DESC, vec_id) AS rp
+        |      FROM d)
+        |SELECT qid,
+        |  CAST(SUM(ABS(rf - rp)) AS BIGINT) AS footrule,
+        |  CAST(SUM(CASE WHEN rf <= 10 THEN ABS(rf - rp) ELSE 0 END) AS BIGINT) AS footrule_at_10,
+        |  CAST(MAX(CASE WHEN rf = 1 THEN rp END) AS BIGINT) AS nn_prefix_rank
+        |FROM r GROUP BY qid ORDER BY qid""".stripMargin),
+
+    // ---- [EXT] corpus novelty decay: split the corpus into 10 arrival
+    // batches (doc_id deciles — the ingestion-order proxy), count per
+    // batch how many distinct 3-gram shingles appear for the FIRST time
+    // (MIN(first batch) per shingle) vs total shingle postings, i.e. the
+    // marginal-new-content rate each crawl increment buys — the curve
+    // that decides when continued crawling stops paying for dedup. One
+    // explode + one groupBy on the shingle (the same single-shuffle shape
+    // as every gram pass); the 10-row batch spine cumsum is the declared
+    // post-aggregate unpartitioned window. Integer basis points. ----
+    q2("q368_shingle_novelty",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |b AS (SELECT sh.doc_id * 10 DIV m.n AS batch, sh.g FROM sh CROSS JOIN m),
+        |f AS (SELECT g, MIN(batch) AS first_b FROM b GROUP BY g),
+        |nv AS (SELECT first_b AS batch, COUNT(*) AS new_shingles FROM f GROUP BY first_b),
+        |oc AS (SELECT batch, COUNT(*) AS postings FROM b GROUP BY batch)
+        |SELECT oc.batch, CAST(oc.postings AS BIGINT) AS postings,
+        |  CAST(COALESCE(nv.new_shingles, 0) AS BIGINT) AS new_shingles,
+        |  CAST(SUM(COALESCE(nv.new_shingles, 0)) OVER (ORDER BY oc.batch) AS BIGINT) AS cum_distinct,
+        |  CAST(COALESCE(nv.new_shingles, 0) * 10000 DIV oc.postings AS BIGINT) AS novelty_x1e4
+        |FROM oc LEFT JOIN nv ON nv.batch = oc.batch ORDER BY oc.batch""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |b AS (SELECT sh.doc_id * 10 // m.n AS batch, sh.g FROM sh CROSS JOIN m),
+        |f AS (SELECT g, MIN(batch) AS first_b FROM b GROUP BY g),
+        |nv AS (SELECT first_b AS batch, COUNT(*) AS new_shingles FROM f GROUP BY first_b),
+        |oc AS (SELECT batch, COUNT(*) AS postings FROM b GROUP BY batch)
+        |SELECT oc.batch, CAST(oc.postings AS BIGINT) AS postings,
+        |  CAST(COALESCE(nv.new_shingles, 0) AS BIGINT) AS new_shingles,
+        |  CAST(SUM(COALESCE(nv.new_shingles, 0)) OVER (ORDER BY oc.batch) AS BIGINT) AS cum_distinct,
+        |  CAST(COALESCE(nv.new_shingles, 0) * 10000 // oc.postings AS BIGINT) AS novelty_x1e4
+        |FROM oc LEFT JOIN nv ON nv.batch = oc.batch ORDER BY oc.batch""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

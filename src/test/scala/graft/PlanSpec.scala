@@ -265,7 +265,9 @@ class PlanSpec extends SparkSpec {
       "q358_dedup_threshold_sweep", // 4-row constant threshold spine theta-joined to verified pairs
       "q362_dataset_card",          // CROSS JOIN of two 1-row summary aggregates (sketch-law shape)
       "q365_matryoshka_recall",     // 5 broadcast probe vectors x corpus (q51c's brute-force-audit shape)
-      "q366_hamming_ann_recall")    // same 5-probe broadcast audit shape (exact-vs-Hamming recall)
+      "q366_hamming_ann_recall",    // same 5-probe broadcast audit shape (exact-vs-Hamming recall)
+      "q367_rank_footrule",         // same 5-probe broadcast audit shape (footrule rank distance)
+      "q368_shingle_novelty")       // CROSS JOIN with the 1-row MAX(doc_id) batch-width aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
@@ -336,7 +338,8 @@ class PlanSpec extends SparkSpec {
       "q348_vocab_growth",        // cumulative distinct over the rank spine
       "q352_zipf_rank_frequency", // rank over the 31-word vocabulary
       "q353_window_contamination",// cumsum spine for 512-token packing (two-level prefix sum)
-      "q361_ranking_auc")         // cumulative negatives over distinct logit values
+      "q361_ranking_auc",         // cumulative negatives over distinct logit values
+      "q368_shingle_novelty")     // cumsum over the 10-row arrival-batch spine
     val floatAggDoubleRegistry: Set[String] = Set(
       // Declared-contract aggregate shapes: ROUND(SUM/AVG(2-dp price),k)
       // over commutative exact-in-double inputs, or statistical aggregates
