@@ -6073,6 +6073,120 @@ object Queries {
         |  CAST(SUM(COALESCE(nv.new_shingles, 0)) OVER (ORDER BY oc.batch) AS BIGINT) AS cum_distinct,
         |  CAST(COALESCE(nv.new_shingles, 0) * 10000 // oc.postings AS BIGINT) AS novelty_x1e4
         |FROM oc LEFT JOIN nv ON nv.batch = oc.batch ORDER BY oc.batch""".stripMargin),
+
+    // ---- [EXT] zone-map (min/max data-skipping) effectiveness audit —
+    // THE 100 TB scan lever: group orders into files two ways (arrival
+    // order o_orderkey DIV 1000 vs date-partitioned yyyymm), compute each
+    // file's [min,max] o_orderdate zone, and for three probe date ranges
+    // count how many files a min/max-pruning scanner must actually read.
+    // File stats are one groupBy per layout; the 3-row probe spine
+    // broadcast-theta-joins the per-file zones (linear in file count).
+    // Integer file counts + basis-point scan fractions. ----
+    q2("q369_zonemap_prune",
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |fa AS (SELECT o_orderkey DIV 1000 AS f, MIN(d) AS lo, MAX(d) AS hi FROM o GROUP BY o_orderkey DIV 1000),
+        |fb AS (SELECT year(d) * 100 + month(d) AS f, MIN(d) AS lo, MAX(d) AS hi FROM o GROUP BY year(d) * 100 + month(d)),
+        |pr AS (SELECT * FROM VALUES
+        |         (1, DATE'1996-03-01', DATE'1996-03-31'),
+        |         (2, DATE'1997-01-01', DATE'1997-06-30'),
+        |         (3, DATE'1999-07-01', DATE'1999-07-07') AS t(probe, plo, phi)),
+        |sa AS (SELECT probe, COUNT(*) AS total,
+        |         SUM(CASE WHEN lo <= phi AND hi >= plo THEN 1 ELSE 0 END) AS scanned
+        |       FROM pr CROSS JOIN fa GROUP BY probe),
+        |sb AS (SELECT probe, COUNT(*) AS total,
+        |         SUM(CASE WHEN lo <= phi AND hi >= plo THEN 1 ELSE 0 END) AS scanned
+        |       FROM pr CROSS JOIN fb GROUP BY probe)
+        |SELECT sa.probe,
+        |  CAST(sa.total AS BIGINT) AS files_arrival, CAST(sa.scanned AS BIGINT) AS scan_arrival,
+        |  CAST(sb.total AS BIGINT) AS files_bydate, CAST(sb.scanned AS BIGINT) AS scan_bydate,
+        |  CAST(sa.scanned * 10000 DIV sa.total AS BIGINT) AS frac_arrival_x1e4,
+        |  CAST(sb.scanned * 10000 DIV sb.total AS BIGINT) AS frac_bydate_x1e4
+        |FROM sa JOIN sb ON sa.probe = sb.probe ORDER BY sa.probe""".stripMargin,
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |fa AS (SELECT o_orderkey // 1000 AS f, MIN(d) AS lo, MAX(d) AS hi FROM o GROUP BY o_orderkey // 1000),
+        |fb AS (SELECT year(d) * 100 + month(d) AS f, MIN(d) AS lo, MAX(d) AS hi FROM o GROUP BY year(d) * 100 + month(d)),
+        |pr AS (SELECT * FROM (VALUES
+        |         (1, DATE '1996-03-01', DATE '1996-03-31'),
+        |         (2, DATE '1997-01-01', DATE '1997-06-30'),
+        |         (3, DATE '1999-07-01', DATE '1999-07-07')) AS t(probe, plo, phi)),
+        |sa AS (SELECT probe, COUNT(*) AS total,
+        |         SUM(CASE WHEN lo <= phi AND hi >= plo THEN 1 ELSE 0 END) AS scanned
+        |       FROM pr CROSS JOIN fa GROUP BY probe),
+        |sb AS (SELECT probe, COUNT(*) AS total,
+        |         SUM(CASE WHEN lo <= phi AND hi >= plo THEN 1 ELSE 0 END) AS scanned
+        |       FROM pr CROSS JOIN fb GROUP BY probe)
+        |SELECT sa.probe,
+        |  CAST(sa.total AS BIGINT) AS files_arrival, CAST(sa.scanned AS BIGINT) AS scan_arrival,
+        |  CAST(sb.total AS BIGINT) AS files_bydate, CAST(sb.scanned AS BIGINT) AS scan_bydate,
+        |  CAST(sa.scanned * 10000 // sa.total AS BIGINT) AS frac_arrival_x1e4,
+        |  CAST(sb.scanned * 10000 // sb.total AS BIGINT) AS frac_bydate_x1e4
+        |FROM sa JOIN sb ON sa.probe = sb.probe ORDER BY sa.probe""".stripMargin),
+
+    // ---- [EXT] join-cardinality estimator audit (the CBO uniformity
+    // assumption |A ⋈ B| = n1·n2/max(ndv)): compare the uniform estimate
+    // against the EXACT output cardinality Σ c1(k)·c2(k) — both derived
+    // from per-key histograms (one groupBy per side), so the audit itself
+    // never materializes the join and stays linear at any scale. Three
+    // join shapes: an FK join (estimate exact by construction), and two
+    // m:n self-joins on low-cardinality attributes where skew makes the
+    // uniform estimate drift. Signed basis-point error, all integer. ----
+    q2("q370_join_card_estimate",
+      """WITH op AS (SELECT o_orderpriority AS k, COUNT(*) AS c FROM orders GROUP BY o_orderpriority),
+        |ev AS (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY event_type),
+        |ok AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |ck AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY c_custkey),
+        |eu AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+        |j0 AS (SELECT 'events_user_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         SUM(c) * SUM(c) DIV COUNT(*) AS est_uniform,
+        |         SUM(c * c) AS actual FROM eu),
+        |j1 AS (SELECT 'orders_priority_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         SUM(c) * SUM(c) DIV COUNT(*) AS est_uniform,
+        |         SUM(c * c) AS actual FROM op),
+        |j2 AS (SELECT 'events_type_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         SUM(c) * SUM(c) DIV COUNT(*) AS est_uniform,
+        |         SUM(c * c) AS actual FROM ev),
+        |j3 AS (SELECT 'orders_customer_fk' AS join_name,
+        |         CAST(GREATEST((SELECT COUNT(*) FROM ok), (SELECT COUNT(*) FROM ck)) AS BIGINT) AS ndv,
+        |         (SELECT SUM(c) FROM ok) * (SELECT SUM(c) FROM ck)
+        |           DIV GREATEST((SELECT COUNT(*) FROM ok), (SELECT COUNT(*) FROM ck)) AS est_uniform,
+        |         (SELECT SUM(ok.c * ck.c) FROM ok JOIN ck ON ok.k = ck.k) AS actual)
+        |SELECT join_name, ndv,
+        |  CAST(est_uniform AS BIGINT) AS est_uniform, CAST(actual AS BIGINT) AS actual,
+        |  CAST((est_uniform - actual) * 10000 DIV actual AS BIGINT) AS err_x1e4
+        |FROM (SELECT * FROM j0 UNION ALL SELECT * FROM j1
+        |      UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3) u
+        |ORDER BY join_name""".stripMargin,
+      """WITH op AS (SELECT o_orderpriority AS k, COUNT(*) AS c FROM orders GROUP BY o_orderpriority),
+        |ev AS (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY event_type),
+        |ok AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+        |ck AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY c_custkey),
+        |eu AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+        |j0 AS (SELECT 'events_user_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         CAST(SUM(c) * SUM(c) // COUNT(*) AS BIGINT) AS est_uniform,
+        |         CAST(SUM(c * c) AS BIGINT) AS actual FROM eu),
+        |j1 AS (SELECT 'orders_priority_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         CAST(SUM(c) * SUM(c) // COUNT(*) AS BIGINT) AS est_uniform,
+        |         CAST(SUM(c * c) AS BIGINT) AS actual FROM op),
+        |j2 AS (SELECT 'events_type_self' AS join_name,
+        |         CAST(COUNT(*) AS BIGINT) AS ndv,
+        |         CAST(SUM(c) * SUM(c) // COUNT(*) AS BIGINT) AS est_uniform,
+        |         CAST(SUM(c * c) AS BIGINT) AS actual FROM ev),
+        |j3 AS (SELECT 'orders_customer_fk' AS join_name,
+        |         CAST(GREATEST((SELECT COUNT(*) FROM ok), (SELECT COUNT(*) FROM ck)) AS BIGINT) AS ndv,
+        |         CAST((SELECT SUM(c) FROM ok) * (SELECT SUM(c) FROM ck)
+        |           // GREATEST((SELECT COUNT(*) FROM ok), (SELECT COUNT(*) FROM ck)) AS BIGINT) AS est_uniform,
+        |         CAST((SELECT SUM(ok.c * ck.c) FROM ok JOIN ck ON ok.k = ck.k) AS BIGINT) AS actual)
+        |SELECT join_name, ndv,
+        |  CAST(est_uniform AS BIGINT) AS est_uniform, CAST(actual AS BIGINT) AS actual,
+        |  CAST((est_uniform - actual) * 10000 // actual AS BIGINT) AS err_x1e4
+        |FROM (SELECT * FROM j0 UNION ALL SELECT * FROM j1
+        |      UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3) u
+        |ORDER BY join_name""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -267,7 +267,9 @@ class PlanSpec extends SparkSpec {
       "q365_matryoshka_recall",     // 5 broadcast probe vectors x corpus (q51c's brute-force-audit shape)
       "q366_hamming_ann_recall",    // same 5-probe broadcast audit shape (exact-vs-Hamming recall)
       "q367_rank_footrule",         // same 5-probe broadcast audit shape (footrule rank distance)
-      "q368_shingle_novelty")       // CROSS JOIN with the 1-row MAX(doc_id) batch-width aggregate
+      "q368_shingle_novelty",       // CROSS JOIN with the 1-row MAX(doc_id) batch-width aggregate
+      "q369_zonemap_prune",         // 3-row probe spine x per-file zone aggregates (theta overlap)
+      "q370_join_card_estimate")    // CROSS JOINs of 1-row histogram-summary aggregates
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
