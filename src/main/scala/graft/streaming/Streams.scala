@@ -249,6 +249,40 @@ object Streams {
             sum("lnum").cast("long").as("sum_lnum"))
       }.orderBy("source", "keep")),
 
+    // Streaming near-dup screening against a STATIC corpus index (the
+    // ingest-time "is this new doc a near-copy of anything we already
+    // hold?" gate): the batch side builds the capped [2,32] 8-gram posting
+    // index ONCE (at scale: materialized + broadcast/bucketed), the stream
+    // side explodes each arriving doc's grams and stream-static-joins the
+    // postings — the same candidate topology as batch q312/q363, executed
+    // BY the streaming engine. Totals are order-invariant counts of
+    // (arriving doc, indexed doc, shared capped gram) collision triples
+    // (self-matches excluded; `earlier_wins` = triples where the indexed
+    // doc precedes the arrival, the keep-earliest dedup direction), so the
+    // drain equals the batch rebuild exactly and DuckDB re-derives it.
+    "q371_stream_neardup_index" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val w = s.table("documents")
+        .selectExpr("doc_id", "split(text, ' ') AS w").where("size(w) >= 8")
+      val g8 = w.selectExpr("doc_id",
+        "explode(array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))) AS g")
+      val gc = g8.groupBy("g").count()
+        .where("count BETWEEN 2 AND 32").select("g")
+      val idx = g8.join(gc, "g").select(col("g"), col("doc_id").as("c_doc"))
+      drainDocs(s, d, "complete") { docs =>
+        docs.selectExpr("doc_id", "source", "split(text, ' ') AS w")
+          .where("size(w) >= 8")
+          .selectExpr("doc_id", "source",
+            "explode(array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))) AS g")
+          .join(idx, "g")
+          .where(col("c_doc") =!= col("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("collision_triples"),
+            sum(when(col("c_doc") < col("doc_id"), 1L).otherwise(0L))
+              .cast("long").as("earlier_wins"))
+      }.orderBy("source")
+    }),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -766,6 +800,21 @@ object Streams {
         |SELECT source, (lnum > 0) AS keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(wc) AS BIGINT) AS n_tokens, CAST(SUM(lnum) AS BIGINT) AS sum_lnum
         |FROM f WHERE wc > 0 GROUP BY source, keep ORDER BY source, keep""".stripMargin,
+
+    // the stream-static collision totals are order-invariant counts over
+    // the same capped posting join, so the batch rebuild is exact
+    "q371_stream_neardup_index" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g8 AS (SELECT doc_id, source, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |idx AS (SELECT g8.g, g8.doc_id AS c_doc FROM g8 JOIN gc USING (g)),
+        |tr AS (SELECT s.source, s.doc_id, i.c_doc
+        |       FROM g8 s JOIN idx i ON s.g = i.g AND i.c_doc <> s.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS collision_triples,
+        |  CAST(SUM(CASE WHEN c_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS earlier_wins
+        |FROM tr GROUP BY source ORDER BY source""".stripMargin,
 
     // exact gaps-and-islands sessions (the q177 oracle shape, µs precision;
     // >= matches Spark's half-open [start, start+gap) session merge rule)
