@@ -6187,6 +6187,76 @@ object Queries {
         |FROM (SELECT * FROM j0 UNION ALL SELECT * FROM j1
         |      UNION ALL SELECT * FROM j2 UNION ALL SELECT * FROM j3) u
         |ORDER BY join_name""".stripMargin),
+
+    // ---- [EXT] Bloom-filter false-positive-rate measurement: build an
+    // m=16384, k=3 filter IN SQL over the small-part keys (positions from
+    // the portable md5 bucket idiom — 3 disjoint 6-hex substrings), probe
+    // with the disjoint remaining keys, and measure the ACTUAL FPP (a
+    // probe is FP iff all 3 of its position rows land on set bits). This
+    // is the measured counterpart of the q310 bloom semi-join: the number
+    // that decides whether a bloom pushdown pays at 100 TB. The distinct
+    // set-bit table is ≤ m rows (broadcast side); the probe pass is one
+    // equi-join, corpus-linear. All integer (ppm rate). ----
+    q2("q373_bloom_fpp",
+      """WITH bk AS (SELECT CAST(p_partkey AS STRING) AS key FROM part WHERE p_size < 10),
+        |pk AS (SELECT CAST(p_partkey AS STRING) AS key FROM part WHERE p_size >= 10),
+        |bp AS (SELECT DISTINCT CAST(conv(substr(md5(key), 1 + 6 * r, 6), 16, 10) AS BIGINT) % 16384 AS pos
+        |       FROM bk LATERAL VIEW explode(sequence(0, 2)) t AS r),
+        |pp AS (SELECT key, CAST(conv(substr(md5(key), 1 + 6 * r, 6), 16, 10) AS BIGINT) % 16384 AS pos
+        |       FROM pk LATERAL VIEW explode(sequence(0, 2)) t AS r),
+        |hit AS (SELECT pp.key, COUNT(bp.pos) AS hits
+        |        FROM pp LEFT JOIN bp ON pp.pos = bp.pos GROUP BY pp.key),
+        |s AS (SELECT (SELECT COUNT(*) FROM bk) AS build_n,
+        |             (SELECT COUNT(*) FROM bp) AS bits_set,
+        |             CAST(COUNT(*) AS BIGINT) AS probe_n,
+        |             SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS fp FROM hit)
+        |SELECT CAST(build_n AS BIGINT) AS build_n, CAST(bits_set AS BIGINT) AS bits_set,
+        |  probe_n, CAST(fp AS BIGINT) AS fp_count,
+        |  CAST(fp * 1000000 DIV probe_n AS BIGINT) AS fpp_x1e6
+        |FROM s""".stripMargin,
+      """WITH bk AS (SELECT CAST(p_partkey AS VARCHAR) AS key FROM part WHERE p_size < 10),
+        |pk AS (SELECT CAST(p_partkey AS VARCHAR) AS key FROM part WHERE p_size >= 10),
+        |bp AS (SELECT DISTINCT ('0x' || substr(md5(key), 1 + 6 * r, 6))::BIGINT % 16384 AS pos
+        |       FROM bk, UNNEST(range(0, 3)) AS t(r)),
+        |pp AS (SELECT key, ('0x' || substr(md5(key), 1 + 6 * r, 6))::BIGINT % 16384 AS pos
+        |       FROM pk, UNNEST(range(0, 3)) AS t(r)),
+        |hit AS (SELECT pp.key, COUNT(bp.pos) AS hits
+        |        FROM pp LEFT JOIN bp ON pp.pos = bp.pos GROUP BY pp.key),
+        |s AS (SELECT (SELECT COUNT(*) FROM bk) AS build_n,
+        |             (SELECT COUNT(*) FROM bp) AS bits_set,
+        |             CAST(COUNT(*) AS BIGINT) AS probe_n,
+        |             SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS fp FROM hit)
+        |SELECT CAST(build_n AS BIGINT) AS build_n, CAST(bits_set AS BIGINT) AS bits_set,
+        |  probe_n, CAST(fp AS BIGINT) AS fp_count,
+        |  CAST(fp * 1000000 // probe_n AS BIGINT) AS fpp_x1e6
+        |FROM s""".stripMargin),
+
+    // ---- [EXT] skew-salting planner (the q206 salted join's sizing
+    // step): from per-key counts, compute the salt factor each key needs
+    // so no task exceeds 64 rows (salt = ceil(c/64)), report the 5
+    // heaviest keys (TakeOrderedAndProject — no global window) plus
+    // plan-level totals via a 1-row summary every row carries. One
+    // groupBy; the planner output is what a shuffle-salting rewrite
+    // consumes. ----
+    q2("q374_salt_planner",
+      """WITH c AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+        |s AS (SELECT k, c, (c + 63) DIV 64 AS salt FROM c),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_keys,
+        |        SUM(CASE WHEN salt > 1 THEN 1 ELSE 0 END) AS skewed_keys,
+        |        MAX(salt) AS max_salt, SUM(salt) AS total_tasks FROM s)
+        |SELECT s.k, CAST(s.c AS BIGINT) AS c, CAST(s.salt AS BIGINT) AS salt,
+        |  t.total_keys, CAST(t.skewed_keys AS BIGINT) AS skewed_keys,
+        |  CAST(t.max_salt AS BIGINT) AS max_salt, CAST(t.total_tasks AS BIGINT) AS total_tasks
+        |FROM s CROSS JOIN t ORDER BY s.c DESC, s.k LIMIT 5""".stripMargin,
+      """WITH c AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+        |s AS (SELECT k, c, (c + 63) // 64 AS salt FROM c),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_keys,
+        |        SUM(CASE WHEN salt > 1 THEN 1 ELSE 0 END) AS skewed_keys,
+        |        MAX(salt) AS max_salt, SUM(salt) AS total_tasks FROM s)
+        |SELECT s.k, CAST(s.c AS BIGINT) AS c, CAST(s.salt AS BIGINT) AS salt,
+        |  t.total_keys, CAST(t.skewed_keys AS BIGINT) AS skewed_keys,
+        |  CAST(t.max_salt AS BIGINT) AS max_salt, CAST(t.total_tasks AS BIGINT) AS total_tasks
+        |FROM s CROSS JOIN t ORDER BY s.c DESC, s.k LIMIT 5""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

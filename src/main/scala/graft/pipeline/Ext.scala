@@ -155,6 +155,7 @@ object Ext {
     "q52d_audio_frames" -> (Multimodal.audioFrames _),
     "q359_image_thumbnail" -> (Multimodal.thumbnails _),
     "q360_audio_decimate" -> (Multimodal.audioDecimate _),
+    "q372_image_histogram" -> (Multimodal.bmpHistogram _),
     // [EXT] dataset card: the one-row summary a published corpus ships
     // with — population, source/modality mix, language split (q44's
     // stopword rule), quality-gate keep count (q293's integer logit), and
@@ -1538,6 +1539,21 @@ object Ext {
         |  CAST(SUM(v) AS BIGINT) AS sum_out,
         |  CAST(MIN(v) AS INT) AS min_out, CAST(MAX(v) AS INT) AS max_out
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // 8-bucket per-channel pixel histogram over every BMP's closed-form
+    // affine pixels (bucket = v // 32); the Spark side decodes and buckets
+    // the REAL bytes, so equality proves decode + binning end to end.
+    "q372_image_histogram" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, x.i AS x, y.i AS y
+        |       FROM m, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)),
+        |c AS (SELECT 'r' AS channel, (doc_id * 3 + x * 29 + y * 19) % 256 AS v FROM px
+        |      UNION ALL SELECT 'g', (doc_id * 11 + x * 17 + y * 5) % 256 FROM px
+        |      UNION ALL SELECT 'b', (doc_id * 7 + x * 13 + y * 31) % 256 FROM px)
+        |SELECT channel, CAST(v // 32 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM c GROUP BY channel, bucket ORDER BY channel, bucket""".stripMargin,
 
     // Dataset card: the oracle restates the generator's modality invariant
     // (doc_id parity) INDEPENDENTLY of Multimodal.formatOf, which the

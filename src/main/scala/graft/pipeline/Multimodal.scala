@@ -310,6 +310,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Distributed per-channel pixel histogram (q372): decode every BMP
+    * payload's REAL pixels and bucket each channel value into 8 bins of 32
+    * (v >> 5) — the exposure/clipping screen an image-curation pipeline
+    * runs before any model step. Per-doc bucket counts fold inside the
+    * codec pass (24 longs per doc, never per-pixel rows), then one small
+    * groupBy merges them — O(docs) rows shuffled at any image size.
+    * Oracle: the generator's affine closed form rebuilds the histogram. */
+  def bmpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.media
+          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+          val dataOffset = b.getInt(10)
+          val w = b.getInt(18)
+          val h = b.getInt(22)
+          require(b.getShort(28) == 24 && b.getInt(30) == 0, "unsupported BMP")
+          require(w > 0 && h > 0, s"unsupported BMP dimensions ${w}x$h")
+          val rowSize = ((3 * w + 3) / 4) * 4
+          require(bytes.length >= dataOffset + rowSize * h, "truncated BMP pixel data")
+          val cnt = Array.ofDim[Long](3, 8) // channel x bucket
+          var yFile = 0
+          while (yFile < h) {
+            val row = dataOffset + yFile * rowSize
+            var x = 0
+            while (x < w) {
+              cnt(0)((bytes(row + 3 * x + 2) & 0xff) >> 5) += 1 // R
+              cnt(1)((bytes(row + 3 * x + 1) & 0xff) >> 5) += 1 // G
+              cnt(2)((bytes(row + 3 * x) & 0xff) >> 5) += 1     // B
+              x += 1
+            }
+            yFile += 1
+          }
+          for (c <- Iterator.range(0, 3); k <- Iterator.range(0, 8) if cnt(c)(k) > 0)
+            yield (Seq("r", "g", "b")(c), k, cnt(c)(k))
+        }
+      }
+      .toDF("channel", "bucket", "n")
+      .groupBy("channel", "bucket").agg(sum("n").cast("long").as("n"))
+      .orderBy("channel", "bucket")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */

@@ -269,7 +269,9 @@ class PlanSpec extends SparkSpec {
       "q367_rank_footrule",         // same 5-probe broadcast audit shape (footrule rank distance)
       "q368_shingle_novelty",       // CROSS JOIN with the 1-row MAX(doc_id) batch-width aggregate
       "q369_zonemap_prune",         // 3-row probe spine x per-file zone aggregates (theta overlap)
-      "q370_join_card_estimate")    // CROSS JOINs of 1-row histogram-summary aggregates
+      "q370_join_card_estimate",    // CROSS JOINs of 1-row histogram-summary aggregates
+      "q373_bloom_fpp",             // CROSS JOINs of 1-row build/bit-count aggregates
+      "q374_salt_planner")          // CROSS JOIN with the 1-row plan-summary aggregate
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
