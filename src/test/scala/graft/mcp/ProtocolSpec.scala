@@ -387,6 +387,27 @@ class ProtocolSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(sweepRows == q358,
       s"dedup_threshold_sweep diverged from q358:\n yaml=$sweepRows\n q358=$q358")
+
+    // corpus_novelty at q368's operating point (10 batches): exactly its
+    // rows — the same drift-guard discipline (only q368 is DuckDB-gated).
+    val rn = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":33,"method":"tools/call","params":{"name":"corpus_novelty","arguments":{"n_batches":"10"}}}""").get)
+    assert(!rn.at("/result/isError").asBoolean(false), s"corpus_novelty errored: $rn")
+    val novRows = (0 until rn.at("/result/content").size())
+      .map(i => mapper.readTree(rn.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("batch").asLong(), n.get("postings").asLong(),
+        n.get("new_shingles").asLong(), n.get("cum_distinct").asLong(),
+        n.get("novelty_x1e4").asLong()))
+    val q368 = graft.SparkEntry.queries("q368_shingle_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(novRows == q368,
+      s"corpus_novelty(10) diverged from q368:\n yaml=$novRows\n q368=$q368")
+
+    // a different batch count actually re-parameterizes (not a fixed card)
+    val rn4 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":34,"method":"tools/call","params":{"name":"corpus_novelty","arguments":{"n_batches":"4"}}}""").get)
+    assert(!rn4.at("/result/isError").asBoolean(false), s"corpus_novelty(4) errored: $rn4")
+    assert(rn4.at("/result/content").size() == 4, s"expected 4 batches: $rn4")
   }
 
   test("env substitution in config text") {
