@@ -6257,6 +6257,109 @@ object Queries {
         |  t.total_keys, CAST(t.skewed_keys AS BIGINT) AS skewed_keys,
         |  CAST(t.max_salt AS BIGINT) AS max_salt, CAST(t.total_tasks AS BIGINT) AS total_tasks
         |FROM s CROSS JOIN t ORDER BY s.c DESC, s.k LIMIT 5""".stripMargin),
+
+    // ---- [EXT] LSH (b bands x r rows) operating-point tradeoff: measure
+    // candidate volume, precision, and recall of three bandings of the
+    // SAME 12-slot MinHash signature — (12,1) high-recall/high-candidate,
+    // (6,2), (4,3) low-candidate/lossy — against the exact ground truth
+    // (capped-candidate 3-gram Jaccard >= 0.90 in integer micro-units,
+    // q363's universe). Slot hashes are md5-derived BIGINTs (the portable
+    // idiom), the band key is an integer fold (SUM + MIN of the band's
+    // slots), so BOTH engines reproduce the whole lattice bitwise — this
+    // is the empirical S-curve that picks b and r before a 100 TB dedup
+    // run. Candidates come from band equi-joins with the standard
+    // hot-bucket skip (buckets of size [2,32] only — r=1 single-slot
+    // buckets otherwise grow with corpus size), so the pass stays linear;
+    // the oracle applies the identical cap. ----
+    q2("q375_lsh_br_tradeoff",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, r,
+        |         MIN(CAST(conv(substr(md5(concat(g, '#', CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT)) AS h
+        |       FROM sh LATERAL VIEW explode(sequence(0, 11)) t AS r
+        |       GROUP BY doc_id, r),
+        |cfg AS (SELECT * FROM VALUES (12, 1), (6, 2), (4, 3) AS c(b, rw)),
+        |bnd AS (SELECT c.b, c.rw, hv.doc_id, hv.r DIV c.rw AS band,
+        |          SUM(hv.h) AS s, MIN(hv.h) AS mn
+        |        FROM hv CROSS JOIN cfg c GROUP BY c.b, c.rw, hv.doc_id, hv.r DIV c.rw),
+        |bc AS (SELECT b, rw, band, s, mn FROM bnd
+        |       GROUP BY b, rw, band, s, mn HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.b, a.rw, a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bnd a
+        |         JOIN bc k ON a.b = k.b AND a.rw = k.rw AND a.band = k.band
+        |           AND a.s = k.s AND a.mn = k.mn
+        |         JOIN bnd b ON b.b = k.b AND b.rw = k.rw AND b.band = k.band
+        |           AND b.s = k.s AND b.mn = k.mn AND a.doc_id < b.doc_id),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |uni AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |        FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT u.a_id, u.b_id, COUNT(*) AS i
+        |          FROM uni u JOIN sh sa ON sa.doc_id = u.a_id
+        |          JOIN sh sb ON sb.doc_id = u.b_id AND sa.g = sb.g
+        |          GROUP BY u.a_id, u.b_id),
+        |pos AS (SELECT a_id, b_id FROM inter
+        |        JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |        WHERE (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) >= 9000),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos),
+        |nc AS (SELECT b, rw, COUNT(*) AS n_cand FROM cand GROUP BY b, rw),
+        |tp AS (SELECT c.b, c.rw, COUNT(*) AS tp FROM pos p
+        |       JOIN cand c ON c.a_id = p.a_id AND c.b_id = p.b_id GROUP BY c.b, c.rw)
+        |SELECT nc.b, nc.rw, CAST(nc.n_cand AS BIGINT) AS n_cand, np.n_pos,
+        |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        |  CAST(COALESCE(tp.tp, 0) * 10000 DIV nc.n_cand AS BIGINT) AS precision_x1e4,
+        |  CAST(COALESCE(tp.tp, 0) * 10000 DIV np.n_pos AS BIGINT) AS recall_x1e4
+        |FROM nc CROSS JOIN np LEFT JOIN tp ON tp.b = nc.b AND tp.rw = nc.rw
+        |ORDER BY nc.b DESC""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, r,
+        |         MIN(('0x' || substr(md5(g || '#' || CAST(r AS VARCHAR)), 1, 15))::BIGINT) AS h
+        |       FROM sh, UNNEST(range(0, 12)) AS t(r)
+        |       GROUP BY doc_id, r),
+        |cfg AS (SELECT * FROM (VALUES (12, 1), (6, 2), (4, 3)) AS c(b, rw)),
+        |bnd AS (SELECT c.b, c.rw, hv.doc_id, hv.r // c.rw AS band,
+        |          SUM(hv.h) AS s, MIN(hv.h) AS mn
+        |        FROM hv CROSS JOIN cfg c GROUP BY c.b, c.rw, hv.doc_id, hv.r // c.rw),
+        |bc AS (SELECT b, rw, band, s, mn FROM bnd
+        |       GROUP BY b, rw, band, s, mn HAVING COUNT(*) BETWEEN 2 AND 32),
+        |cand AS (SELECT DISTINCT a.b, a.rw, a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bnd a
+        |         JOIN bc k ON a.b = k.b AND a.rw = k.rw AND a.band = k.band
+        |           AND a.s = k.s AND a.mn = k.mn
+        |         JOIN bnd b ON b.b = k.b AND b.rw = k.rw AND b.band = k.band
+        |           AND b.s = k.s AND b.mn = k.mn AND a.doc_id < b.doc_id),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |uni AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |        FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT u.a_id, u.b_id, COUNT(*) AS i
+        |          FROM uni u JOIN sh sa ON sa.doc_id = u.a_id
+        |          JOIN sh sb ON sb.doc_id = u.b_id AND sa.g = sb.g
+        |          GROUP BY u.a_id, u.b_id),
+        |pos AS (SELECT a_id, b_id FROM inter
+        |        JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+        |        WHERE (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) >= 9000),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos),
+        |nc AS (SELECT b, rw, COUNT(*) AS n_cand FROM cand GROUP BY b, rw),
+        |tp AS (SELECT c.b, c.rw, COUNT(*) AS tp FROM pos p
+        |       JOIN cand c ON c.a_id = p.a_id AND c.b_id = p.b_id GROUP BY c.b, c.rw)
+        |SELECT nc.b, nc.rw, CAST(nc.n_cand AS BIGINT) AS n_cand, np.n_pos,
+        |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        |  CAST(COALESCE(tp.tp, 0) * 10000 // nc.n_cand AS BIGINT) AS precision_x1e4,
+        |  CAST(COALESCE(tp.tp, 0) * 10000 // np.n_pos AS BIGINT) AS recall_x1e4
+        |FROM nc CROSS JOIN np LEFT JOIN tp ON tp.b = nc.b AND tp.rw = nc.rw
+        |ORDER BY nc.b DESC""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
