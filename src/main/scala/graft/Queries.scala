@@ -6360,6 +6360,88 @@ object Queries {
         |  CAST(COALESCE(tp.tp, 0) * 10000 // np.n_pos AS BIGINT) AS recall_x1e4
         |FROM nc CROSS JOIN np LEFT JOIN tp ON tp.b = nc.b AND tp.rw = nc.rw
         |ORDER BY nc.b DESC""".stripMargin),
+
+    // ---- [EXT] deterministic hash-sample estimator audit: the seedless
+    // md5-bucket Bernoulli sample (p = 5%) every distributed pipeline uses
+    // (reruns and late shards land identically — q363's split idiom), and
+    // the question that decides whether sampling is usable: per source,
+    // the realized sampling rate and the signed error of the
+    // scale-up-by-1/p total-chars estimate vs the true total. Map-side
+    // hash + one groupBy; all integer basis points. ----
+    q2("q376_hash_sample_audit",
+      """WITH s AS (SELECT source, n_chars,
+        |    CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 5 AS smp
+        |  FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |        SUM(CASE WHEN smp THEN 1 ELSE 0 END) AS n_sampled,
+        |        SUM(n_chars) AS total_chars,
+        |        SUM(CASE WHEN smp THEN n_chars ELSE 0 END) * 20 AS est_total_chars
+        |      FROM s GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(n_sampled * 10000 DIV n_docs AS BIGINT) AS rate_x1e4,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(est_total_chars AS BIGINT) AS est_total_chars,
+        |  CAST((est_total_chars - total_chars) * 10000 DIV total_chars AS BIGINT) AS err_x1e4
+        |FROM a ORDER BY source""".stripMargin,
+      """WITH s AS (SELECT source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 5 AS smp
+        |  FROM documents),
+        |a AS (SELECT source, COUNT(*) AS n_docs,
+        |        SUM(CASE WHEN smp THEN 1 ELSE 0 END) AS n_sampled,
+        |        SUM(n_chars) AS total_chars,
+        |        SUM(CASE WHEN smp THEN n_chars ELSE 0 END) * 20 AS est_total_chars
+        |      FROM s GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(n_sampled * 10000 // n_docs AS BIGINT) AS rate_x1e4,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(est_total_chars AS BIGINT) AS est_total_chars,
+        |  CAST((est_total_chars - total_chars) * 10000 // total_chars AS BIGINT) AS err_x1e4
+        |FROM a ORDER BY source""".stripMargin),
+
+    // ---- [EXT] late-interaction (MaxSim) retrieval: treat each 64-dim
+    // embedding as 4 token vectors of 16 dims (the multi-vector stand-in;
+    // a real ColBERT corpus stores per-token vectors) and score
+    // query-vs-doc as Σ over query tokens of the MAX dot product over doc
+    // tokens — the late-interaction operator that beats single-vector
+    // retrieval on phrase matches. All dots are exact BIGINT lattice
+    // folds (q355's tie-free 1e-3 quantization), ties by vec_id; top-5
+    // per probe. The 5-probe × corpus token join is the declared
+    // brute-force-audit shape (production prefilters candidates with a
+    // single-vector ANN pass, then MaxSim-reranks). ----
+    q2("q377_maxsim_late_interaction",
+      """WITH e AS (SELECT vec_id,
+        |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |tok AS (SELECT vec_id, t, slice(q, t * 16 + 1, 16) AS tv
+        |        FROM e LATERAL VIEW explode(sequence(0, 3)) x AS t),
+        |pt AS (SELECT vec_id AS qid, t AS p_t, tv AS pv FROM tok WHERE vec_id < 5),
+        |d AS (SELECT pt.qid, pt.p_t, tok.vec_id,
+        |        aggregate(zip_with(pt.pv, tok.tv, (x, y) -> x * y),
+        |                  CAST(0 AS BIGINT), (a, v) -> a + v) AS dot
+        |      FROM pt CROSS JOIN tok WHERE tok.vec_id <> pt.qid),
+        |m AS (SELECT qid, vec_id, p_t, MAX(dot) AS md FROM d GROUP BY qid, vec_id, p_t),
+        |sc AS (SELECT qid, vec_id, SUM(md) AS maxsim FROM m GROUP BY qid, vec_id),
+        |r AS (SELECT qid, vec_id, maxsim,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS rk FROM sc)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, CAST(maxsim AS BIGINT) AS maxsim
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |tok AS (SELECT vec_id, t, list_slice(q, t * 16 + 1, t * 16 + 16) AS tv
+        |        FROM e, UNNEST(range(0, 4)) AS x(t)),
+        |pt AS (SELECT vec_id AS qid, t AS p_t, tv AS pv FROM tok WHERE vec_id < 5),
+        |d AS (SELECT pt.qid, pt.p_t, tok.vec_id,
+        |        CAST(list_sum(list_transform(range(1, 17), j -> pt.pv[j] * tok.tv[j])) AS BIGINT) AS dot
+        |      FROM pt CROSS JOIN tok WHERE tok.vec_id <> pt.qid),
+        |m AS (SELECT qid, vec_id, p_t, MAX(dot) AS md FROM d GROUP BY qid, vec_id, p_t),
+        |sc AS (SELECT qid, vec_id, SUM(md) AS maxsim FROM m GROUP BY qid, vec_id),
+        |r AS (SELECT qid, vec_id, maxsim,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS rk FROM sc)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, CAST(maxsim AS BIGINT) AS maxsim
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -272,7 +272,8 @@ class PlanSpec extends SparkSpec {
       "q370_join_card_estimate",    // CROSS JOINs of 1-row histogram-summary aggregates
       "q373_bloom_fpp",             // CROSS JOINs of 1-row build/bit-count aggregates
       "q374_salt_planner",          // CROSS JOIN with the 1-row plan-summary aggregate
-      "q375_lsh_br_tradeoff")       // 3-row (b,r) config spine + 1-row n_pos aggregate broadcasts
+      "q375_lsh_br_tradeoff",       // 3-row (b,r) config spine + 1-row n_pos aggregate broadcasts
+      "q377_maxsim_late_interaction") // 20 broadcast probe token vectors x corpus (q51c shape)
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
