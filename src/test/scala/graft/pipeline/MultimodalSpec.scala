@@ -47,6 +47,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP histogram equals the closed-form per-channel bucket counts") {
+    // The DataFrame pass decodes REAL bytes; this recomputes the same
+    // 8-bucket (v >> 5) histogram from the generator's affine closed form
+    // over every even doc_id in the fixture (covers all padding 0..3).
+    val got = Multimodal.bmpHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = collection.mutable.Map.empty[(String, Int), Long].withDefaultValue(0L)
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 2 == 0)
+    for (id <- ids) {
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 3).toInt)
+      for (x <- 0 until w; y <- 0 until h) {
+        want(("r", (((id * 3 + x * 29 + y * 19) % 256) >> 5).toInt)) += 1
+        want(("g", (((id * 11 + x * 17 + y * 5) % 256) >> 5).toInt)) += 1
+        want(("b", (((id * 7 + x * 13 + y * 31) % 256) >> 5).toInt)) += 1
+      }
+    }
+    assert(got == want.toMap.filter(_._2 > 0))
+  }
+
   test("WAV decode recovers sample count, rate, mean and peak from real bytes") {
     for (id <- 1L to 9L by 2) {
       val bytes = Multimodal.encodeWav(id)
