@@ -6442,6 +6442,82 @@ object Queries {
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS rk FROM sc)
         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, CAST(maxsim AS BIGINT) AS maxsim
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+
+    // ---- [EXT] single-feature ablation of the quality classifier: the
+    // tie-aware ranking AUC (q361's pure-integer Mann-Whitney U) of EACH raw
+    // feature alone — chars-per-word, stopword rate, distinct-token ratio,
+    // word count — against the composite logit, all scored on the same
+    // boilerplate label (carries an 8-gram shared by [2,32] docs). The
+    // feature-selection question a curation team answers before shipping a
+    // heavier classifier: which single signal carries the discrimination,
+    // and how much does the composite add. One UNION-ALL fan-out of integer
+    // scores (5x docs rows), one groupBy per (feature, score) level, one
+    // window PARTITIONED BY FEATURE (never global), all-integer output. ----
+    q2("q379_feature_ablation_auc",
+      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, n_chars, size(w) AS wc,
+        |        size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |        size(array_distinct(w)) AS uniq FROM wd),
+        |sc AS (SELECT * FROM f WHERE wc > 0),
+        |feat AS (
+        |  SELECT 'chars_per_word' AS feature, doc_id, CAST(n_chars AS BIGINT) * 100 DIV wc AS score FROM sc
+        |  UNION ALL SELECT 'stopword_rate', doc_id, CAST(stops AS BIGINT) * 10000 DIV wc FROM sc
+        |  UNION ALL SELECT 'distinct_ratio', doc_id, CAST(uniq AS BIGINT) * 10000 DIV wc FROM sc
+        |  UNION ALL SELECT 'word_count', doc_id, CAST(wc AS BIGINT) FROM sc
+        |  UNION ALL SELECT 'full_logit', doc_id,
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      DIV wc FROM sc),
+        |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
+        |       WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lv AS (SELECT ft.feature, ft.score,
+        |         SUM(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p,
+        |         SUM(CASE WHEN bp.doc_id IS NULL THEN 1 ELSE 0 END) AS q
+        |       FROM feat ft LEFT JOIN bp ON bp.doc_id = ft.doc_id
+        |       GROUP BY ft.feature, ft.score),
+        |cum AS (SELECT feature, p, q,
+        |          COALESCE(SUM(q) OVER (PARTITION BY feature ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+        |        FROM lv),
+        |u AS (SELECT feature, SUM(p) AS np, SUM(q) AS nn,
+        |        SUM(2 * p * negs_below + p * q) AS u2 FROM cum GROUP BY feature)
+        |SELECT feature, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(u2 * 10000 DIV (2 * np * nn) AS BIGINT) AS auc_x1e4
+        |FROM u ORDER BY feature""".stripMargin,
+      """WITH wd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id, n_chars, len(w) AS wc,
+        |        len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stops,
+        |        len(list_distinct(w)) AS uniq FROM wd),
+        |sc AS (SELECT * FROM f WHERE wc > 0),
+        |feat AS (
+        |  SELECT 'chars_per_word' AS feature, doc_id, CAST(n_chars AS BIGINT) * 100 // wc AS score FROM sc
+        |  UNION ALL SELECT 'stopword_rate', doc_id, CAST(stops AS BIGINT) * 10000 // wc FROM sc
+        |  UNION ALL SELECT 'distinct_ratio', doc_id, CAST(uniq AS BIGINT) * 10000 // wc FROM sc
+        |  UNION ALL SELECT 'word_count', doc_id, CAST(wc AS BIGINT) FROM sc
+        |  UNION ALL SELECT 'full_logit', doc_id,
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      // wc FROM sc),
+        |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM wd
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |bp AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN gc USING (g)),
+        |lv AS (SELECT ft.feature, ft.score,
+        |         SUM(CASE WHEN bp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p,
+        |         SUM(CASE WHEN bp.doc_id IS NULL THEN 1 ELSE 0 END) AS q
+        |       FROM feat ft LEFT JOIN bp ON bp.doc_id = ft.doc_id
+        |       GROUP BY ft.feature, ft.score),
+        |cum AS (SELECT feature, p, q,
+        |          COALESCE(SUM(q) OVER (PARTITION BY feature ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+        |        FROM lv),
+        |u AS (SELECT feature, SUM(p) AS np, SUM(q) AS nn,
+        |        SUM(2 * p * negs_below + p * q) AS u2 FROM cum GROUP BY feature)
+        |SELECT feature, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST(u2 * 10000 // (2 * np * nn) AS BIGINT) AS auc_x1e4
+        |FROM u ORDER BY feature""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -156,6 +156,54 @@ object Ext {
     "q359_image_thumbnail" -> (Multimodal.thumbnails _),
     "q360_audio_decimate" -> (Multimodal.audioDecimate _),
     "q372_image_histogram" -> (Multimodal.bmpHistogram _),
+    "q378_image_gradient" -> (Multimodal.bmpGradient _),
+    // [EXT] detector-agreement audit: precision/recall of the SimHash
+    // hamming<=3 detector (q50b's banded pairs — exact within its pigeonhole
+    // radius) against the exact 3-gram Jaccard >= 0.90 ground truth on the
+    // capped [2,32] posting-window candidates (q363's pair universe). The
+    // method-selection question a curation pipeline answers before committing
+    // to a detector family: how much of the Jaccard near-dup mass does the
+    // cheaper bit-signature detector capture, and how much of what it fires
+    // on is below threshold. Both pair sets are banded/capped equi-joins
+    // (never all-pairs); the FULL OUTER join runs on the tiny pair sets.
+    // All-integer output (basis points via DIV with zero guards).
+    "q380_detector_agreement" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      Dedup.simhashNearDup(s, d).createOrReplaceTempView("simhash_pairs_g380")
+      s.sql(
+        """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents),
+          |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+          |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w WHERE size(w) >= 8),
+          |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+          |s3 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+          |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w WHERE size(w) >= 3),
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM s3 GROUP BY doc_id),
+          |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+          |          FROM cand c JOIN s3 sa ON sa.doc_id = c.a_id
+          |          JOIN s3 sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+          |          GROUP BY c.a_id, c.b_id),
+          |exact AS (SELECT a_id, b_id FROM inter
+          |          JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+          |          WHERE (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) >= 9000),
+          |sim AS (SELECT a_id, b_id FROM simhash_pairs_g380),
+          |m AS (SELECT (e.a_id IS NOT NULL) AS in_exact, (p.a_id IS NOT NULL) AS in_sim
+          |      FROM exact e FULL OUTER JOIN sim p
+          |        ON e.a_id = p.a_id AND e.b_id = p.b_id),
+          |c AS (SELECT SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS n_exact,
+          |             SUM(CASE WHEN in_sim THEN 1 ELSE 0 END) AS n_simhash,
+          |             SUM(CASE WHEN in_exact AND in_sim THEN 1 ELSE 0 END) AS n_both
+          |      FROM m)
+          |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+          |  CAST(n_simhash AS BIGINT) AS n_simhash,
+          |  CAST(n_both AS BIGINT) AS n_both,
+          |  CAST(CASE WHEN n_exact > 0 THEN n_both * 10000 DIV n_exact ELSE -1 END AS BIGINT)
+          |    AS recall_x1e4,
+          |  CAST(CASE WHEN n_simhash > 0 THEN n_both * 10000 DIV n_simhash ELSE -1 END AS BIGINT)
+          |    AS precision_x1e4
+          |FROM c""".stripMargin)
+    }),
     // [EXT] dataset card: the one-row summary a published corpus ships
     // with — population, source/modality mix, language split (q44's
     // stopword rule), quality-gate keep count (q293's integer logit), and
@@ -1554,6 +1602,78 @@ object Ext {
         |      UNION ALL SELECT 'b', (doc_id * 7 + x * 13 + y * 31) % 256 FROM px)
         |SELECT channel, CAST(v // 32 AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n
         |FROM c GROUP BY channel, bucket ORDER BY channel, bucket""".stripMargin,
+
+    // Forward-difference R-channel gradients over every BMP's closed-form
+    // affine pixels (dx at x<w-1, dy at y<h-1, strong = |dx|+|dy| >= 128 on
+    // the interior grid); the Spark side differences the REAL decoded bytes
+    // in logical top-down coordinates, so equality proves the 2-D neighbor
+    // addressing (row stride + bottom-up order) end to end.
+    "q378_image_gradient" ->
+      """WITH m AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y
+        |       FROM m, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN x < w - 1 THEN abs((doc_id * 3 + (x + 1) * 29 + y * 19) % 256
+        |                                   - (doc_id * 3 + x * 29 + y * 19) % 256) END AS adx,
+        |        CASE WHEN y < h - 1 THEN abs((doc_id * 3 + x * 29 + (y + 1) * 19) % 256
+        |                                   - (doc_id * 3 + x * 29 + y * 19) % 256) END AS ady
+        |      FROM px)
+        |SELECT doc_id,
+        |  CAST(SUM(adx) AS BIGINT) AS sum_abs_dx,
+        |  CAST(SUM(ady) AS BIGINT) AS sum_abs_dy,
+        |  CAST(MAX(adx) AS INT) AS max_abs_dx,
+        |  CAST(MAX(ady) AS INT) AS max_abs_dy,
+        |  CAST(COUNT(*) FILTER (WHERE adx IS NOT NULL AND ady IS NOT NULL
+        |                          AND adx + ady >= 128) AS BIGINT) AS n_strong
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Detector agreement: DuckDB recomputes BOTH detectors end to end — the
+    // 48-bit portable-hash SimHash (q50b's all-pairs hamming <= 3, which the
+    // Spark side's pigeonhole banding reproduces exactly within radius 3)
+    // and the capped-window exact Jaccard >= 0.90 ground truth (q363's pair
+    // universe, same [2,32] posting filter both sides) — then the same
+    // FULL OUTER agreement counts.
+    "q380_detector_agreement" ->
+      s"""$simhashCte,
+         |spairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |w2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |g8 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+         |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w2
+         |       WHERE len(w) >= 8),
+         |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+         |s3 AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w2
+         |       WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM s3 GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+         |          FROM cand c JOIN s3 sa ON sa.doc_id = c.a_id
+         |          JOIN s3 sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+         |          GROUP BY c.a_id, c.b_id),
+         |ex AS (SELECT a_id, b_id FROM inter
+         |       JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+         |       WHERE (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) >= 9000),
+         |m AS (SELECT (e.a_id IS NOT NULL) AS in_exact, (p.a_id IS NOT NULL) AS in_sim
+         |      FROM ex e FULL OUTER JOIN spairs p
+         |        ON e.a_id = p.a_id AND e.b_id = p.b_id),
+         |c AS (SELECT SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS n_exact,
+         |             SUM(CASE WHEN in_sim THEN 1 ELSE 0 END) AS n_simhash,
+         |             SUM(CASE WHEN in_exact AND in_sim THEN 1 ELSE 0 END) AS n_both
+         |      FROM m)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_simhash AS BIGINT) AS n_simhash,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(CASE WHEN n_exact > 0 THEN n_both * 10000 // n_exact ELSE -1 END AS BIGINT)
+         |    AS recall_x1e4,
+         |  CAST(CASE WHEN n_simhash > 0 THEN n_both * 10000 // n_simhash ELSE -1 END AS BIGINT)
+         |    AS precision_x1e4
+         |FROM c""".stripMargin,
 
     // Dataset card: the oracle restates the generator's modality invariant
     // (doc_id parity) INDEPENDENTLY of Multimodal.formatOf, which the

@@ -355,6 +355,59 @@ object Multimodal {
       .orderBy("channel", "bucket")
   }
 
+  /** Distributed image-gradient pass (q378): decode every BMP payload's REAL
+    * pixels into LOGICAL top-down coordinates and compute forward-difference
+    * R-channel gradients — the edge/blur/flat-region screen an image-curation
+    * pipeline runs before any model step, and the first decode pass that
+    * exercises 2-D NEIGHBOR addressing (row stride × bottom-up row order)
+    * rather than pointwise statistics: an off-by-one in row addressing that a
+    * mean or histogram cannot see diverges every vertical difference here.
+    * dx(x,y) = R(x+1,y)−R(x,y), dy(x,y) = R(x,y+1)−R(x,y); per-doc exact
+    * integer summary (Σ|dx|, Σ|dy|, max|dx|, max|dy|, strong-gradient count
+    * at |dx|+|dy| ≥ 128) folds inside the codec pass — O(docs) rows shuffled
+    * at any image size. Oracle: the generator's affine closed form rebuilds
+    * each difference. */
+  def bmpGradient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.media
+          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+          val dataOffset = b.getInt(10)
+          val w = b.getInt(18)
+          val h = b.getInt(22)
+          require(b.getShort(28) == 24 && b.getInt(30) == 0, "unsupported BMP")
+          require(w > 0 && h > 0, s"unsupported BMP dimensions ${w}x$h")
+          val rowSize = ((3 * w + 3) / 4) * 4
+          require(bytes.length >= dataOffset + rowSize * h, "truncated BMP pixel data")
+          // R channel at LOGICAL (x, y), y top-down; the file stores rows
+          // bottom-up, so row y lives at file row h-1-y.
+          def red(x: Int, y: Int): Int =
+            bytes(dataOffset + (h - 1 - y) * rowSize + 3 * x + 2) & 0xff
+          var sumDx = 0L; var sumDy = 0L; var maxDx = 0; var maxDy = 0; var strong = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val adx = if (x < w - 1) math.abs(red(x + 1, y) - red(x, y)) else -1
+              val ady = if (y < h - 1) math.abs(red(x, y + 1) - red(x, y)) else -1
+              if (adx >= 0) { sumDx += adx; if (adx > maxDx) maxDx = adx }
+              if (ady >= 0) { sumDy += ady; if (ady > maxDy) maxDy = ady }
+              if (adx >= 0 && ady >= 0 && adx + ady >= 128) strong += 1
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, sumDx, sumDy, maxDx, maxDy, strong)
+        }
+      }
+      .toDF("doc_id", "sum_abs_dx", "sum_abs_dy", "max_abs_dx", "max_abs_dy", "n_strong")
+      .orderBy("doc_id")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */

@@ -67,6 +67,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want.toMap.filter(_._2 > 0))
   }
 
+  test("BMP gradient equals the closed-form forward differences (neighbor addressing)") {
+    // The DataFrame pass differences the REAL decoded bytes in logical
+    // top-down coordinates; this recomputes the same per-doc summary from
+    // the generator's affine closed form for every even doc_id (covers all
+    // row-padding cases 0..3 and heights 3..5 — a row-stride off-by-one
+    // diverges every dy).
+    val got = Multimodal.bmpGradient(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 2 == 0)
+    assert(got.keySet == ids.toSet)
+    for (id <- ids) {
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 3).toInt)
+      def red(x: Int, y: Int): Long = (id * 3 + x * 29 + y * 19) % 256
+      var sDx = 0L; var sDy = 0L; var mDx = 0; var mDy = 0; var strong = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val adx = if (x < w - 1) math.abs(red(x + 1, y) - red(x, y)).toInt else -1
+        val ady = if (y < h - 1) math.abs(red(x, y + 1) - red(x, y)).toInt else -1
+        if (adx >= 0) { sDx += adx; mDx = math.max(mDx, adx) }
+        if (ady >= 0) { sDy += ady; mDy = math.max(mDy, ady) }
+        if (adx >= 0 && ady >= 0 && adx + ady >= 128) strong += 1
+      }
+      assert(got(id) == ((sDx, sDy, mDx, mDy, strong)), s"id=$id")
+    }
+  }
+
   test("WAV decode recovers sample count, rate, mean and peak from real bytes") {
     for (id <- 1L to 9L by 2) {
       val bytes = Multimodal.encodeWav(id)
