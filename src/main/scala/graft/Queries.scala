@@ -6518,6 +6518,48 @@ object Queries {
         |SELECT feature, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
         |  CAST(u2 * 10000 // (2 * np * nn) AS BIGINT) AS auc_x1e4
         |FROM u ORDER BY feature""".stripMargin),
+
+    // ---- [EXT] k-anonymity audit: group the customer table by a
+    // quasi-identifier tuple (nation, market segment, account-balance
+    // kilo-bucket — the attacker-joinable attributes) and count, for
+    // k in {2, 5, 10}, the groups smaller than k and the rows they expose —
+    // the privacy re-identification screen a governance pipeline runs
+    // before releasing a training corpus. One groupBy over the QI tuple,
+    // one conditional-aggregation scan of the (tiny) group-size table; the
+    // balance bucket is cents DIV 100000 (exact integer, no float division;
+    // negative balances truncate toward zero identically in both engines).
+    // All-integer one-row output. ----
+    q2("q381_k_anonymity",
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(c_acctbal * 100 AS BIGINT) DIV 100000 AS bal_bkt FROM customer),
+        |gs AS (SELECT nat, seg, bal_bkt, COUNT(*) AS n FROM q GROUP BY nat, seg, bal_bkt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k2,
+        |  CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k2,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k5,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k5,
+        |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k10,
+        |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k10,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 DIV SUM(n) AS BIGINT)
+        |    AS risk_rate_k5_x1e4
+        |FROM gs""".stripMargin,
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(c_acctbal * 100 AS BIGINT) // 100000 AS bal_bkt FROM customer),
+        |gs AS (SELECT nat, seg, bal_bkt, COUNT(*) AS n FROM q GROUP BY nat, seg, bal_bkt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_group_size,
+        |  CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k2,
+        |  CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k2,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k5,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k5,
+        |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_k10,
+        |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_k10,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT)
+        |    AS risk_rate_k5_x1e4
+        |FROM gs""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -157,6 +157,7 @@ object Ext {
     "q360_audio_decimate" -> (Multimodal.audioDecimate _),
     "q372_image_histogram" -> (Multimodal.bmpHistogram _),
     "q378_image_gradient" -> (Multimodal.bmpGradient _),
+    "q382_audio_silence_runs" -> (Multimodal.audioSilenceRuns _),
     // [EXT] detector-agreement audit: precision/recall of the SimHash
     // hamming<=3 detector (q50b's banded pairs — exact within its pigeonhole
     // radius) against the exact 3-gram Jaccard >= 0.90 ground truth on the
@@ -1628,6 +1629,33 @@ object Ext {
         |  CAST(COUNT(*) FILTER (WHERE adx IS NOT NULL AND ady IS NOT NULL
         |                          AND adx + ady >= 128) AS BIGINT) AS n_strong
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Quiet-run (gaps-and-islands over i - ROW_NUMBER) and clipping counts
+    // over each WAV's closed-form samples; the Spark side scans the REAL
+    // decoded PCM16 bytes in order, so equality proves 1-D sample ordering
+    // (a reorder or stride error preserves per-sample stats but not runs).
+    "q382_audio_silence_runs" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, i, (doc_id * 31 + i * 73) % 4001 - 2000 AS v
+        |      FROM m, UNNEST(range(0, n)) t(i)),
+        |r AS (SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |      FROM s WHERE abs(v) <= 200),
+        |runs AS (SELECT doc_id, grp, COUNT(*) AS len FROM r GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_quiet_runs,
+        |          CAST(MAX(len) AS BIGINT) AS longest_quiet_run,
+        |          CAST(SUM(len) AS BIGINT) AS n_quiet
+        |        FROM runs GROUP BY doc_id),
+        |c AS (SELECT doc_id,
+        |        CAST(COUNT(*) FILTER (WHERE abs(v) >= 1900) AS BIGINT) AS n_clipped
+        |      FROM s GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  COALESCE(a.n_quiet_runs, 0) AS n_quiet_runs,
+        |  COALESCE(a.longest_quiet_run, 0) AS longest_quiet_run,
+        |  COALESCE(a.n_quiet, 0) AS n_quiet,
+        |  c.n_clipped
+        |FROM c LEFT JOIN agg a ON c.doc_id = a.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // Detector agreement: DuckDB recomputes BOTH detectors end to end — the
     // 48-bit portable-hash SimHash (q50b's all-pairs hamming <= 3, which the

@@ -408,6 +408,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Distributed audio silence/clipping screen (q382): decode every WAV
+    * payload's REAL PCM16 samples and measure, per doc, the maximal RUNS of
+    * consecutive quiet samples (|v| <= 200) — run count, longest run, total
+    * quiet samples — plus the clipped-sample count (|v| >= 1900). The
+    * dead-air/clipping screen an audio-curation pipeline drops or trims on
+    * before featurization, and the audio analogue of q378's neighbor test:
+    * run-length structure is destroyed by any sample reordering or stride
+    * error that per-sample statistics (mean/peak/RMS) cannot see. Exact
+    * integer summary folds inside the codec pass — O(docs) rows at any clip
+    * length. Oracle: the generator's affine closed form rebuilds the runs
+    * via gaps-and-islands. */
+  def audioSilenceRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("format") === "wav").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = decodeWavSamples(r.media)
+          require(s.nonEmpty, s"empty WAV data chunk (doc_id=${r.doc_id})")
+          var nRuns = 0L; var longest = 0L; var quiet = 0L; var clipped = 0L
+          var run = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = math.abs(s(i))
+            if (v <= 200) {
+              if (run == 0) nRuns += 1
+              run += 1; quiet += 1
+              if (run > longest) longest = run
+            } else run = 0
+            if (v >= 1900) clipped += 1
+            i += 1
+          }
+          (r.doc_id, nRuns, longest, quiet, clipped)
+        }
+      }
+      .toDF("doc_id", "n_quiet_runs", "longest_quiet_run", "n_quiet", "n_clipped")
+      .orderBy("doc_id")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */

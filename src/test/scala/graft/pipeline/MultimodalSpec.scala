@@ -138,6 +138,29 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(3) == wantZc, s"zc ${row.getInt(3)} != $wantZc")
   }
 
+  test("WAV silence runs equal the closed-form gaps-and-islands summary") {
+    // Run-length structure is order-sensitive: any sample reordering that
+    // per-sample stats (mean/peak) cannot see breaks these counts.
+    val got = Multimodal.audioSilenceRuns(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 2 == 1)
+    assert(got.keySet == ids.toSet)
+    for (id <- ids) {
+      val n = (64 + id % 64).toInt
+      val vs = (0 until n).map(i => math.abs((id * 31 + i * 73) % 4001 - 2000))
+      val runs = {
+        var acc = List.empty[Long]; var run = 0L
+        for (v <- vs) { if (v <= 200) run += 1 else { if (run > 0) acc ::= run; run = 0 } }
+        if (run > 0) acc ::= run
+        acc
+      }
+      val want = (runs.size.toLong, if (runs.isEmpty) 0L else runs.max,
+        runs.sum, vs.count(_ >= 1900).toLong)
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
   test("corrupted containers are rejected loudly, not mis-decoded") {
     val bmp = Multimodal.encodeBmp(2L)
     val wav = Multimodal.encodeWav(3L)
