@@ -6560,6 +6560,86 @@ object Queries {
         |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 // SUM(n) AS BIGINT)
         |    AS risk_rate_k5_x1e4
         |FROM gs""".stripMargin),
+
+    // ---- [EXT] portable MinHash+LSH whose SIGNATURE PIPELINE is
+    // oracle-exact: 8 min-hash slots from the md5 idiom (slot r =
+    // min over 3-gram shingles of the first 48 bits of md5('r|'||g)),
+    // folded into 4 bands x 2 rows (band hash = md5 of the two slot
+    // minima), candidates from the (band, bh) equi-join, then exact
+    // Jaccard >= 0.5 verification — the same algorithm q49 runs with
+    // xxhash64, but with every stage recomputable bit-for-bit in DuckDB:
+    // q49's oracle checks the RESULT against exact ground truth (banding
+    // verified probabilistically); this one pins signatures, banding,
+    // candidate generation, AND verification cross-engine. Same 100 TB
+    // shape: one partial-aggregating shuffle for signatures, equi-join
+    // candidates, never all-pairs. Integer micro-unit output. ----
+    q2("q383_minhash_portable",
+      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents
+        |           WHERE size(split(lower(text), ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, explode(transform(sequence(1, size(w) - 2),
+        |           i -> concat_ws(' ', w[i-1], w[i], w[i+1]))) AS g FROM w)),
+        |hs AS (SELECT doc_id,
+        |  MIN(CAST(conv(substr(md5(concat('0|', g)), 1, 12), 16, 10) AS BIGINT)) AS h0,
+        |  MIN(CAST(conv(substr(md5(concat('1|', g)), 1, 12), 16, 10) AS BIGINT)) AS h1,
+        |  MIN(CAST(conv(substr(md5(concat('2|', g)), 1, 12), 16, 10) AS BIGINT)) AS h2,
+        |  MIN(CAST(conv(substr(md5(concat('3|', g)), 1, 12), 16, 10) AS BIGINT)) AS h3,
+        |  MIN(CAST(conv(substr(md5(concat('4|', g)), 1, 12), 16, 10) AS BIGINT)) AS h4,
+        |  MIN(CAST(conv(substr(md5(concat('5|', g)), 1, 12), 16, 10) AS BIGINT)) AS h5,
+        |  MIN(CAST(conv(substr(md5(concat('6|', g)), 1, 12), 16, 10) AS BIGINT)) AS h6,
+        |  MIN(CAST(conv(substr(md5(concat('7|', g)), 1, 12), 16, 10) AS BIGINT)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bd AS (SELECT doc_id, stack(4,
+        |    0, md5(concat(CAST(h0 AS STRING), ',', CAST(h1 AS STRING))),
+        |    1, md5(concat(CAST(h2 AS STRING), ',', CAST(h3 AS STRING))),
+        |    2, md5(concat(CAST(h4 AS STRING), ',', CAST(h5 AS STRING))),
+        |    3, md5(concat(CAST(h6 AS STRING), ',', CAST(h7 AS STRING)))) AS (band, bh)
+        |  FROM hs),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bd a JOIN bd b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i FROM cand c
+        |          JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |p AS (SELECT a_id, b_id,
+        |        (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) AS j4
+        |      FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id)
+        |SELECT a_id, b_id, CAST(j4 AS BIGINT) AS jaccard_x1e4
+        |FROM p WHERE j4 >= 5000 ORDER BY a_id, b_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |           WHERE len(string_split(lower(text), ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |hs AS (SELECT doc_id,
+        |  MIN(('0x' || substr(md5('0|' || g), 1, 12))::BIGINT) AS h0,
+        |  MIN(('0x' || substr(md5('1|' || g), 1, 12))::BIGINT) AS h1,
+        |  MIN(('0x' || substr(md5('2|' || g), 1, 12))::BIGINT) AS h2,
+        |  MIN(('0x' || substr(md5('3|' || g), 1, 12))::BIGINT) AS h3,
+        |  MIN(('0x' || substr(md5('4|' || g), 1, 12))::BIGINT) AS h4,
+        |  MIN(('0x' || substr(md5('5|' || g), 1, 12))::BIGINT) AS h5,
+        |  MIN(('0x' || substr(md5('6|' || g), 1, 12))::BIGINT) AS h6,
+        |  MIN(('0x' || substr(md5('7|' || g), 1, 12))::BIGINT) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR)) AS bh FROM hs
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR)) FROM hs
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR)) FROM hs
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR)) FROM hs),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bd a JOIN bd b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i FROM cand c
+        |          JOIN sh sa ON sa.doc_id = c.a_id
+        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+        |          GROUP BY c.a_id, c.b_id),
+        |p AS (SELECT a_id, b_id,
+        |        (20000 * i + (na.n + nb.n - i)) // (2 * (na.n + nb.n - i)) AS j4
+        |      FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id)
+        |SELECT a_id, b_id, CAST(j4 AS BIGINT) AS jaccard_x1e4
+        |FROM p WHERE j4 >= 5000 ORDER BY a_id, b_id""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
