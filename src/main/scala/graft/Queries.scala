@@ -6640,6 +6640,112 @@ object Queries {
         |      FROM inter JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id)
         |SELECT a_id, b_id, CAST(j4 AS BIGINT) AS jaccard_x1e4
         |FROM p WHERE j4 >= 5000 ORDER BY a_id, b_id""".stripMargin),
+
+    // ---- [EXT] shard-rebalance audit: what fraction of a corpus MOVES when
+    // one shard is added — mod-N assignment (shard = h % 10 → % 11: ~10/11
+    // of all docs relocate) vs a consistent-hash ring (10 shards × 3
+    // virtual nodes on a 48-bit md5 ring, clockwise-next assignment: only
+    // the arcs the new shard's 3 vnodes capture move, ~1/11). The
+    // resharding-cost question behind every storage-layout migration at
+    // 100 TB. Join-free: the ring positions are constant md5 literals
+    // folded per row via array transforms (a doc moves iff the new shard's
+    // minimum clockwise delta beats the old 30-vnode minimum); one scan,
+    // one conditional-aggregation fold, all-integer one-row output. ----
+    q2("q384_shard_rebalance",
+      """WITH h AS (SELECT CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h
+        |           FROM documents),
+        |d AS (SELECT h, h % 10 AS s10, h % 11 AS s11,
+        |        array_min(transform(sequence(0, 29),
+        |          k -> (CAST(conv(substr(md5(concat('node', CAST(k % 10 AS STRING), '#',
+        |                 CAST(k DIV 10 AS STRING))), 1, 12), 16, 10) AS BIGINT)
+        |               - h + 281474976710656) % 281474976710656)) AS d_old,
+        |        array_min(transform(sequence(0, 2),
+        |          r -> (CAST(conv(substr(md5(concat('node10#', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)
+        |               - h + 281474976710656) % 281474976710656)) AS d_new
+        |      FROM h)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+        |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT)
+        |    AS moved_mod_x1e4,
+        |  CAST(SUM(CASE WHEN d_new < d_old THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+        |  CAST(SUM(CASE WHEN d_new < d_old THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT)
+        |    AS moved_ring_x1e4
+        |FROM d""".stripMargin,
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |           FROM documents),
+        |d AS (SELECT h, h % 10 AS s10, h % 11 AS s11,
+        |        list_min(list_transform(range(0, 30),
+        |          k -> (('0x' || substr(md5('node' || CAST(k % 10 AS VARCHAR) || '#' ||
+        |                 CAST(k // 10 AS VARCHAR)), 1, 12))::BIGINT
+        |               - h + 281474976710656) % 281474976710656)) AS d_old,
+        |        list_min(list_transform(range(0, 3),
+        |          r -> (('0x' || substr(md5('node10#' || CAST(r AS VARCHAR)), 1, 12))::BIGINT
+        |               - h + 281474976710656) % 281474976710656)) AS d_new
+        |      FROM h)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+        |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+        |    AS moved_mod_x1e4,
+        |  CAST(SUM(CASE WHEN d_new < d_old THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+        |  CAST(SUM(CASE WHEN d_new < d_old THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+        |    AS moved_ring_x1e4
+        |FROM d""".stripMargin),
+
+    // ---- [EXT] columnar-encoding advisor: per column, the dictionary-vs-
+    // plain size decision a parquet writer (or a table-layout tuner) makes —
+    // plain = Σ value bytes; dictionary = Σ DISTINCT value bytes + 2 bytes/
+    // row of codes (valid while ndv < 2¹⁶, which the ndv column lets the
+    // reader check). ONE groupBy per column yields n/ndv/plain/dict in a
+    // single pass (n = Σcnt, plain = Σ cnt·len, ndv = group count, dict
+    // values = Σ len) — never a second scan. Exact byte counts both
+    // engines (octet_length = strlen on these ASCII fixtures); savings in
+    // signed basis points (negative = dictionary loses, e.g. near-unique
+    // text). ----
+    q2("q385_encoding_advisor",
+      """WITH c1 AS (SELECT COUNT(*) AS ndv, SUM(octet_length(v)) AS dv, SUM(cnt) AS n,
+        |              SUM(cnt * octet_length(v)) AS plain
+        |            FROM (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY source)),
+        |c2 AS (SELECT COUNT(*) AS ndv, SUM(octet_length(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * octet_length(v)) AS plain
+        |       FROM (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY lang)),
+        |c3 AS (SELECT COUNT(*) AS ndv, SUM(octet_length(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * octet_length(v)) AS plain
+        |       FROM (SELECT text AS v, COUNT(*) AS cnt FROM documents GROUP BY text)),
+        |c4 AS (SELECT COUNT(*) AS ndv, SUM(octet_length(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * octet_length(v)) AS plain
+        |       FROM (SELECT o_orderpriority AS v, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority)),
+        |u AS (SELECT 'documents.source' AS col, * FROM c1
+        |      UNION ALL SELECT 'documents.lang', * FROM c2
+        |      UNION ALL SELECT 'documents.text', * FROM c3
+        |      UNION ALL SELECT 'orders.o_orderpriority', * FROM c4)
+        |SELECT col, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(plain AS BIGINT) AS plain_bytes,
+        |  CAST(dv + 2 * n AS BIGINT) AS dict_bytes,
+        |  (dv + 2 * n < plain) AS dict_wins,
+        |  CAST((plain - dv - 2 * n) * 10000 DIV plain AS BIGINT) AS savings_x1e4
+        |FROM u ORDER BY col""".stripMargin,
+      """WITH c1 AS (SELECT COUNT(*) AS ndv, SUM(strlen(v)) AS dv, SUM(cnt) AS n,
+        |              SUM(cnt * strlen(v)) AS plain
+        |            FROM (SELECT source AS v, COUNT(*) AS cnt FROM documents GROUP BY source)),
+        |c2 AS (SELECT COUNT(*) AS ndv, SUM(strlen(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * strlen(v)) AS plain
+        |       FROM (SELECT lang AS v, COUNT(*) AS cnt FROM documents GROUP BY lang)),
+        |c3 AS (SELECT COUNT(*) AS ndv, SUM(strlen(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * strlen(v)) AS plain
+        |       FROM (SELECT text AS v, COUNT(*) AS cnt FROM documents GROUP BY text)),
+        |c4 AS (SELECT COUNT(*) AS ndv, SUM(strlen(v)) AS dv, SUM(cnt) AS n,
+        |         SUM(cnt * strlen(v)) AS plain
+        |       FROM (SELECT o_orderpriority AS v, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority)),
+        |u AS (SELECT 'documents.source' AS col, * FROM c1
+        |      UNION ALL SELECT 'documents.lang', * FROM c2
+        |      UNION ALL SELECT 'documents.text', * FROM c3
+        |      UNION ALL SELECT 'orders.o_orderpriority', * FROM c4)
+        |SELECT col, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+        |  CAST(plain AS BIGINT) AS plain_bytes,
+        |  CAST(dv + 2 * n AS BIGINT) AS dict_bytes,
+        |  (dv + 2 * n < plain) AS dict_wins,
+        |  CAST((plain - dv - 2 * n) * 10000 // plain AS BIGINT) AS savings_x1e4
+        |FROM u ORDER BY col""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -283,6 +283,34 @@ object Streams {
       }.orderBy("source")
     }),
 
+    // Multimodal codec pass executed BY the streaming engine (the ingest
+    // shape of an audio-training pipeline: payloads arrive on a stream and
+    // are decoded before anything is persisted): each arriving odd-id doc's
+    // WAV payload is synthesized then its REAL bytes decoded in a typed
+    // map inside the micro-batch — the per-partition codec point under
+    // streaming execution — and complete-mode totals fold per sample-count
+    // bucket. Every output is an order-invariant BIGINT sum of exact
+    // decoded integers, so the drain equals the batch rebuild at any
+    // partitioning, and the oracle re-derives it from the generator's
+    // closed form. 19th real streaming entry.
+    "q386_stream_media_decode" -> ((s: SparkSession, d: String) =>
+      drainDocs(s, d, "complete") { docs =>
+        import s.implicits._
+        docs.select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 1)
+          .map { id =>
+            val samples = graft.pipeline.Multimodal.decodeWavSamples(
+              graft.pipeline.Multimodal.encodeWav(id))
+            (id, samples.length, samples.max, samples.map(_.toLong).sum)
+          }
+          .toDF("doc_id", "n_samples", "peak", "amp")
+          .groupBy(expr("n_samples DIV 16").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("peak").cast("long").as("sum_peak"),
+            sum("amp").cast("long").as("sum_amplitude"),
+            sum("n_samples").cast("long").as("sum_samples"))
+      }.orderBy("len_bucket")),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -832,5 +860,22 @@ object Streams {
         |      FROM f)
         |SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    // per-bucket totals of the generator's closed-form PCM16 samples
+    // (sample i of odd doc id = (id*31 + i*73) % 4001 - 2000, n = 64 + id%64);
+    // the streaming side decodes the REAL bytes in-stream, so equality
+    // proves the codec pass under streaming execution.
+    "q386_stream_media_decode" ->
+      """WITH m AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, n, (doc_id * 31 + i * 73) % 4001 - 2000 AS v
+        |      FROM m, UNNEST(range(0, n)) t(i)),
+        |p AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n, MAX(v) AS peak, SUM(v) AS amp
+        |      FROM s GROUP BY doc_id)
+        |SELECT CAST(n // 16 AS BIGINT) AS len_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(peak) AS BIGINT) AS sum_peak,
+        |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude,
+        |  CAST(SUM(n) AS BIGINT) AS sum_samples
+        |FROM p GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
   )
 }
