@@ -6746,6 +6746,136 @@ object Queries {
         |  (dv + 2 * n < plain) AS dict_wins,
         |  CAST((plain - dv - 2 * n) * 10000 // plain AS BIGINT) AS savings_x1e4
         |FROM u ORDER BY col""".stripMargin),
+
+    // ---- [EXT] l-diversity audit — q381's companion: k-anonymity bounds
+    // group SIZE, but a large group whose members all share one sensitive
+    // value still leaks it; l-diversity requires >= l DISTINCT sensitive
+    // values per quasi-identifier group. QI = (nation, segment) — coarser
+    // than q381's so groups are large and the failure mode is diversity,
+    // not size — sensitive = the balance kilo-bucket. Two-level aggregate
+    // (one groupBy then one conditional scan), all integer. ----
+    q2("q387_l_diversity",
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(c_acctbal * 100 AS BIGINT) DIV 100000 AS sens FROM customer),
+        |g AS (SELECT nat, seg, COUNT(*) AS n, COUNT(DISTINCT sens) AS ldiv
+        |      FROM q GROUP BY nat, seg)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(ldiv) AS BIGINT) AS min_diversity,
+        |  CAST(SUM(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l2,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l3,
+        |  CAST(SUM(CASE WHEN ldiv < 5 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l5,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_l3
+        |FROM g""".stripMargin,
+      """WITH q AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(c_acctbal * 100 AS BIGINT) // 100000 AS sens FROM customer),
+        |g AS (SELECT nat, seg, COUNT(*) AS n, COUNT(DISTINCT sens) AS ldiv
+        |      FROM q GROUP BY nat, seg)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(ldiv) AS BIGINT) AS min_diversity,
+        |  CAST(SUM(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l2,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l3,
+        |  CAST(SUM(CASE WHEN ldiv < 5 THEN 1 ELSE 0 END) AS BIGINT) AS viol_groups_l5,
+        |  CAST(SUM(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk_l3
+        |FROM g""".stripMargin),
+
+    // ---- [EXT] TTL retention sweep: how many events (and how many whole
+    // users) each time-to-live cutoff would evict, anchored at max(ts) so
+    // the sweep is deterministic — the storage-policy sizing question
+    // (keep 7/14/21 days?) answered in ONE conditional-aggregation scan
+    // instead of N delete dry-runs. The 1-row max-ts aggregate broadcasts
+    // (the sketch-law CROSS JOIN shape); timestamp comparisons are exact
+    // µs integers; all-integer one-row output. ----
+    q2("q388_ttl_retention_sweep",
+      """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+        |e AS (SELECT ev.user_id, ev.ts, mx.tmax FROM events ev CROSS JOIN mx),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_7d,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_14d,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 21 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_21d
+        |      FROM e),
+        |u AS (SELECT user_id, MAX(ts) AS umax FROM events GROUP BY user_id),
+        |ue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(CASE WHEN u.umax < mx.tmax - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_evicted_14d
+        |       FROM u CROSS JOIN mx)
+        |SELECT f.n_events, f.drop_7d,
+        |  CAST(f.drop_7d * 10000 DIV f.n_events AS BIGINT) AS drop_7d_x1e4,
+        |  f.drop_14d,
+        |  CAST(f.drop_14d * 10000 DIV f.n_events AS BIGINT) AS drop_14d_x1e4,
+        |  f.drop_21d,
+        |  CAST(f.drop_21d * 10000 DIV f.n_events AS BIGINT) AS drop_21d_x1e4,
+        |  ue.n_users, ue.users_evicted_14d
+        |FROM f CROSS JOIN ue""".stripMargin,
+      """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+        |e AS (SELECT ev.user_id, ev.ts, mx.tmax FROM events ev CROSS JOIN mx),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_7d,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_14d,
+        |        CAST(SUM(CASE WHEN ts < tmax - INTERVAL 21 DAY THEN 1 ELSE 0 END) AS BIGINT) AS drop_21d
+        |      FROM e),
+        |u AS (SELECT user_id, MAX(ts) AS umax FROM events GROUP BY user_id),
+        |ue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(CASE WHEN u.umax < mx.tmax - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS users_evicted_14d
+        |       FROM u CROSS JOIN mx)
+        |SELECT f.n_events, f.drop_7d,
+        |  CAST(f.drop_7d * 10000 // f.n_events AS BIGINT) AS drop_7d_x1e4,
+        |  f.drop_14d,
+        |  CAST(f.drop_14d * 10000 // f.n_events AS BIGINT) AS drop_14d_x1e4,
+        |  f.drop_21d,
+        |  CAST(f.drop_21d * 10000 // f.n_events AS BIGINT) AS drop_21d_x1e4,
+        |  ue.n_users, ue.users_evicted_14d
+        |FROM f CROSS JOIN ue""".stripMargin),
+
+    // ---- [EXT] link prediction by common-neighbor Jaccard — the graph
+    // family's recommender shape (q55 walks 2-hops, q298 counts triangles;
+    // this SCORES the open 2-hop pairs): undirected edges from the event
+    // co-occurrence graph (q276's LEAD derivation), candidate pairs =
+    // non-adjacent nodes sharing >= 1 neighbor (the equi-join on the
+    // middle node — never all-pairs), score = |N(a)∩N(b)|/|N(a)∪N(b)| in
+    // exact micro-units, top-20 via ORDER BY+LIMIT (TakeOrderedAndProject,
+    // no global window). Work is Σ_m deg(m)² — the same bound q55/q298
+    // carry; at 100 TB the standard remedy (hub cap / degree bucketing)
+    // applies unchanged. ----
+    q2("q389_link_prediction",
+      """WITH s AS (SELECT event_type, user_id, ts, event_id,
+        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
+        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+        |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
+        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v),
+        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
+        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
+        |j AS (SELECT a, b, i, da.d + db.d - i AS un
+        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
+        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
+        |  CAST((20000 * i + un) DIV (2 * un) AS BIGINT) AS cn_jaccard_x1e4
+        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin,
+      """WITH s AS (SELECT event_type, user_id, ts, event_id,
+        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
+        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+        |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
+        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v),
+        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
+        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
+        |j AS (SELECT a, b, i, da.d + db.d - i AS un
+        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
+        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
+        |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
+        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
