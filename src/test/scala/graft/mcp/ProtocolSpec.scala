@@ -410,6 +410,41 @@ class ProtocolSpec extends SparkSpec {
     assert(rn4.at("/result/content").size() == 4, s"expected 4 batches: $rn4")
   }
 
+  test("privacy_scan YAML tool drives the q381 k-anonymity audit declaratively") {
+    // Same drift-guard discipline as dataset_card/corpus_novelty: only the
+    // q381 catalog entry is DuckDB-gated, so the YAML tool must reproduce
+    // its numbers exactly at k=5 and genuinely re-parameterize at k=2.
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    val q381 = graft.SparkEntry.queries("q381_k_anonymity")(spark, sfDir).collect()(0)
+    // q381 columns: n_groups, n_rows, min_group_size, viol_groups_k2,
+    // rows_at_risk_k2, viol_groups_k5, rows_at_risk_k5, viol_groups_k10,
+    // rows_at_risk_k10, risk_rate_k5_x1e4
+    val r5 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":40,"method":"tools/call","params":{"name":"privacy_scan","arguments":{"k":"5"}}}""").get)
+    assert(!r5.at("/result/isError").asBoolean(false), s"privacy_scan(5) errored: $r5")
+    val row5 = mapper.readTree(r5.at("/result/content").get(0).get("text").asText())
+    assert(row5.get("k").asLong() == 5L)
+    assert(row5.get("n_groups").asLong() == q381.getLong(0), s"n_groups drift: $row5")
+    assert(row5.get("n_rows").asLong() == q381.getLong(1), s"n_rows drift: $row5")
+    assert(row5.get("viol_groups").asLong() == q381.getLong(5), s"viol_groups drift: $row5")
+    assert(row5.get("rows_at_risk").asLong() == q381.getLong(6), s"rows_at_risk drift: $row5")
+    assert(row5.get("risk_rate_x1e4").asLong() == q381.getLong(9), s"risk_rate drift: $row5")
+
+    val r2 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":41,"method":"tools/call","params":{"name":"privacy_scan","arguments":{"k":"2"}}}""").get)
+    assert(!r2.at("/result/isError").asBoolean(false), s"privacy_scan(2) errored: $r2")
+    val row2 = mapper.readTree(r2.at("/result/content").get(0).get("text").asText())
+    assert(row2.get("viol_groups").asLong() == q381.getLong(3), s"k=2 viol_groups drift: $row2")
+    assert(row2.get("rows_at_risk").asLong() == q381.getLong(4), s"k=2 rows_at_risk drift: $row2")
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")
