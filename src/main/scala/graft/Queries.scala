@@ -6876,6 +6876,31 @@ object Queries {
         |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
         |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
         |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
+
+    // ---- [EXT] label-corroboration audit: cross-tabulate the DECLARED
+    // `lang` column against q44's content heuristic (the ' the ' marker) —
+    // the label-quality screen a curation pipeline runs before trusting
+    // upstream metadata for mixing/filtering decisions. On this fixture it
+    // returns the honest finding that the declared label is UNCORROBORATED
+    // by content (every text draws from the same vocabulary regardless of
+    // lang), exactly what the audit exists to expose. One scan, one
+    // groupBy; per-label shares from a lang-partitioned window (never
+    // global); all integer. ----
+    q2("q390_label_corroboration",
+      """WITH p AS (SELECT lang,
+        |    CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en' ELSE 'other' END AS pred
+        |  FROM documents)
+        |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) * 10000 DIV SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_share_x1e4
+        |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+      """WITH p AS (SELECT lang,
+        |    CASE WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en' ELSE 'other' END AS pred
+        |  FROM documents)
+        |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_share_x1e4
+        |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

@@ -54,6 +54,23 @@ object Ext {
     }),
     "q49c_incremental_neardup" ->
       ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
+    // [EXT] cluster-size law: the distribution of near-dup cluster sizes
+    // from q49b's verified components — the telemetry that distinguishes a
+    // mirror-dominated corpus (few huge clusters: contract the star early)
+    // from pairwise near-dups (size-2 dominated: pair-level dedup suffices)
+    // and sizes the CC work. One distinct + one groupBy over the (tiny)
+    // component table; all integer.
+    "q391_cluster_size_law" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      Dedup.nearDupComponents(s, d)
+        .select(col("canonical_id"), col("cluster_size")).distinct()
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .select(col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
+        .orderBy("cluster_size")
+    }),
     "q50_simhash" -> (Dedup.simhash _),
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
@@ -1084,6 +1101,38 @@ object Ext {
          |SELECT doc_id, canonical_id, cluster_size
          |FROM comp JOIN csizes USING (canonical_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Cluster-size histogram over the SAME recursive exact closure as the
+    // q49b oracle — sizes per canonical, then clusters per size.
+    "q391_cluster_size_law" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+         |         FROM reach GROUP BY u),
+         |csizes AS (SELECT canonical_id, COUNT(*) AS cluster_size
+         |           FROM comp GROUP BY canonical_id)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM csizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // Quality-keeper selection over the same exact closure: per component,
     // the member with the highest q293 logit (tie: lowest doc_id) wins.
