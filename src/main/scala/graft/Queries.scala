@@ -6901,6 +6901,124 @@ object Queries {
         |  CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
         |    AS lang_share_x1e4
         |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin),
+
+    // ---- [EXT] quality-gate threshold sweep — q358's operating-curve
+    // pattern applied to the QUALITY cutoff instead of the dedup
+    // threshold: keep count, keep rate, and retained token mass at four
+    // milli-logit cutoffs spanning the corpus distribution (1600/1800/
+    // 2000/2200 around the ~1818 median), so choosing a gate strictness
+    // costs ONE conditional-aggregation scan, not N filter dry-runs.
+    // All-integer one-row output; no joins at all. ----
+    q2("q392_quality_threshold_sweep",
+      """WITH f AS (SELECT doc_id, n_chars, size(split(text, ' ')) AS wc,
+        |    size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) AS stops,
+        |    size(array_distinct(split(text, ' '))) AS uniq FROM documents),
+        |s AS (SELECT wc,
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      DIV wc AS m
+        |  FROM f WHERE wc > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN 1 ELSE 0 END) AS BIGINT) AS keep_1600,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT) AS rate_1600_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN wc ELSE 0 END) AS BIGINT) AS tokens_1600,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN 1 ELSE 0 END) AS BIGINT) AS keep_1800,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT) AS rate_1800_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN wc ELSE 0 END) AS BIGINT) AS tokens_1800,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS keep_2000,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT) AS rate_2000_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN wc ELSE 0 END) AS BIGINT) AS tokens_2000,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN 1 ELSE 0 END) AS BIGINT) AS keep_2200,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT) AS rate_2200_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN wc ELSE 0 END) AS BIGINT) AS tokens_2200
+        |FROM s""".stripMargin,
+      """WITH f AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS wc,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS stops,
+        |    len(list_distinct(string_split(text, ' '))) AS uniq FROM documents),
+        |s AS (SELECT wc,
+        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |      // wc AS m
+        |  FROM f WHERE wc > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN 1 ELSE 0 END) AS BIGINT) AS keep_1600,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS rate_1600_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 1600 THEN wc ELSE 0 END) AS BIGINT) AS tokens_1600,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN 1 ELSE 0 END) AS BIGINT) AS keep_1800,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS rate_1800_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 1800 THEN wc ELSE 0 END) AS BIGINT) AS tokens_1800,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS keep_2000,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS rate_2000_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 2000 THEN wc ELSE 0 END) AS BIGINT) AS tokens_2000,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN 1 ELSE 0 END) AS BIGINT) AS keep_2200,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS rate_2200_x1e4,
+        |  CAST(SUM(CASE WHEN m >= 2200 THEN wc ELSE 0 END) AS BIGINT) AS tokens_2200
+        |FROM s""".stripMargin),
+
+    // ---- [EXT] incremental dataset diff — the delta card an ingest run
+    // publishes: with "new" = q49c's arrival batch (doc_id % 10 = 0) and
+    // "corpus" = the rest, report the batch's size and token mass, its
+    // distinct 3-gram shingles split into NOVEL vs already-known (the
+    // marginal-content answer per batch, q368's decay measured for one
+    // delta), and how many new docs share a capped [2,32] 8-gram with the
+    // existing corpus (q371's ingest near-dup screen, batch-scoped). All
+    // candidate work is gram equi-joins against the batch side only. ----
+    q2("q393_dataset_diff",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w, doc_id % 10 = 0 AS is_new
+        |           FROM documents),
+        |base AS (SELECT CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        |           CAST(SUM(CASE WHEN is_new THEN size(w) ELSE 0 END) AS BIGINT) AS new_tokens
+        |         FROM w),
+        |s3 AS (SELECT doc_id, is_new, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w WHERE size(w) >= 3),
+        |ng AS (SELECT DISTINCT g FROM s3 WHERE is_new),
+        |og AS (SELECT DISTINCT g FROM s3 WHERE NOT is_new),
+        |nov AS (SELECT CAST(COUNT(*) AS BIGINT) AS new_distinct,
+        |          CAST(SUM(CASE WHEN og.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        |        FROM ng LEFT JOIN og ON ng.g = og.g),
+        |g8 AS (SELECT doc_id, is_new, explode(array_distinct(transform(sequence(1, size(w) - 7),
+        |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w WHERE size(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |hits AS (SELECT DISTINCT nb.doc_id
+        |         FROM g8 nb JOIN gc ON nb.g = gc.g
+        |         JOIN g8 ob ON ob.g = nb.g AND NOT ob.is_new
+        |         WHERE nb.is_new),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS neardup_new_docs FROM hits)
+        |SELECT base.n_corpus, base.n_new, base.new_tokens,
+        |  nov.new_distinct AS new_distinct_shingles, nov.novel AS novel_shingles,
+        |  CAST(nov.novel * 10000 DIV nov.new_distinct AS BIGINT) AS novelty_x1e4,
+        |  nd.neardup_new_docs,
+        |  CAST(nd.neardup_new_docs * 10000 DIV base.n_new AS BIGINT) AS neardup_rate_x1e4
+        |FROM base CROSS JOIN nov CROSS JOIN nd""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, doc_id % 10 = 0 AS is_new
+        |           FROM documents),
+        |base AS (SELECT CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+        |           CAST(SUM(CASE WHEN is_new THEN len(w) ELSE 0 END) AS BIGINT) AS new_tokens
+        |         FROM w),
+        |s3 AS (SELECT doc_id, is_new, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w WHERE len(w) >= 3),
+        |ng AS (SELECT DISTINCT g FROM s3 WHERE is_new),
+        |og AS (SELECT DISTINCT g FROM s3 WHERE NOT is_new),
+        |nov AS (SELECT CAST(COUNT(*) AS BIGINT) AS new_distinct,
+        |          CAST(SUM(CASE WHEN og.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        |        FROM ng LEFT JOIN og ON ng.g = og.g),
+        |g8 AS (SELECT doc_id, is_new, unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |         i -> array_to_string(list_slice(w, i, i + 7), ' ')))) AS g FROM w
+        |       WHERE len(w) >= 8),
+        |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+        |hits AS (SELECT DISTINCT nb.doc_id
+        |         FROM g8 nb JOIN gc ON nb.g = gc.g
+        |         JOIN g8 ob ON ob.g = nb.g AND NOT ob.is_new
+        |         WHERE nb.is_new),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS neardup_new_docs FROM hits)
+        |SELECT base.n_corpus, base.n_new, base.new_tokens,
+        |  nov.new_distinct AS new_distinct_shingles, nov.novel AS novel_shingles,
+        |  CAST(nov.novel * 10000 // nov.new_distinct AS BIGINT) AS novelty_x1e4,
+        |  nd.neardup_new_docs,
+        |  CAST(nd.neardup_new_docs * 10000 // base.n_new AS BIGINT) AS neardup_rate_x1e4
+        |FROM base CROSS JOIN nov CROSS JOIN nd""".stripMargin),
   )
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,

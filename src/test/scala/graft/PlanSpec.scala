@@ -242,6 +242,7 @@ class PlanSpec extends SparkSpec {
       "q298_triangle_count",  // CROSS JOINs of three 1-row count aggregates
       "q306_join_blowup_estimate", // CROSS JOIN of the 1-row estimate x 1-row actual
       "q388_ttl_retention_sweep",  // 1-row max(ts) anchor broadcast + 1-row x 1-row final join
+      "q393_dataset_diff",         // CROSS JOINs of three 1-row aggregates (base x novelty x neardup)
       "q314_tokenizer_fertility", // q284's vocab-sized argmax-pair broadcasts (shared BPE CTEs)
       "q316_vocab_coverage",      // CROSS JOIN with the 1-row corpus-total aggregate (q265 shape)
       "q317_hll_merge_law",       // CROSS JOIN of the 1-row merged x 1-row direct sketch aggregates
