@@ -6877,6 +6877,62 @@ object Queries {
         |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
         |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
 
+    // ---- [EXT] q389's at-scale sibling (the q286b/q72b pattern): link
+    // scores from DETERMINISTICALLY CAPPED adjacency — each node's list is
+    // its 32 smallest-id neighbors, so pair enumeration per middle node is
+    // bounded by 32² and the Σdeg² blowup of q389 becomes n·32² regardless
+    // of hub size (the power-law regime at 100 TB where one celebrity node
+    // otherwise owns the shuffle). Under the cap the symmetric neighbor
+    // relation becomes directional, so the score is the Jaccard of
+    // ENDORSEMENT sets E(x) = {m : x ∈ cappedN(m)} (i ≤ min |E|, union
+    // ≥ 1 by construction; identical to q389's neighbor Jaccard when
+    // uncapped) — documented estimator semantics, and the oracle applies
+    // the identical cap, so the estimate itself is oracle-exact. The cap
+    // is a node-partitioned ROW_NUMBER window (never global). ----
+    q2("q389b_link_prediction_capped",
+      """WITH s AS (SELECT event_type, user_id, ts, event_id,
+        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
+        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+        |sym0 AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+        |sym AS (SELECT u, v FROM (SELECT u, v,
+        |          ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM sym0)
+        |        WHERE rk <= 32),
+        |deg AS (SELECT v AS u, COUNT(*) AS d FROM sym GROUP BY v),
+        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
+        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v),
+        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
+        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
+        |j AS (SELECT a, b, i, da.d + db.d - i AS un
+        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
+        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
+        |  CAST((20000 * i + un) DIV (2 * un) AS BIGINT) AS cn_jaccard_x1e4
+        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin,
+      """WITH s AS (SELECT event_type, user_id, ts, event_id,
+        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
+        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+        |sym0 AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
+        |sym AS (SELECT u, v FROM (SELECT u, v,
+        |          ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM sym0) z
+        |        WHERE rk <= 32),
+        |deg AS (SELECT v AS u, COUNT(*) AS d FROM sym GROUP BY v),
+        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
+        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
+        |       GROUP BY x.v, y.v),
+        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
+        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
+        |j AS (SELECT a, b, i, da.d + db.d - i AS un
+        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
+        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
+        |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
+        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
+
     // ---- [EXT] label-corroboration audit: cross-tabulate the DECLARED
     // `lang` column against q44's content heuristic (the ' the ' marker) —
     // the label-quality screen a curation pipeline runs before trusting
