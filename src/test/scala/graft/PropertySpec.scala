@@ -54,6 +54,33 @@ class PropertySpec extends SparkSpec {
     assert(ids(100).size == total)
   }
 
+  test("consistent-hash ring: the min-delta shortcut equals full reassignment (q384)") {
+    // q384 decides "doc moves when shard 10 is added" via the shortcut
+    // d_new < d_old (the new shard's minimum clockwise delta beats the old
+    // 30-vnode minimum). This proves the shortcut against the ground truth:
+    // full argmin assignment over the 30-vnode vs 33-vnode rings, for many
+    // seeded random ring positions and doc hashes — including ties (equal
+    // deltas keep the doc in place, which the strict < encodes).
+    val C = 281474976710656L // 2^48 ring size
+    val rnd = new Random(17)
+    def delta(pos: Long, h: Long): Long = ((pos - h) % C + C) % C
+    for (_ <- 1 to 200) {
+      val oldVnodes = Vector.tabulate(30)(i => (math.abs(rnd.nextLong()) % C, i / 3))
+      val newVnodes = Vector.fill(3)((math.abs(rnd.nextLong()) % C, 10))
+      val h = math.abs(rnd.nextLong()) % C
+      def owner(vs: Vector[(Long, Int)]): Int =
+        vs.minBy { case (p, i) => (delta(p, h), i) }._2
+      val before = owner(oldVnodes)
+      val after = owner(oldVnodes ++ newVnodes)
+      val dOld = oldVnodes.map(v => delta(v._1, h)).min
+      val dNew = newVnodes.map(v => delta(v._1, h)).min
+      val movedShortcut = dNew < dOld
+      val movedTruth = before != after
+      assert(movedShortcut == movedTruth,
+        s"h=$h dOld=$dOld dNew=$dNew before=$before after=$after")
+    }
+  }
+
   test("set-operation algebra matches Scala set semantics") {
     import graft.TestSpark.spark.implicits._
     val rnd = new Random(13)
