@@ -571,6 +571,7 @@ object Queries {
     // ---- brute-force cosine top-k similarity over embeddings (the exact
     //      baseline; ranking uses the ROUNDed score + id tiebreak so both
     //      engines rank identically despite FP summation order). ----
+    // SCALE-AUDIT: q48_cosine_topk -> q51_ann_lsh
     q2("q48_cosine_topk",
       """WITH n AS (
         |  SELECT vec_id, embedding,
@@ -614,6 +615,7 @@ object Queries {
     // per PAIR — a third of the per-pair arithmetic of a fused cosine
     // (neutral at 64-dim where pair iteration dominates, and an increasing
     // win as dimensionality grows; see BenchOne dot_hoist_vs_fused)
+    // SCALE-AUDIT: q72_embedding_neardup -> q72b_embedding_neardup_scaled
     q2("q72_embedding_neardup",
       """WITH e AS (SELECT vec_id, embedding,
         |  SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
@@ -3046,6 +3048,7 @@ object Queries {
     // global NTILE window is single-partition by construction — this entry
     // is the sf-pinned EXACT-tertile oracle; q286b below is the production
     // cut (percentile cutoffs, no global window) for corpus scale. ----
+    // SCALE-AUDIT: q286_perplexity_buckets -> q286b_perplexity_buckets_at_scale
     q2("q286_perplexity_buckets",
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
@@ -6839,6 +6842,7 @@ object Queries {
     // no global window). Work is Σ_m deg(m)² — the same bound q55/q298
     // carry; at 100 TB the standard remedy (hub cap / degree bucketing)
     // applies unchanged. ----
+    // SCALE-AUDIT: q389_link_prediction -> q389b_link_prediction_capped
     q2("q389_link_prediction",
       """WITH s AS (SELECT event_type, user_id, ts, event_id,
         |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt

@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Ext {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q49_minhash_neardup" -> (Dedup.minhashNearDup _),
+    // SCALE-AUDIT: q49b_neardup_components -> q332_cc_star_contraction
     "q49b_neardup_components" ->
       ((s: SparkSession, d: String) => Dedup.nearDupComponents(s, d)),
     "q332_cc_star_contraction" ->
@@ -55,14 +56,18 @@ object Ext {
     "q49c_incremental_neardup" ->
       ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
     // [EXT] cluster-size law: the distribution of near-dup cluster sizes
-    // from q49b's verified components — the telemetry that distinguishes a
+    // over the verified components — the telemetry that distinguishes a
     // mirror-dominated corpus (few huge clusters: contract the star early)
     // from pairwise near-dups (size-2 dominated: pair-level dedup suffices)
     // and sizes the CC work. One distinct + one groupBy over the (tiny)
-    // component table; all integer.
+    // component table; all integer. Built on q332's O(log n)-round star
+    // contraction (NOT q49b's diameter-round label propagation) so the
+    // histogram inherits the round count that holds on 100 TB edge sets;
+    // q332's oracle proves the two component sets identical, and this
+    // entry's own DuckDB oracle re-proves the histogram independently.
     "q391_cluster_size_law" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
-      Dedup.nearDupComponents(s, d)
+      Dedup.starComponents(s, d)
         .select(col("canonical_id"), col("cluster_size")).distinct()
         .groupBy("cluster_size")
         .agg(count(lit(1)).cast("long").as("n_clusters"))
@@ -72,6 +77,7 @@ object Ext {
         .orderBy("cluster_size")
     }),
     "q50_simhash" -> (Dedup.simhash _),
+    // SCALE-AUDIT: q50b_simhash_neardup -> q49_minhash_neardup
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q335_ann_multiprobe" -> (Similarity.multiprobeTopK _),

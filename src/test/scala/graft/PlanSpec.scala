@@ -410,4 +410,45 @@ class PlanSpec extends SparkSpec {
     }
     assert(msgs.isEmpty, msgs.mkString("\n"))
   }
+
+  test("audit-twin registry: every sf-pinned scale-killer audit names a live production sibling") {
+    // VERDICT r9 #2: the exact-audit-twin convention (q286/q286b, q72/q72b,
+    // q389/q389b) machine-pinned. Each source-marked audit entry — a query
+    // DELIBERATELY retained with a plan that would not survive 100 TB
+    // (all-pairs BNLJ, global NTILE, Σdeg² enumeration, all-pairs hamming)
+    // because it is the exact ground truth its production sibling is
+    // verified against — must declare that sibling in a `SCALE-AUDIT:`
+    // marker next to its definition, and the marker set must equal this
+    // reviewed registry exactly. A future exact-audit entry without a
+    // registered scale path fails here; so does a stale registry row.
+    val registry: Map[String, String] = Map(
+      "q48_cosine_topk" -> "q51_ann_lsh",                          // brute-force all-pairs cosine -> multi-table LSH
+      "q72_embedding_neardup" -> "q72b_embedding_neardup_scaled",  // all-pairs BNLJ verify -> LSH prefilter + verify
+      "q286_perplexity_buckets" -> "q286b_perplexity_buckets_at_scale", // global NTILE tertiles -> broadcast cutoffs
+      "q389_link_prediction" -> "q389b_link_prediction_capped",    // Σdeg² middle-node enumeration -> n·32² hub cap
+      "q49b_neardup_components" -> "q332_cc_star_contraction",     // diameter-round label prop -> O(log n) star contraction
+      "q50b_simhash_neardup" -> "q49_minhash_neardup")             // all-pairs-scale hamming radius -> banded MinHash LSH
+    // (1) source markers (the in-code declaration) == the reviewed registry
+    import scala.jdk.CollectionConverters._
+    val marker = """SCALE-AUDIT:\s*(\S+)\s*->\s*(\S+)""".r
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val marked = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => marker.findAllMatchIn(java.nio.file.Files.readString(p))
+        .map(m => m.group(1) -> m.group(2)))
+      .toMap
+    assert(marked == registry,
+      s"SCALE-AUDIT marker drift — marked-not-registered: ${(marked.toSet -- registry.toSet).toSeq.sorted}, " +
+      s"registered-not-marked: ${(registry.toSet -- marked.toSet).toSeq.sorted}")
+    // (2) both sides are live catalog entries, and no production sibling is
+    // itself an audit (a chain would leave the family without a scale path)
+    val catalog = SparkEntry.queries.keySet
+    for ((audit, sibling) <- registry) {
+      assert(catalog.contains(audit), s"audit entry $audit not in the catalog")
+      assert(catalog.contains(sibling), s"production sibling $sibling (of $audit) not in the catalog")
+      assert(audit != sibling, s"$audit names itself as its own sibling")
+      assert(!registry.contains(sibling),
+        s"production sibling $sibling of $audit is itself a registered audit — no terminal scale path")
+    }
+  }
 }

@@ -64,10 +64,8 @@ class PropertySpec extends SparkSpec {
     val C = 281474976710656L // 2^48 ring size
     val rnd = new Random(17)
     def delta(pos: Long, h: Long): Long = ((pos - h) % C + C) % C
-    for (_ <- 1 to 200) {
-      val oldVnodes = Vector.tabulate(30)(i => (math.abs(rnd.nextLong()) % C, i / 3))
-      val newVnodes = Vector.fill(3)((math.abs(rnd.nextLong()) % C, 10))
-      val h = math.abs(rnd.nextLong()) % C
+    def check(oldVnodes: Vector[(Long, Int)], newVnodes: Vector[(Long, Int)],
+              h: Long, label: String): Unit = {
       def owner(vs: Vector[(Long, Int)]): Int =
         vs.minBy { case (p, i) => (delta(p, h), i) }._2
       val before = owner(oldVnodes)
@@ -77,7 +75,37 @@ class PropertySpec extends SparkSpec {
       val movedShortcut = dNew < dOld
       val movedTruth = before != after
       assert(movedShortcut == movedTruth,
-        s"h=$h dOld=$dOld dNew=$dNew before=$before after=$after")
+        s"[$label] h=$h dOld=$dOld dNew=$dNew before=$before after=$after")
+    }
+    for (_ <- 1 to 200) {
+      val oldVnodes = Vector.tabulate(30)(i => (math.abs(rnd.nextLong()) % C, i / 3))
+      val newVnodes = Vector.fill(3)((math.abs(rnd.nextLong()) % C, 10))
+      val h = math.abs(rnd.nextLong()) % C
+      check(oldVnodes, newVnodes, h, "random")
+    }
+    // Adversarial vnode-collision boundaries (VERDICT r9 #8) — the exact
+    // ties a 48-bit random draw never produces. Convention under test:
+    // equal deltas KEEP the doc (q384's strict d_new < d_old), matching a
+    // ring whose equal-position vnodes order by shard id (old shards 0..9
+    // sort before the new shard 10).
+    val base = Vector.tabulate(30)(i => ((1000L + 7919L * i * i) % C, i / 3))
+    val farAway = Vector.tabulate(3)(r => ((99999L + 104729L * r) % C, 10))
+    for (k <- Seq(0, 13, 29)) {
+      val h = base(k)._1
+      // (a) doc hash exactly ON an old vnode: dOld = 0, can never move
+      check(base, farAway, h, s"h-on-old-vnode-$k")
+      // (b) a new vnode at exactly the old owner's position: dNew == dOld
+      //     tie — doc stays (old shard wins the equal-position ordering)
+      val ownPos = base.minBy(v => (delta(v._1, h), v._2))._1
+      check(base, Vector((ownPos, 10), farAway(1), farAway(2)), h, s"new-on-owner-$k")
+      // (c) doc hash exactly ON a new vnode: dNew = 0, moves iff dOld > 0
+      check(base, Vector((h, 10), farAway(1), farAway(2)), h, s"h-on-new-vnode-$k")
+      // (d) old AND new vnode both exactly at the doc hash: double zero
+      //     tie — doc stays with the old shard
+      check(base.updated(5, (h, 1)), Vector((h, 10), farAway(1), farAway(2)), h,
+        s"double-zero-tie-$k")
+      // (e) all three new vnodes tied with each other at the owner position
+      check(base, Vector((ownPos, 10), (ownPos, 10), (ownPos, 10)), h, s"triple-new-tie-$k")
     }
   }
 

