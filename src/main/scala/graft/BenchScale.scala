@@ -47,7 +47,7 @@ object BenchScale {
     Entry("q49b_neardup_components", "docs", 13.0, "label-prop CC: rounds = cluster diameter (fixed per copy)"),
     Entry("q332_cc_star_contraction", "docs", 13.0, "star-contraction CC: O(log n) rounds"),
     Entry("q389b_link_prediction_capped", "events", 13.0, "hub-capped adjacency: n*32^2 pair bound"),
-    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH dup-code prefilter + exact verify (code length is the knob that grows with corpus)"))
+    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH prefilter + exact verify; adaptive code bits = log2(n/8) + hamming-1 multiprobe (this harness measured the fixed-6-bit form at 26x)"))
 
   private val scales = Seq(1, 4, 10)
 
@@ -73,6 +73,19 @@ object BenchScale {
     val timings = scala.collection.mutable.Map[String, Map[Int, (Seq[Double], Long)]]()
       .withDefaultValue(Map.empty)
 
+    // Untimed warmup on the 1x fixture: every entry's FIRST-ever execution
+    // carries JIT/codegen compilation, which otherwise lands entirely in the
+    // 1x timings and biases every ratio downward (measured at sf0.01:
+    // negative fitted exponents on the cheap entries).
+    {
+      val dir = synthesize(spark, sfDir, 1, work.resolve("x1").toString)
+      shadow(spark, sfDir, 1, dir)
+      System.err.println(s"[scale] warmup pass on the 1x fixture")
+      entries.foreach { e =>
+        try SparkEntry.queries(e.name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case t: Throwable => System.err.println(s"[scale] warmup ${e.name} FAILED: $t") }
+      }
+    }
     for (k <- scales) {
       val dir = synthesize(spark, sfDir, k, work.resolve(s"x$k").toString)
       shadow(spark, sfDir, k, dir)

@@ -296,15 +296,35 @@ object Similarity {
   }
 
   // Near-dup prefilter construction: more tables x fewer bits than the topk
-  // tables, tuned for the high-cosine regime (cos ~0.94 twins: per-pair miss
-  // probability (1 - 0.89^6)^16 ~ 2e-5 under fixed seeds — deterministic, so
-  // an exact-equality oracle is stable). Seed 7 keeps these planes
+  // tables, tuned for the high-cosine regime. Seed 7 keeps these planes
   // independent of the topk tables'.
+  //
+  // The CODE LENGTH IS ADAPTIVE (round 10): a fixed 6-bit code space (64
+  // buckets/table) saturates as the corpus grows — bucket occupancy rises
+  // linearly, same-bucket pairs quadratically. BenchScale MEASURED it:
+  // alpha = 1.38, t(10x)/t(1x) = 26 at sf0.1 under fixed bits. bits =
+  // max(6, ceil(log2(n / 8))) targets ~8 vectors/bucket at any corpus
+  // size, which keeps per-table candidates ~4n and total candidate work
+  // O(n log n) — the standard LSH posture at 100 TB (the index grows in
+  // CODE LENGTH, never in pair volume). Longer codes alone would cost
+  // recall ((cos 0.94 twins agree per bit w.p. ~0.89, so a 13-bit table
+  // hits w.p. 0.89^13 ~ 0.22); recall is restored by HAMMING-1 MULTIPROBE
+  // on one join side (q335's trick): per-table pair hit prob becomes
+  // p^b + b(1-p)p^(b-1) (~0.58 at b=13), and the 16-table miss probability
+  // stays <= ~2e-6 at every size BenchScale drives — re-proven exactly by
+  // the all-pairs oracle, which fails on ANY missed pair.
   private val DupTables = 16
   private val DupBits = 6
 
-  private def dupCodes(embName: String): Column =
-    expr(s"lsh_codes($embName, 7, $DupTables, $DupBits, $Dim)")
+  /** ceil(log2(n / targetBucket)) with the 6-bit floor — deterministic from
+    * the corpus row count (production reads it from table stats). */
+  private[pipeline] def dupBitsFor(n: Long, targetBucket: Long = 8L): Int = {
+    val buckets = math.max(1L, n / targetBucket)
+    math.max(DupBits, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1)))
+  }
+
+  private def dupCodes(embName: String, bits: Int = DupBits): Column =
+    expr(s"lsh_codes($embName, 7, $DupTables, $bits, $Dim)")
 
   /** Production-path embedding near-dup (q72b) — the scale-safe sibling of
     * q72's declared-audit-only exact all-pairs join: multi-table sign-LSH
@@ -328,14 +348,24 @@ object Similarity {
         expr("transform(embedding, (x, j) -> " +
           "CAST(x + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0 AS FLOAT))").as("embedding"))
     val all = emb.unionByName(planted)
+    // Adaptive code length from the corpus size (one deterministic count —
+    // the statistic a production index reads from table metadata), so the
+    // bucket space grows with the corpus instead of saturating.
+    val bits = dupBitsFor(all.count())
     // Candidate generation on (id, table, code) ONLY — the wide embedding
     // arrays do not ride through the self-join + dedup shuffles; they are
     // hash-joined back onto the deduped candidate ids for the verify stage.
+    // One side is expanded to its hamming-1 probe set (bits+1 keys/table),
+    // which buys back the recall the longer codes cost; candidates stay an
+    // equi-join on (table, probe-code).
     val coded = all.select(col("vec_id"),
-      posexplode(dupCodes("embedding")).as(Seq("t", "code")))
-    val cand = coded.as("a")
+      posexplode(dupCodes("embedding", bits)).as(Seq("t", "code")))
+    val probes = coded.select(col("vec_id"), col("t"),
+      explode(expr(s"array_union(array(code), " +
+        s"transform(sequence(0, ${bits - 1}), b -> code ^ shiftleft(1, b)))")).as("pcode"))
+    val cand = probes.as("a")
       .join(coded.as("b"),
-        col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
+        col("a.t") === col("b.t") && col("a.pcode") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")

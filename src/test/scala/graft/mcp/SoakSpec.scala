@@ -1,0 +1,122 @@
+package graft.mcp
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.{SparkSpec, Tables}
+
+/** Sustained mixed-workload soak (VERDICT r9 #7): ConcurrencySpec proves 8
+  * racing sessions survive one registration+query; this drives the
+  * SHARED-SERVER posture — N clients looping a mixed workload (per-client
+  * temp state, parameterized aggregates, a YAML tool, denied statements)
+  * while a Structured Streaming drain runs in the same SparkContext —
+  * asserting three things across the whole window:
+  *
+  *  - NO STATE BLEED: each client plants a session-local temp view carrying
+  *    its own id and must read back exactly that id through the MCP path on
+  *    every round (temp views are per-cloned-session; a leak across the
+  *    shared context would surface here), and each parameterized aggregate
+  *    returns the same client-specific value every round;
+  *  - GATE UNDER CONCURRENCY: denied statements stay denied on every round
+  *    of every client (the gate is parse-only and stateless, but it shares
+  *    the session's parser — this pins that sharing);
+  *  - BOUNDED LATENCY / NO COLLAPSE: every MCP call completes under a
+  *    generous per-op ceiling (no deadlock or serialization collapse), and
+  *    the concurrent streaming drains complete with their usual results.
+  *
+  * Iteration-bounded (not wall-clock-bounded) so CI time stays predictable;
+  * GRAFT_SOAK_ROUNDS scales the window for a longer manual soak. */
+class SoakSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  test("multi-client mixed-workload soak: no state bleed, gate holds, bounded latency, streaming alive") {
+    val nClients = 8
+    val rounds = sys.env.getOrElse("GRAFT_SOAK_ROUNDS", "8").toInt
+    val perOpCeilingSec = 120.0 // generous: asserts liveness, not microbenchmarks
+    Tables.register(spark, sfDir)
+    val expectedLineitem = spark.table("lineitem").count()
+
+    val pool = Executors.newFixedThreadPool(nClients + 1)
+    val start = new CountDownLatch(1)
+    val failures = new ConcurrentLinkedQueue[String]()
+    val opSeconds = new ConcurrentLinkedQueue[java.lang.Double]()
+
+    // One streaming drain thread sharing the SparkContext with the client
+    // load: two AvailableNow drains (windowed agg + KMV sketch state) must
+    // produce rows while the soak hammers the session registry.
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          start.await()
+          for (name <- Seq("q250_stream_tumbling_drain", "q324_stream_kmv_sketch")) {
+            val rows = graft.SparkEntry.queries(name)(spark.newSession(), sfDir).count()
+            if (rows <= 0) failures.add(s"streaming $name drained 0 rows under load")
+          }
+        } catch { case t: Throwable => failures.add(s"streaming drain died: $t") }
+      }
+    })
+
+    (0 until nClients).foreach { cid =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            start.await()
+            val sess = spark.newSession()
+            Tables.register(sess, sfDir)
+            // per-client session state: the bleed canary
+            sess.sql(s"SELECT $cid AS me").createOrReplaceTempView("soak_canary")
+            val server = new McpServer(sess, ToolboxConfig(Nil, Nil))
+            val myNation = cid % 25
+            val myCount = sess.sql(
+              s"SELECT count(*) AS n FROM customer WHERE c_nationkey = $myNation")
+              .head().getLong(0)
+            def call(sql: String): com.fasterxml.jackson.databind.JsonNode = {
+              val t0 = System.nanoTime()
+              val resp = mapper.readTree(server.handleLine(
+                s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"${sql.replace("\"", "\\\"")}"}}}""").get)
+              val sec = (System.nanoTime() - t0) / 1e9
+              opSeconds.add(sec)
+              if (sec > perOpCeilingSec)
+                failures.add(f"client $cid op took $sec%.1f s (> $perOpCeilingSec): $sql")
+              resp
+            }
+            for (r <- 1 to rounds) {
+              // (a) state bleed: my canary must carry MY id every round
+              val canary = call("SELECT me FROM soak_canary")
+              val me = mapper.readTree(canary.at("/result/content/0/text").asText()).get("me").asInt()
+              if (me != cid) failures.add(s"client $cid round $r read canary $me — state bleed")
+              // (b) parameterized aggregate stays client-stable
+              val agg = call(s"SELECT count(*) AS n FROM customer WHERE c_nationkey = $myNation")
+              val n = mapper.readTree(agg.at("/result/content/0/text").asText()).get("n").asLong()
+              if (n != myCount) failures.add(s"client $cid round $r nation count $n != $myCount")
+              // (c) a shared-table aggregate agrees with the global truth
+              if (r % 3 == 0) {
+                val li = call("SELECT count(*) AS n FROM lineitem")
+                val c = mapper.readTree(li.at("/result/content/0/text").asText()).get("n").asLong()
+                if (c != expectedLineitem) failures.add(s"client $cid round $r lineitem $c != $expectedLineitem")
+              }
+              // (d) the gate holds under concurrency
+              val denied = call(s"DROP TABLE soak_t_$cid")
+              if (!denied.at("/result/isError").asBoolean(false))
+                failures.add(s"client $cid round $r: DROP was not denied under load")
+            }
+          } catch { case t: Throwable => failures.add(s"client $cid died: $t") }
+        }
+      })
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(900, TimeUnit.SECONDS), "soak timed out")
+    assert(failures.isEmpty, s"soak failures (${failures.size}): ${failures.asScala.take(5).mkString("; ")}")
+    val ops = opSeconds.asScala.map(_.doubleValue()).toSeq.sorted
+    assert(ops.size >= nClients * rounds * 3, s"soak ran only ${ops.size} ops")
+    // p50 sanity (informational ceiling far above normal: collapse detector)
+    val p50 = ops(ops.size / 2)
+    assert(p50 < 30.0, f"median MCP op latency $p50%.1f s — serialization collapse")
+  }
+}
