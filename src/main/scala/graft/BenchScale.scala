@@ -47,7 +47,19 @@ object BenchScale {
     Entry("q49b_neardup_components", "docs", 13.0, "label-prop CC: rounds = cluster diameter (fixed per copy)"),
     Entry("q332_cc_star_contraction", "docs", 13.0, "star-contraction CC: O(log n) rounds"),
     Entry("q389b_link_prediction_capped", "events", 13.0, "hub-capped adjacency: n*32^2 pair bound"),
-    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH prefilter + exact verify; adaptive code bits = log2(n/8) + hamming-1 multiprobe (this harness measured the fixed-6-bit form at 26x)"))
+    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH prefilter + exact verify; adaptive code bits = log2(n/8) + hamming-1 multiprobe (this harness measured the fixed-6-bit form at 26x)"),
+    // round-10 session-2 widening: the remaining flagship families
+    Entry("q41_dedup_exact", "docs", 13.0, "hash groupBy exact dedup"),
+    Entry("q49_minhash_neardup", "docs", 13.0, "xxhash64 minhash -> banded equi-join -> capped verify"),
+    Entry("q49c_incremental_neardup", "docs", 13.0, "batch bands vs corpus bands; batch-proportional"),
+    Entry("q290_decontamination", "docs", 13.0, "tiny eval gram set broadcast; train side streams map-side"),
+    Entry("q301b_fuzzy_decontamination_capped", "docs", 13.0, "sparse (slot, value) MinHash join + [1,32] train-bucket cap (this harness measured q301's slot-index join at 30x)"),
+    Entry("q293_quality_classifier", "docs", 13.0, "per-row integer logits, one scan"),
+    Entry("q343_quality_canonical", "docs", 13.0, "CC components + per-cluster keeper window (cluster-partitioned)"),
+    Entry("q304_sessionization", "events", 13.0, "per-user LAG/session windows (user-partitioned)"),
+    Entry("q298_triangle_count", "events", 13.0, "degree-oriented triangle join"),
+    Entry("q276_pagerank", "events", 13.0, "3 unrolled iterations, one equi-join + groupBy each"),
+    Entry("q281_semdedup", "emb", 13.0, "k-means cells + in-cell pairs; adaptive k = n/64 (fixed k is n^2/k — the q72b failure class)"))
 
   private val scales = Seq(1, 4, 10)
 

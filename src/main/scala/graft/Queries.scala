@@ -3596,6 +3596,7 @@ object Queries {
     // size(w) >= 3 — Spark sequence(1, n) DESCENDS for n < 1 where DuckDB
     // generate_series is empty, so unguarded <3-word docs would emit
     // phantom shingles (VERDICT r7 #6). ----
+    // SCALE-AUDIT: q301_fuzzy_decontamination -> q301b_fuzzy_decontamination_capped
     q2("q301_fuzzy_decontamination",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
@@ -3625,6 +3626,62 @@ object Queries {
         |      WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0 GROUP BY 1, 2),
         |rk AS (SELECT eval_id, train_id, matches,
         |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM p)
+        |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
+        |  CAST(matches * 625 AS BIGINT) AS est_jaccard_x1e4,
+        |  (matches >= 8) AS contaminated
+        |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin),
+
+    // ---- [EXT] q301's at-scale sibling (the q286b/q72b/q389b pattern):
+    // BenchScale MEASURED q301 super-linear (alpha 1.44, 30x at 10x sf0.1)
+    // — its `JOIN ON e.i = t.i` compares every evalxtrain pair (16 rows
+    // each), so the "broadcast" is a broadcast of quadratic WORK. The
+    // production form joins on (slot index, slot VALUE) — only pairs
+    // sharing >= 1 min-hash slot are ever materialized (classic MinHash
+    // similarity join) — and caps each (i, mh) train bucket at [1, 32]:
+    // a min-hash bucket holding more train docs than that is a boilerplate
+    // gram owning the shuffle (the q340/q375/q389b posture; that mass
+    // belongs to the q287 boilerplate pass, not pairwise scoring).
+    // Candidates <= 32 x eval postings — linear in the eval slice and
+    // independent of train size. Capped-estimator semantics: matches are
+    // counted over surviving buckets only; the oracle applies the
+    // identical cap, so the estimate itself is oracle-exact. Eval docs
+    // whose every slot is boilerplate simply emit no rows (a 0-match
+    // filler row carries no decontamination signal). ----
+    q2("q301b_fuzzy_decontamination_capped",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE size(w) >= 3),
+        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS STRING)))) AS mh
+        |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
+        |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
+        |       GROUP BY i, mh HAVING COUNT(*) <= 32),
+        |hit AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS matches
+        |        FROM mh e JOIN tb ON e.i = tb.i AND e.mh = tb.mh
+        |        JOIN mh t ON t.i = tb.i AND t.mh = tb.mh
+        |        WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT eval_id, train_id, matches,
+        |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM hit)
+        |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
+        |  CAST(matches * 625 AS BIGINT) AS est_jaccard_x1e4,
+        |  (matches >= 8) AS contaminated
+        |FROM rk WHERE rnk <= 3 ORDER BY eval_id, matches DESC, train_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
+        |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
+        |       WHERE len(w) >= 3),
+        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS VARCHAR)))) AS mh
+        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
+        |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
+        |       GROUP BY i, mh HAVING COUNT(*) <= 32),
+        |hit AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS matches
+        |        FROM mh e JOIN tb ON e.i = tb.i AND e.mh = tb.mh
+        |        JOIN mh t ON t.i = tb.i AND t.mh = tb.mh
+        |        WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        |        GROUP BY 1, 2),
+        |rk AS (SELECT eval_id, train_id, matches,
+        |         ROW_NUMBER() OVER (PARTITION BY eval_id ORDER BY matches DESC, train_id) AS rnk FROM hit)
         |SELECT eval_id, train_id, CAST(matches AS BIGINT) AS matches,
         |  CAST(matches * 625 AS BIGINT) AS est_jaccard_x1e4,
         |  (matches >= 8) AS contaminated

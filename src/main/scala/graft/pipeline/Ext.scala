@@ -1475,7 +1475,8 @@ object Ext {
     "q281_semdedup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |           FROM embeddings),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e WHERE vec_id < 8),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cemb FROM e
+         |       WHERE vec_id < (SELECT GREATEST(8, COUNT(*) // 64) FROM e)),
          |${lloydCosStep("e", "c0", "sa1", "sc1")},
          |${lloydCosStep("e", "sc1", "sa2", "sc2")},
          |${lloydCosAssign("e", "sc2", "sa3")},

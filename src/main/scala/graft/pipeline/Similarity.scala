@@ -205,8 +205,20 @@ object Similarity {
     * recall against the all-pairs ground truth. Fully deterministic under
     * the q51e contract, so the oracle re-runs fit + pair scan + flagging
     * end-to-end. */
-  def semDedup(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 2,
+  def semDedup(spark: SparkSession, dir: String, kFixed: Int = 0, iters: Int = 2,
       tau: Double = 0.35): DataFrame = {
+    // ADAPTIVE cell count (round 10, the q72b lesson applied to the other
+    // fixed-parameter candidate generator): in-cell dedup work is Σcell² ≈
+    // n²/k, so a FIXED k is quadratic as the corpus grows — the SemDeDup
+    // paper's own posture is "k grows with corpus". k = max(8, n/64)
+    // targets ~64 vectors/cell (work ≈ 64·n, linear); at the oracle SFs
+    // (n ≤ 5020 ⇒ ... n/64 ≤ 78) the fit stays a broadcast of k centroids.
+    // The DuckDB oracle computes the identical GREATEST(8, n//64) and
+    // re-runs the fit + pair scan at that k, so the gate stays exact.
+    Tables.register(spark, dir)
+    val k =
+      if (kFixed > 0) kFixed
+      else math.max(8L, spark.table("embeddings").count() / 64L).toInt
     val (_, assigned) = kmeansFit(spark, dir, k, iters)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("aemb"))
