@@ -59,7 +59,8 @@ object BenchScale {
     Entry("q304_sessionization", "events", 13.0, "per-user LAG/session windows (user-partitioned)"),
     Entry("q298_triangle_count", "events", 13.0, "degree-oriented triangle join"),
     Entry("q276_pagerank", "events", 13.0, "3 unrolled iterations, one equi-join + groupBy each"),
-    Entry("q281_semdedup", "emb", 13.0, "k-means cells + in-cell pairs; adaptive k = n/64 (fixed k is n^2/k — the q72b failure class)"))
+    Entry("q281_semdedup", "emb", 13.0, "k-means cells + in-cell pairs; adaptive k = n/64 (fixed k is n^2/k — the q72b failure class)"),
+    Entry("q371_stream_neardup_index", "docs", 13.0, "STREAMING ingest-time near-dup screen: stream-static join against the [2,32]-capped corpus gram index (micro-batch drain)"))
 
   private val scales = Seq(1, 4, 10)
 
@@ -85,28 +86,29 @@ object BenchScale {
     val timings = scala.collection.mutable.Map[String, Map[Int, (Seq[Double], Long)]]()
       .withDefaultValue(Map.empty)
 
+    // Every fixture dir is synthesized exactly ONCE (re-writing a dir the
+    // session has already registered leaves temp views over deleted part
+    // files — caught as FAILED_READ_FILE in the sf0.01 smoke run).
+    val dirs: Map[Int, String] =
+      scales.map(k => k -> synthesize(spark, sfDir, k, work.resolve(s"x$k").toString)).toMap
+
     // Untimed warmup on the 1x fixture: every entry's FIRST-ever execution
     // carries JIT/codegen compilation, which otherwise lands entirely in the
     // 1x timings and biases every ratio downward (measured at sf0.01:
     // negative fitted exponents on the cheap entries).
-    {
-      val dir = synthesize(spark, sfDir, 1, work.resolve("x1").toString)
-      shadow(spark, sfDir, 1, dir)
-      System.err.println(s"[scale] warmup pass on the 1x fixture")
-      entries.foreach { e =>
-        try SparkEntry.queries(e.name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-        catch { case t: Throwable => System.err.println(s"[scale] warmup ${e.name} FAILED: $t") }
-      }
+    System.err.println(s"[scale] warmup pass on the 1x fixture")
+    entries.foreach { e =>
+      try SparkEntry.queries(e.name)(spark, dirs(1)).queryExecution.toRdd.foreach(_ => ())
+      catch { case t: Throwable => System.err.println(s"[scale] warmup ${e.name} FAILED: $t") }
     }
     for (k <- scales) {
-      val dir = synthesize(spark, sfDir, k, work.resolve(s"x$k").toString)
-      shadow(spark, sfDir, k, dir)
+      val dir = dirs(k)
       System.err.println(s"[scale] ${k}x fixture at $dir")
       // two passes over all entries (min absorbs one contention window;
       // pass 1 additionally counts rows to prove the work actually scaled)
       val pass1 = entries.map { e =>
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(e.name)(spark, sfDir).queryExecution.toRdd.count()
+        val rows = SparkEntry.queries(e.name)(spark, dir).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] ${k}x p1 ${e.name}%-36s $sec%8.3f s  rows=$rows")
         e.name -> (sec, rows)
@@ -114,7 +116,7 @@ object BenchScale {
       System.gc()
       val pass2 = entries.map { e =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(e.name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        SparkEntry.queries(e.name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] ${k}x p2 ${e.name}%-36s $sec%8.3f s")
         e.name -> sec
@@ -124,9 +126,6 @@ object BenchScale {
         timings(e.name) = timings(e.name) + (k -> (Seq(s1, pass2(e.name)), rows))
       }
     }
-    // restore the real views before stopping (hygiene if ever embedded)
-    Tables.register(spark, sfDir + "/") // force re-register via dir change
-    Tables.register(spark, sfDir)
 
     // fit + verdict
     def f3(d: Double) = f"$d%.3f"
@@ -175,6 +174,22 @@ object BenchScale {
     def copies(name: String): DataFrame =
       spark.range(0, k).crossJoin(Tables.read(spark, sfDir, name))
 
+    // Each scaled table lands as a SINGLE parquet FILE named <t>.parquet —
+    // the driver fixture's layout — because the streaming sources select
+    // their table from the shared dir with pathGlobFilter=<t>.parquet,
+    // which never matches part files inside a directory-style write.
+    def writeSingleFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$outDir/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val dst = java.nio.file.Paths.get(outDir, s"$name.parquet")
+      if (java.nio.file.Files.exists(dst)) deleteRec(dst.toFile)
+      java.nio.file.Files.move(part.toPath, dst)
+      deleteRec(new java.io.File(tmp))
+    }
+
     val docs = copies("documents")
       .withColumn("text", expr(
         "concat_ws(' ', transform(split(lower(text), ' '), w -> concat('c', CAST(id AS STRING), '_', w)))"))
@@ -182,7 +197,7 @@ object BenchScale {
         (col("doc_id") + col("id") * 1000000L).as("doc_id"),
         col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
-    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    writeSingleFile(docs, "documents")
 
     val emb = copies("embeddings")
       .select(
@@ -190,7 +205,7 @@ object BenchScale {
         expr("transform(embedding, (x, j) -> " +
           "CAST(x * CAST(1 - 2 * pmod(xxhash64(id, j), 2) AS INT) AS FLOAT))").as("embedding"),
         col("label"))
-    emb.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    writeSingleFile(emb, "embeddings")
 
     val ev = copies("events")
       .select(
@@ -199,32 +214,37 @@ object BenchScale {
         (col("user_id") + col("id") * 10000000L).as("user_id"),
         concat(lit("c"), col("id"), lit("_"), col("event_type")).as("event_type"),
         col("value"), col("props"))
-    ev.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    writeSingleFile(ev, "events")
 
     val li = copies("lineitem")
       .withColumn("l_orderkey", col("l_orderkey") + col("id") * 100000000L)
       .drop("id")
-    li.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    writeSingleFile(li, "lineitem")
 
     val ord = copies("orders")
       .withColumn("o_orderkey", col("o_orderkey") + col("id") * 100000000L)
       .drop("id")
-    ord.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    outDir
-  }
+    writeSingleFile(ord, "orders")
 
-  /** Shadows the five scaled views with the materialized parquet (the other
-    * tables keep their 1x registration — dims don't scale). Internal
-    * Tables.register calls stay no-ops because the registered dir is
-    * unchanged, so the shadows survive for the whole timing window.
-    * Guards the fixture itself: row count must be exactly k * base and the
-    * shifted key must stay unique — the compounding/collision failure mode
-    * is loud, not a silently wrong scaling law. */
-  private def shadow(spark: SparkSession, sfDir: String, k: Int, dir: String): Unit = {
+    // The dimension tables don't scale — symlink them in so outDir is a
+    // COMPLETE fixture dir. Entries then receive outDir as their `dir`
+    // argument (Tables.register re-registers on the dir change), which
+    // also lets STREAMING entries scale: they read their sources from the
+    // dir directly, bypassing any temp-view shadowing.
+    for (t <- Tables.tableNames if !scaled.contains(t)) {
+      val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, s"$t.parquet"))
+    }
+
+    // Fixture integrity (the compounding/collision failure mode must be
+    // loud, never a silently wrong scaling law): row count exactly k * base
+    // and the shifted key unique across copies.
     val keys = Map("documents" -> "doc_id", "embeddings" -> "vec_id",
       "events" -> "event_id", "lineitem" -> "", "orders" -> "o_orderkey")
-    for (t <- Seq("documents", "embeddings", "events", "lineitem", "orders")) {
-      val df = spark.read.parquet(s"$dir/$t.parquet")
+    for (t <- scaled) {
+      val df = spark.read.parquet(s"$outDir/$t.parquet")
       val n = df.count()
       val base = Tables.read(spark, sfDir, t).count()
       require(n == k * base, s"$t at ${k}x: $n rows, expected ${k * base}")
@@ -232,7 +252,9 @@ object BenchScale {
       if (key.nonEmpty)
         require(df.select(key).distinct().count() == n,
           s"$t at ${k}x: $key collides across copies")
-      df.createOrReplaceTempView(t)
     }
+    outDir
   }
+
+  private val scaled = Seq("documents", "embeddings", "events", "lineitem", "orders")
 }
