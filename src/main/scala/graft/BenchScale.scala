@@ -164,12 +164,14 @@ object BenchScale {
     f.delete(): Unit
   }
 
-  /** Writes the five scaled tables for copy-count k under outDir; returns
-    * outDir. Reads the ORIGINAL parquet via Tables.read (time columns
-    * normalized) — NEVER spark.table, which after the first shadow() call
-    * resolves to the PREVIOUS scale's view and compounds the copies
-    * (caught in the sf0.01 trial: the "10x" fixture held 4x*10 = 40x rows
-    * with colliding ids, inflating every ratio and even the row counts). */
+  /** Writes the five scaled tables for copy-count k under outDir (plus
+    * symlinks for the unscaled dims) and returns outDir — a COMPLETE
+    * driver-layout fixture dir. Reads the ORIGINAL parquet via Tables.read
+    * (time columns normalized) — NEVER spark.table, which once a scaled
+    * dir has been registered resolves to the PREVIOUS scale's views and
+    * compounds the copies (caught in the sf0.01 trial: the "10x" fixture
+    * held 4x*10 = 40x rows with colliding ids, inflating every ratio and
+    * even the row counts). */
   private def synthesize(spark: SparkSession, sfDir: String, k: Int, outDir: String): String = {
     def copies(name: String): DataFrame =
       spark.range(0, k).crossJoin(Tables.read(spark, sfDir, name))

@@ -3584,12 +3584,14 @@ object Queries {
     // scrub, upgraded to MinHash similarity): a held-out eval slice
     // (doc_id % 97 = 0) is fingerprinted with 16 md5-family MinHash slots
     // over distinct 3-shingles and compared against every training doc.
-    // The eval side is tiny BY DEFINITION (benchmarks are KBs, corpora are
-    // TBs), so the slot join broadcasts the eval fingerprints and the
-    // train side streams map-side — the corpus is touched once. Top-3
-    // suspects per eval doc + a contamination flag at est-J >= 0.5.
-    // (Production would LSH-band the slots first — q49's path — but the
-    // broadcast-vs-tiny-eval shape is already corpus-linear.) Output is
+    // AUDIT-ONLY since round 10 (sf-pinned): the slot join is ON SLOT
+    // INDEX alone, so it COMPARES every eval×train pair (16 rows each) —
+    // the broadcast ships tiny eval bytes but quadratic WORK, and
+    // BenchScale measured it at alpha 1.44 / 30x at 10x. Retained as the
+    // exact estimator over all pairs (the ground truth q301b is verified
+    // against); the production path is q301b's sparse (slot, VALUE) join
+    // with the [1,32] train-bucket cap. Top-3 suspects per eval doc + a
+    // contamination flag at est-J >= 0.5. Output is
     // INTEGER-only (matches·625 = est-J ×10⁴ exactly, since 16 slots make
     // every estimate a multiple of 1/16): the driver hash can only
     // disagree on integers (VERDICT r7 #2). The shingle CTE guards
