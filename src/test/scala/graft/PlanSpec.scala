@@ -427,7 +427,10 @@ class PlanSpec extends SparkSpec {
       "q286_perplexity_buckets" -> "q286b_perplexity_buckets_at_scale", // global NTILE tertiles -> broadcast cutoffs
       "q389_link_prediction" -> "q389b_link_prediction_capped",    // Σdeg² middle-node enumeration -> n·32² hub cap
       "q49b_neardup_components" -> "q332_cc_star_contraction",     // diameter-round label prop -> O(log n) star contraction
-      "q50b_simhash_neardup" -> "q49_minhash_neardup",             // all-pairs-scale hamming radius -> banded MinHash LSH
+      // q50b_simhash_neardup left the registry in round 11: its band space
+      // now adapts to the corpus count (Dedup.simhashBandBits + hamming-1
+      // multiprobe, recall exact by pigeonhole) and it is BenchScale-
+      // measured together with its consumer q380 (VERDICT r10 #1).
       // BenchScale-measured catch (alpha 1.44, 30x at 10x): ON e.i = t.i
       // compares every evalxtrain pair -> sparse (i, mh) join + [1,32] cap
       "q301_fuzzy_decontamination" -> "q301b_fuzzy_decontamination_capped")

@@ -109,6 +109,40 @@ class DedupSpec extends SparkSpec {
       s"missed: ${(truth -- found).take(5)}; spurious: ${(found -- truth).take(5)}")
   }
 
+  test("simhash banding is recall-exact at EVERY adaptive band width") {
+    // The round-11 adaptive widths: 12 (4 bands, probe radius 0), 16
+    // (3 bands, radius 1), 24 (2 bands, radius 1). Each must reproduce the
+    // exact all-pairs hamming <= 3 set on the same corpus — the multiprobe
+    // set must buy back precisely the recall the lost band count costs.
+    val hashes = Dedup.simhash(spark, sfDir).localCheckpoint(true)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture should contain hamming<=3 pairs")
+    for (bits <- Seq(12, 16, 24)) {
+      val found = Dedup.simhashNearDupFrom(hashes, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found == truth,
+        s"bits=$bits missed: ${(truth -- found).take(5)}; spurious: ${(found -- truth).take(5)}")
+    }
+  }
+
+  test("simhash band width widens with the corpus count, divides the code, keeps radius <= 1") {
+    assert(Dedup.simhashBandBits(1L) == 12)
+    assert(Dedup.simhashBandBits(8L * 4096) == 12)
+    assert(Dedup.simhashBandBits(8L * 4096 + 1) == 16)
+    assert(Dedup.simhashBandBits(8L * 65536) == 16)
+    assert(Dedup.simhashBandBits(8L * 65536 + 1) == 24)
+    assert(Dedup.simhashBandBits(1L << 40) == 24)
+    for (n <- Seq(1L, 40000L, 600000L, 1L << 40)) {
+      val bits = Dedup.simhashBandBits(n)
+      assert(48 % bits == 0, s"width $bits must divide the 48-bit code")
+      assert(3 / (48 / bits) <= 1, s"width $bits needs probe radius > 1 for hamming<=3")
+    }
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val h = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -4,11 +4,23 @@ dumped by graft.Verify, run the declared DuckDB oracle SQL on the same
 parquet tables and compare (columns sorted by name, row order preserved).
 
 With --perturb (VERDICT r8 next-2), each oracle is additionally executed
-under PRAGMA threads=1 and PRAGMA threads=8 and the two results compared
+under a matrix of DuckDB EXECUTION perturbations and every result compared
 BITWISE before the Spark compare: an oracle whose own output depends on
-DuckDB's thread count is a latent driver-side fail of exactly the q331
-shape (the driver's DuckDB config is not ours), so thread-sensitivity is
-reported as a FAIL even when the default-config compare matches.
+the engine's execution schedule is a latent driver-side fail of exactly
+the q331 shape (the driver's DuckDB config is not ours), so any
+sensitivity is reported as a FAIL even when the default-config compare
+matches. The matrix (VERDICT r10 #2 — version skew itself is untestable
+here, the build box has zero egress and exactly one duckdb wheel, so the
+sweep perturbs every axis a version bump could move instead):
+  threads=1 / threads=8      parallel partial-aggregation fold orders
+  preserve_insertion_order=0 row-order of ORDER BY ties exposed
+  disabled execution-shape optimizers (join_order, top_n, common_aggregate,
+    common_subexpressions, duplicate_groups, reorder_filter,
+    compressed_materialization, statistics_propagation)
+                             different join/agg orders = different float
+                             fold orders, the mechanism behind cross-
+                             version drift
+  memory_limit=256MB         spilling/external operators on the big CTEs
 --sweep-out <json> records the per-query stability verdicts plus the local
 DuckDB version (VERDICT r8 next-8: make builder/driver DuckDB skew visible
 in the round record instead of inferred).
@@ -37,10 +49,22 @@ def canon(v):
     return str(v)
 
 
-def connect(sf_dir, threads=None):
+# Optimizers whose only effect is the execution SHAPE (join order, agg
+# sharing, top-n rewrites) — disabling them reorders float folds without
+# changing asymptotic complexity. filter_pushdown / unused_columns stay ON:
+# without them comma-joins bind as cross products and the gram-table CTEs
+# go quadratic.
+SHAPE_OPTIMIZERS = ("join_order,top_n,common_aggregate,common_subexpressions,"
+                    "duplicate_groups,reorder_filter,compressed_materialization,"
+                    "statistics_propagation")
+
+
+def connect(sf_dir, threads=None, settings=()):
     con = duckdb.connect()
     if threads is not None:
         con.execute(f"PRAGMA threads={threads}")
+    for s in settings:
+        con.execute(s)
     for t in TABLES:
         try:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -59,8 +83,17 @@ def main(sf_dir, out_dir, perturb=False, sweep_out=None):
     print(f"duckdb {duckdb.__version__}")
     con = connect(sf_dir)
     if perturb:
-        con1 = connect(sf_dir, threads=1)
-        con8 = connect(sf_dir, threads=8)
+        pert_cons = {
+            "threads=1": connect(sf_dir, threads=1),
+            "threads=8": connect(sf_dir, threads=8),
+            "unordered": connect(sf_dir, threads=8,
+                                 settings=["SET preserve_insertion_order=false"]),
+            "no-shape-optimizers": connect(
+                sf_dir, threads=8,
+                settings=[f"SET disabled_optimizers='{SHAPE_OPTIMIZERS}'"]),
+            "spill-256mb": connect(sf_dir, threads=8,
+                                   settings=["SET memory_limit='256MB'"]),
+        }
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     sweep = {}
@@ -74,20 +107,21 @@ def main(sf_dir, out_dir, perturb=False, sweep_out=None):
         ec = sorted(exp.columns)
         exp_rows = canon_df(exp, ec)
         if perturb:
+            bad_cfg = None
             try:
-                r1 = canon_df(con1.execute(sql).fetchdf(), ec)
-                r8 = canon_df(con8.execute(sql).fetchdf(), ec)
+                for cfg, pcon in pert_cons.items():
+                    if canon_df(pcon.execute(sql).fetchdf(), ec) != exp_rows:
+                        bad_cfg = cfg
+                        break
             except Exception as e:
                 print(f"FAIL {name}: oracle perturb error: {e}")
                 sweep[name] = "error"
                 n_fail += 1
                 continue
-            if r1 != r8 or r1 != exp_rows:
-                bad = next((i for i, (a, b) in enumerate(zip(r1, r8))
-                            if a != b), len(r1))
-                print(f"FAIL {name}: ORACLE-UNSTABLE (threads=1 vs threads=8 "
-                      f"vs default diverge; first diff near row {bad})")
-                sweep[name] = "unstable"
+            if bad_cfg is not None:
+                print(f"FAIL {name}: ORACLE-UNSTABLE (config '{bad_cfg}' "
+                      f"diverges bitwise from the default-config oracle)")
+                sweep[name] = f"unstable:{bad_cfg}"
                 n_fail += 1
                 continue
             sweep[name] = "stable"
@@ -123,16 +157,33 @@ def main(sf_dir, out_dir, perturb=False, sweep_out=None):
         with open(sweep_out, "w") as f:
             json.dump({
                 "label": ("oracle-side perturbation sweep: each DuckDB oracle "
-                          "run under PRAGMA threads=1 and threads=8, compared "
-                          "bitwise (IEEE-754 hex canon) before the Spark "
-                          "compare (VERDICT r8 next-2)"),
+                          "run under threads=1/8, preserve_insertion_order="
+                          "false, shape-optimizer disable, and a 256MB "
+                          "spill-forcing memory limit, every result compared "
+                          "bitwise (IEEE-754 hex canon) against the default-"
+                          "config oracle before the Spark compare (VERDICT r8 "
+                          "next-2 + r10 #2)"),
+                "version_skew_note": (
+                    "VERDICT r10 #2 asked for a second DuckDB VERSION "
+                    "side-by-side; the build box has zero egress and exactly "
+                    "one duckdb wheel (1.0.0), so version skew itself is "
+                    "untestable here. The matrix instead perturbs every "
+                    "execution axis a version bump could move (fold order "
+                    "via threading, join/agg shape via optimizer disable, "
+                    "tie order via preserve_insertion_order, external "
+                    "operators via memory_limit); any oracle sensitive to "
+                    "those gets the q331 integer treatment."),
                 "generated_at_utc": datetime.datetime.now(
                     datetime.timezone.utc).isoformat(timespec="seconds"),
                 "duckdb_version": duckdb.__version__,
+                "perturbations": ["threads=1", "threads=8", "unordered",
+                                  "no-shape-optimizers", "spill-256mb"],
+                "disabled_optimizers": SHAPE_OPTIMIZERS,
                 "sf_dir": sf_dir,
                 "n_queries": len(sweep),
                 "n_stable": n_stable,
-                "n_unstable": sum(1 for v in sweep.values() if v == "unstable"),
+                "n_unstable": sum(1 for v in sweep.values()
+                                  if v.startswith("unstable")),
                 "n_error": sum(1 for v in sweep.values() if v == "error"),
                 "queries": dict(sorted(sweep.items())),
             }, f, indent=4)
