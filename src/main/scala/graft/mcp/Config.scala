@@ -24,7 +24,8 @@ import org.yaml.snakeyaml.Yaml
   * `-execute-sql` to the gated passthrough, so reference YAML tool files work
   * with only their `sources:` block swapped.
   */
-final case class ParamDef(name: String, typ: String, description: String)
+final case class ParamDef(name: String, typ: String, description: String,
+    required: Boolean = false)
 
 final case class ToolDef(
     name: String,
@@ -103,15 +104,42 @@ object Config {
 
     val tools = asMap(root.getOrDefault("tools", null)).map { case (name, v) =>
       val m = asMap(v)
+      def checkType(pname: String, typ: String): String = {
+        if (!Params.SupportedTypes(typ))
+          throw new IllegalArgumentException(
+            s"tool '$name' parameter '$pname' has unsupported type '$typ' " +
+              s"(supported: ${Params.SupportedTypes.toSeq.sorted.mkString(", ")})")
+        typ
+      }
+      // Two declared-parameter shapes: the shipped list form
+      // (images/redshift/redshift.yaml:39-42) and the JSON-Schema object
+      // form of CONTRIBUTING.md:218-248 (`parameters: {type: object,
+      // properties: {...}, required: [...]}`), both with typed params.
       val params = m.get("parameters") match {
         case Some(list: java.util.List[_]) =>
           list.asScala.toSeq.map { p =>
             val pm = asMap(p.asInstanceOf[Object])
+            val pname = pm.getOrElse("name", "").toString
             ParamDef(
-              pm.getOrElse("name", "").toString,
-              pm.getOrElse("type", "string").toString,
-              pm.getOrElse("description", "").toString)
+              pname,
+              checkType(pname, pm.getOrElse("type", "string").toString),
+              pm.getOrElse("description", "").toString,
+              required = pm.get("required").exists(_.toString == "true"))
           }
+        case Some(obj: java.util.Map[_, _]) =>
+          val om = asMap(obj.asInstanceOf[Object])
+          val requiredNames: Set[String] = om.get("required") match {
+            case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSet
+            case _ => Set.empty
+          }
+          asMap(om.getOrElse("properties", null)).map { case (pname, pv) =>
+            val pm = asMap(pv)
+            ParamDef(
+              pname,
+              checkType(pname, pm.getOrElse("type", "string").toString),
+              pm.getOrElse("description", "").toString,
+              required = requiredNames(pname))
+          }.toSeq.sortBy(_.name)
         case _ => Seq.empty
       }
       ToolDef(

@@ -171,6 +171,7 @@ final class McpServer(
       t.params.foreach { p =>
         val pn = props.putObject(p.name)
         pn.put("type", if (p.typ.isEmpty) "string" else p.typ)
+        if (p.typ == "array") pn.putObject("items").put("type", "string")
         pn.put("description", p.description)
       }
       // {{template}} names bind even without a parameters block (the
@@ -187,9 +188,11 @@ final class McpServer(
         pn.put("type", "string")
         pn.put("description", s"Template parameter {{$n}} (implicitly declared by the statement).")
       }
-      if (implicitNames.nonEmpty) {
+      // ... together with any params the YAML object form declared required.
+      val requiredNames = t.params.filter(_.required).map(_.name) ++ implicitNames
+      if (requiredNames.nonEmpty) {
         val req = schema.putArray("required")
-        implicitNames.foreach(req.add)
+        requiredNames.foreach(req.add)
       }
     }
     r
@@ -199,11 +202,25 @@ final class McpServer(
     val name = Option(params).flatMap(p => Option(p.get("name"))).map(_.asText()).getOrElse("")
     val tool = toolByName(name).getOrElse(
       return errorResponse(id, -32602, s"unknown tool: $name"))
-    val args: Map[String, String] = Option(params).flatMap(p => Option(p.get("arguments"))) match {
+    val argNodes: Map[String, JsonNode] = Option(params).flatMap(p => Option(p.get("arguments"))) match {
       case Some(a: ObjectNode) =>
-        a.propertyStream().iterator().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        a.propertyStream().iterator().asScala.map(e => e.getKey -> e.getValue).toMap
       case _ => Map.empty
     }
+    // Validate each provided argument against its declared JSON-Schema type
+    // and convert to the native binder value (VERDICT r10 #4). Undeclared
+    // (template / :name-referenced) arguments stay strings. Lenient on
+    // string-ENCODED scalars ("5" for an integer — CLI clients routinely
+    // quote everything); strict on shape (5.5, true, [] are not integers).
+    val typeByName = tool.params.map(p => p.name -> p.typ).toMap
+    val converted: Seq[(String, Either[String, Any])] = argNodes.toSeq.map { case (k, node) =>
+      k -> convertArg(k, node, typeByName.getOrElse(k, "string"))
+    }
+    converted.collectFirst { case (_, Left(msg)) => msg } match {
+      case Some(msg) => return response(id, errorContent(s"$msg (tool $name)"))
+      case None =>
+    }
+    val args: Map[String, Any] = converted.collect { case (k, Right(v)) => k -> v }.toMap
     // Declared-but-omitted args default to "" inside Params.bind (the
     // reference's empty-filter idiom), but an UNDECLARED argument name is a
     // caller typo: it would silently bind nothing while the intended param
@@ -232,6 +249,13 @@ final class McpServer(
       return response(id, errorContent(
         s"missing required template parameter(s) " +
           s"${missingTemplates.toSeq.sorted.mkString(", ")} for tool $name"))
+    // Declared params marked required (the YAML object form's `required:`
+    // list) are enforced the same way; optional declared params keep the
+    // reference's empty-string default inside Params.bind.
+    val missingRequired = tool.params.filter(_.required).map(_.name).filterNot(args.contains)
+    if (missingRequired.nonEmpty)
+      return response(id, errorContent(
+        s"missing required parameter(s) ${missingRequired.sorted.mkString(", ")} for tool $name"))
     try {
       val bound = Params.bind(tool.statement, args, tool.params)
       // Gate caller-supplied SQL: passthrough tools always; any tool whose
@@ -243,8 +267,7 @@ final class McpServer(
         }
       }
       val df =
-        if (bound.args.nonEmpty)
-          spark.sql(bound.sql, bound.args.asInstanceOf[Map[String, Any]])
+        if (bound.args.nonEmpty) spark.sql(bound.sql, bound.args)
         else spark.sql(bound.sql)
       val rows = collectRows(name, df.toJSON.take(maxRows)) match {
         case Left(reason) => return response(id, errorContent(reason))
@@ -260,6 +283,40 @@ final class McpServer(
     } catch {
       case NonFatal(e) =>
         response(id, errorContent(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
+  }
+
+  /** Validates one argument node against its declared JSON-Schema type and
+    * converts it to the native value Spark's parameterized-SQL binder
+    * literal-izes (Long / Double / Boolean / Array[String]). String-encoded
+    * scalars are accepted ("5" for integer — CLI clients quote everything);
+    * shape violations (5.5, true, [] for integer) are structured errors. */
+  private def convertArg(name: String, node: JsonNode, typ: String): Either[String, Any] = {
+    def bad: Either[String, Any] =
+      Left(s"parameter '$name' expects $typ, got: ${node.toString.take(60)}")
+    typ match {
+      case "integer" =>
+        if (node.isIntegralNumber) Right(node.asLong())
+        else if (node.isTextual) node.asText().trim.toLongOption.fold(bad)(Right(_))
+        else bad
+      case "number" =>
+        if (node.isNumber) Right(node.asDouble())
+        else if (node.isTextual) node.asText().trim.toDoubleOption.fold(bad)(Right(_))
+        else bad
+      case "boolean" =>
+        if (node.isBoolean) Right(node.asBoolean())
+        else if (node.isTextual) node.asText().trim.toLowerCase match {
+          case "true" => Right(true)
+          case "false" => Right(false)
+          case _ => bad
+        }
+        else bad
+      case "array" =>
+        if (node.isArray && node.elements().asScala.forall(e => !e.isContainerNode))
+          Right(node.elements().asScala.map(_.asText()).toArray)
+        else bad
+      case _ => // string: scalars via asText; containers keep their JSON rendering
+        Right(if (node.isContainerNode) node.toString else node.asText())
     }
   }
 

