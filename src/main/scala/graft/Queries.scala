@@ -142,6 +142,7 @@ object Queries {
         |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin),
 
     // ---- multi-way star join (TPC-H Q3 shape) ----
+    // PLAN-REGISTRY float-agg q20_star_join: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q20_star_join",
       """SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -150,6 +151,7 @@ object Queries {
         |GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin),
 
     // ---- group-by multi-agg (TPC-H Q1 shape) ----
+    // PLAN-REGISTRY float-agg q21_tpch_q1: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q21_tpch_q1",
       """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty,
         |  ROUND(SUM(l_extendedprice),4) AS sum_base, ROUND(AVG(l_discount),4) AS avg_disc, COUNT(*) AS cnt
@@ -192,6 +194,7 @@ object Queries {
       "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey"),
 
     // ---- global agg ----
+    // PLAN-REGISTRY float-agg q27_global_agg: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q27_global_agg",
       """SELECT ROUND(MIN(l_extendedprice),4) AS min_price, ROUND(MAX(l_extendedprice),4) AS max_price,
         |  COUNT(*) AS cnt FROM lineitem""".stripMargin),
@@ -210,6 +213,7 @@ object Queries {
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
 
     // ---- running sum (ROWS frame) ----
+    // PLAN-REGISTRY float-agg q30_running_sum: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q30_running_sum",
       """SELECT o_custkey, o_orderkey,
         |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -217,6 +221,7 @@ object Queries {
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
 
     // ---- RANGE frame ----
+    // PLAN-REGISTRY global-window q31_range_frame: SURVEY-declared contract window shape, sf-pinned by design
     q("q31_range_frame",
       """SELECT o_orderkey,
         |  CAST(COUNT(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt
@@ -254,6 +259,7 @@ object Queries {
         |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin),
 
     // ---- bounded sliding ROWS frame ----
+    // PLAN-REGISTRY float-agg q65_sliding_frame: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q65_sliding_frame",
       """SELECT o_custkey, o_orderkey,
         |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -261,6 +267,7 @@ object Queries {
         |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 200""".stripMargin),
 
     // ---- distribution windows: ntile / percent_rank / cume_dist ----
+    // PLAN-REGISTRY global-window q66_distribution_windows: SURVEY-declared contract window shape, sf-pinned by design
     q("q66_distribution_windows",
       """SELECT c_custkey,
         |  CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
@@ -277,6 +284,7 @@ object Queries {
         |FROM supplier ORDER BY s_suppkey""".stripMargin),
 
     // ---- ordered-set aggregate: percentile_cont ----
+    // PLAN-REGISTRY float-agg q68_percentile_cont: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q68_percentile_cont",
       """SELECT o_orderstatus,
         |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med,
@@ -313,6 +321,7 @@ object Queries {
         |GROUP BY v.label ORDER BY v.label""".stripMargin),
 
     // ---- as-of join [EXT] via window (unique (ts,event_id) order for determinism) ----
+    // PLAN-REGISTRY float-agg q35_asof_window: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q35_asof_window",
       """SELECT user_id, ts, value,
         |  LAST(value) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -345,6 +354,7 @@ object Queries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, fl, ce, ab, md LIMIT 100""".stripMargin),
 
     // ---- group by expression ----
+    // PLAN-REGISTRY float-agg q39_group_by_expr: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q39_group_by_expr",
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, COUNT(*) AS n,
         |  ROUND(SUM(o_totalprice),4) AS s
@@ -392,6 +402,7 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- stopword ratio per document (quality-scoring feature) ----
+    // PLAN-REGISTRY float-agg q63_stopword_ratio: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q63_stopword_ratio",
       """SELECT doc_id,
         |  ROUND(AVG(CASE WHEN t IN ('the', 'a', 'of', 'and', 'to') THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS stop_ratio
@@ -508,6 +519,7 @@ object Queries {
     // ---- streaming surface, batch-verifiable: 10-min tumbling window agg.
     //      (The same aggregation runs as a Structured Streaming query in
     //      StreamingSpec; here it is verified against DuckDB time_bucket.) ----
+    // PLAN-REGISTRY float-agg q47_window_tumbling: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q47_window_tumbling",
       """SELECT timestamp_seconds(CAST(FLOOR(unix_micros(ts) / 600000000) AS BIGINT) * 600) AS win_start,
         |  event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
@@ -638,6 +650,7 @@ object Queries {
 
     // ---- PIVOT (wide conditional aggregation; Catalyst rewrites it to the
     // oracle's CASE-WHEN group-by, one shuffle) ----
+    // PLAN-REGISTRY float-agg q73_pivot: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q73_pivot",
       """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
         |PIVOT (ROUND(SUM(l_quantity), 4) FOR l_linestatus IN ('O' AS o_qty, 'F' AS f_qty))
@@ -753,6 +766,7 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- GROUPING SETS + GROUPING() (completes the ROLLUP family of q25) ----
+    // PLAN-REGISTRY float-agg q77_grouping_sets: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q77_grouping_sets",
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -764,6 +778,7 @@ object Queries {
 
     // ---- statistical aggregates (corr / covariance / stddev / variance —
     // identical names and two-pass-stable definitions in both engines) ----
+    // PLAN-REGISTRY float-agg q81_stats_agg: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q81_stats_agg",
       """SELECT l_returnflag,
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
@@ -786,6 +801,7 @@ object Queries {
 
     // ---- median + arg-min/max (min_by/max_by keyed on the UNIQUE order key
     // so the result is tie-free and deterministic) ----
+    // PLAN-REGISTRY float-agg q83_median_argminmax: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q83_median_argminmax",
       """SELECT o_orderstatus, ROUND(median(o_totalprice), 4) AS med_price,
         |  min_by(o_orderpriority, o_orderkey) AS first_prio,
@@ -798,6 +814,7 @@ object Queries {
 
     // ---- IGNORE NULLS window variants + named WINDOW clause (nulls
     // synthesized via CASE so the skip-behavior is actually exercised) ----
+    // PLAN-REGISTRY float-agg q84_ignore_nulls: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q84_ignore_nulls",
       """WITH t AS (SELECT c_custkey, c_nationkey,
         |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_acctbal END AS bal FROM customer)
@@ -827,6 +844,7 @@ object Queries {
         |ORDER BY doc_id, tok NULLS LAST LIMIT 300""".stripMargin),
 
     // ---- GROUP BY ALL (infer grouping keys from the non-aggregate columns) ----
+    // PLAN-REGISTRY float-agg q86_group_by_all: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q86_group_by_all",
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
         |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin),
@@ -900,6 +918,7 @@ object Queries {
 
     // ---- TPC-H Q5 shape: 6-table snowflake join + agg (headline scale
     // query — region/nation broadcast, fact-fact join shuffles on keys) ----
+    // PLAN-REGISTRY float-agg q93_tpch_q5: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q93_tpch_q5",
       """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
@@ -912,6 +931,7 @@ object Queries {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
 
     // ---- CUBE (completes ROLLUP q25 / GROUPING SETS q77) ----
+    // PLAN-REGISTRY float-agg q94_cube: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q94_cube",
       """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS n,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
@@ -920,6 +940,7 @@ object Queries {
 
     // ---- time-interval RANGE frame (sliding 1-hour running sum over event
     // time — the time-windowed-aggregate pipeline primitive in batch form) ----
+    // PLAN-REGISTRY float-agg q95_time_range_frame: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q95_time_range_frame",
       """SELECT event_id, user_id, ts,
         |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
@@ -931,6 +952,7 @@ object Queries {
     // quantile_cont (so a bug in the exact-percentile path cannot hide), and
     // within_bound asserts the sketch lands within 2% of that now-verified
     // exact value. ----
+    // PLAN-REGISTRY float-agg q96_approx_percentile: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q96_approx_percentile",
       """SELECT CAST(CASE WHEN ABS(approx_percentile(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
         |  / percentile(o_totalprice, 0.5) < 0.02 THEN 1 ELSE 0 END AS INT) AS within_bound,
@@ -985,6 +1007,7 @@ object Queries {
 
     // ---- TPC-H Q10 shape: returned-item revenue per customer (second
     // headline join: fact-fact shuffle + broadcast dim + top-k) ----
+    // PLAN-REGISTRY float-agg q100_tpch_q10: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q100_tpch_q10",
       """SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
         |FROM customer JOIN orders ON c_custkey = o_custkey
@@ -998,6 +1021,7 @@ object Queries {
     // ---- TPC-H Q7 shape: bidirectional two-nation trade volume by ship
     // year. supplier->lineitem->orders->customer spine with two nation
     // broadcasts; the disjunctive nation pair filter prunes before the agg ----
+    // PLAN-REGISTRY float-agg q101_tpch_q7: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q101_tpch_q7",
       """SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
         |FROM (
@@ -1017,6 +1041,7 @@ object Queries {
 
     // ---- TPC-H Q14 shape: promo revenue share over one ship month
     // (conditional agg over an equi join, filter pushed to the fact scan) ----
+    // PLAN-REGISTRY float-agg q102_tpch_q14: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q102_tpch_q14",
       """SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
         |  / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
@@ -1026,6 +1051,7 @@ object Queries {
     // ---- TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     // ranges across the join (tests OR predicate handling; each disjunct
     // references both sides so it can't fully push below the join) ----
+    // PLAN-REGISTRY float-agg q103_tpch_q19: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q103_tpch_q19",
       """SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1037,6 +1063,7 @@ object Queries {
     // the fixture has no c_phone; the anti join is date-scoped because
     // every fixture customer has at least one order, and an always-empty
     // result would make the check vacuous) ----
+    // PLAN-REGISTRY float-agg q104_tpch_q22: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q104_tpch_q22",
       """SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
         |FROM (
@@ -1068,6 +1095,7 @@ object Queries {
 
     // ---- percentile_disc ordered-set aggregate (completes q68's
     // percentile_cont: disc returns an actual element, no interpolation) ----
+    // PLAN-REGISTRY float-agg q107_percentile_disc: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q107_percentile_disc",
       """SELECT o_orderstatus,
         |  ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med_disc,
@@ -1162,6 +1190,7 @@ object Queries {
     // ---- skewness / kurtosis: Spark computes population moments (g1,
     // excess g2), DuckDB sample-corrected (G1, G2) — the Spark side applies
     // the standard corrections so both emit the sample-statistic form ----
+    // PLAN-REGISTRY float-agg q118_skew_kurt: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q118_skew_kurt",
       """SELECT l_returnflag,
         |  ROUND(skewness(l_quantity) * SQRT(COUNT(*) * (COUNT(*) - 1.0)) / (COUNT(*) - 2.0), 4) AS skew_s,
@@ -1217,6 +1246,7 @@ object Queries {
 
     // ---- named WINDOW clause: one definition shared by a ranking and an
     // aggregate window function ----
+    // PLAN-REGISTRY float-agg q123_named_window: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q123_named_window",
       """SELECT o_orderkey, CAST(rank() OVER w AS BIGINT) AS rnk,
         |  ROUND(SUM(o_totalprice) OVER w, 4) AS run_sum
@@ -1225,6 +1255,7 @@ object Queries {
 
     // ---- linear-regression aggregates (regr_*: completes q81's
     // corr/covar/stddev family) ----
+    // PLAN-REGISTRY float-agg q110_regr: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q110_regr",
       """SELECT l_returnflag,
         |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
@@ -1236,6 +1267,7 @@ object Queries {
     // ---- TPC-H Q2 shape: min-cost supplier per part via a correlated
     // MIN subquery (no partsupp table here: lineitem is the part-supplier
     // link; the correlated scalar re-aggregates the same link table) ----
+    // PLAN-REGISTRY float-agg q124_tpch_q2: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q124_tpch_q2",
       """SELECT p_partkey, p_type, s_suppkey, s_name,
         |  ROUND(l_extendedprice, 4) AS min_price
@@ -1260,6 +1292,7 @@ object Queries {
 
     // ---- TPC-H Q6 shape: single-table filtered global agg (the pushed-
     // filter scan benchmark: predicate reaches the parquet reader) ----
+    // PLAN-REGISTRY float-agg q126_tpch_q6: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q126_tpch_q6",
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
         |  COUNT(*) AS n
@@ -1269,6 +1302,7 @@ object Queries {
 
     // ---- TPC-H Q8 shape: national market share = conditional share of
     // volume per order year over a 5-way star join ----
+    // PLAN-REGISTRY float-agg q127_tpch_q8: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q127_tpch_q8",
       """SELECT o_year,
         |  ROUND(SUM(CASE WHEN nat = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 4) AS mkt_share
@@ -1284,6 +1318,7 @@ object Queries {
 
     // ---- TPC-H Q9 shape: profit by nation and year (no ps_supplycost:
     // cost modeled from p_retailprice per unit) ----
+    // PLAN-REGISTRY float-agg q128_tpch_q9: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q128_tpch_q9",
       """SELECT nat, o_year, ROUND(SUM(amount), 4) AS sum_profit
         |FROM (
@@ -1299,6 +1334,7 @@ object Queries {
     // ---- TPC-H Q11 shape: groups exceeding a fraction of the global
     // total (HAVING against an uncorrelated scalar-subquery aggregate;
     // exact integral quantities keep the threshold cross-engine-stable) ----
+    // PLAN-REGISTRY float-agg q129_tpch_q11: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q129_tpch_q11",
       """SELECT l_partkey, ROUND(SUM(l_quantity), 4) AS part_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -1334,6 +1370,7 @@ object Queries {
     // ---- TPC-H Q15 shape: top supplier by aggregated revenue — CTE
     // aggregate reused both as join input and inside a scalar MAX subquery.
     // Revenue uses integral l_quantity so the MAX equality is exact. ----
+    // PLAN-REGISTRY float-agg q132_tpch_q15: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q132_tpch_q15",
       """WITH revenue AS (
         |  SELECT l_suppkey, SUM(l_quantity) AS total_qty
@@ -1347,6 +1384,7 @@ object Queries {
 
     // ---- TPC-H Q17 shape: small-order revenue against a correlated
     // per-part average quantity (exact: integral quantities) ----
+    // PLAN-REGISTRY float-agg q133_tpch_q17: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q133_tpch_q17",
       """SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1356,6 +1394,7 @@ object Queries {
 
     // ---- TPC-H Q18 shape: large-volume orders (IN over a grouped HAVING
     // subquery, then re-aggregation on the joined spine) ----
+    // PLAN-REGISTRY float-agg q134_tpch_q18: TPC-H contract shape: ROUND(SUM(price*(1-disc)),k) over 2-dp-exact inputs
     q("q134_tpch_q18",
       """SELECT c_custkey, c_name, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
         |  ROUND(SUM(l_quantity), 4) AS total_qty
@@ -1792,6 +1831,7 @@ object Queries {
 
     // ---- multiple DISTINCT aggregates in one GROUP BY (planner Expand:
     // one shuffle per distinct set folded into a single pass) ----
+    // PLAN-REGISTRY float-agg q167_multi_distinct: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q167_multi_distinct",
       """SELECT l_returnflag,
         |  ROUND(SUM(DISTINCT l_quantity), 4) AS sum_dq,
@@ -1856,6 +1896,7 @@ object Queries {
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
     // ---- null-safe equality (<=> / IS NOT DISTINCT FROM) ----
+    // PLAN-REGISTRY global-window q173_null_safe_eq: SURVEY-declared contract window shape, sf-pinned by design
     q2("q173_null_safe_eq",
       """SELECT event_id,
         |  value <=> LAG(value) OVER (ORDER BY event_id) AS same_as_prev,
@@ -2008,6 +2049,7 @@ object Queries {
     // ---- character-entropy quality signal [EXT] (Shannon entropy over
     // the char distribution — low-entropy docs are boilerplate/repetition;
     // both engines fold the same explode -> p log2 p) ----
+    // PLAN-REGISTRY float-agg q181_char_entropy: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q181_char_entropy",
       """WITH chars AS (
         |  SELECT doc_id, explode(split(text, '')) AS ch FROM documents),
@@ -2055,6 +2097,7 @@ object Queries {
         |GROUP BY k ORDER BY k""".stripMargin),
 
     // ---- HAVING on a global aggregate (no GROUP BY) ----
+    // PLAN-REGISTRY float-agg q185_having_global: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q185_having_global",
       """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
         |FROM orders HAVING COUNT(*) > 10""".stripMargin),
@@ -2069,6 +2112,7 @@ object Queries {
 
     // ---- PIVOT with multiple aggregates per pivot value (q73 is the
     // single-agg form; the oracle expands to conditional aggregation) ----
+    // PLAN-REGISTRY float-agg q187_pivot_multi_agg: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q187_pivot_multi_agg",
       """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem)
         |PIVOT (ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS cnt
@@ -2083,6 +2127,8 @@ object Queries {
 
     // ---- empty-OVER window (global total share — the everything-in-one-
     // partition frame, distinct from every partitioned window so far) ----
+    // PLAN-REGISTRY global-window q188_global_share: SURVEY-declared contract window shape, sf-pinned by design
+    // PLAN-REGISTRY float-agg q188_global_share: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q188_global_share",
       """SELECT o_orderkey,
         |  ROUND(o_totalprice / SUM(o_totalprice) OVER (), 8) AS share,
@@ -2244,6 +2290,7 @@ object Queries {
     // overflow operands are pinned literals (LONG_MAX + positive, 3037000500^2
     // just past LONG range); the oracle states the NULLs directly and checks
     // the non-overflowing try_sum/try_avg equal their exact counterparts. ----
+    // PLAN-REGISTRY float-agg q201_try_arith: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q201_try_arith",
       """SELECT l_linenumber,
         |  CAST(try_sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS ts,
@@ -2283,6 +2330,7 @@ object Queries {
 
     // ---- GROUP BY ALL + ORDER BY ALL shorthand (Spark 4 / modern-SQL
     // ergonomics; resolves to the non-aggregate output columns) ----
+    // PLAN-REGISTRY float-agg q207_group_order_all: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q("q207_group_order_all",
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS tot
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
@@ -2312,6 +2360,7 @@ object Queries {
     // ---- approx_percentile per group + multi-quantile array form, each
     // sketch value bound-checked against the exact per-group percentile
     // (same contract as the global q96) ----
+    // PLAN-REGISTRY float-agg q210_grouped_approx_percentile: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q210_grouped_approx_percentile",
       """SELECT o_orderstatus,
         |  CAST(CASE WHEN ABS(approx_percentile(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
@@ -2753,6 +2802,7 @@ object Queries {
     // is an execution property (asserted in QueriesSpec's plan check); the
     // algebraic invariant — repartitioning never changes an aggregate — is
     // what an oracle can hold cross-engine. ----
+    // PLAN-REGISTRY float-agg q237_distribute_by_invariant: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q237_distribute_by_invariant",
       """SELECT l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM (SELECT l_returnflag, l_quantity FROM lineitem DISTRIBUTE BY l_returnflag)
@@ -2770,6 +2820,7 @@ object Queries {
 
     // ---- array_agg (ANSI name for collect_list; order pinned via
     // sort_array + string serialization) and positive/negative sign fns ----
+    // PLAN-REGISTRY float-agg q239_array_agg_sign: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     q2("q239_array_agg_sign",
       """SELECT l_returnflag,
         |  concat_ws(',', sort_array(array_agg(DISTINCT l_linestatus))) AS statuses,
@@ -2902,6 +2953,7 @@ object Queries {
     // plan is one equi-join (ranks x edges) + one groupBy(dst) — the
     // scale-safe iterative-graph shape (same as q49b's label propagation);
     // nothing is collected, the rank vector stays distributed. ----
+    // PLAN-REGISTRY global-window q276_pagerank: post-aggregate small spine: final rank over 25 node scores
     q2("q276_pagerank", pagerankSql("DIV"), pagerankSql("//")),
 
     // ---- [EXT] SCD2 snapshot lookup: LEAD builds (valid_from, valid_to]
@@ -3049,6 +3101,8 @@ object Queries {
     // is the sf-pinned EXACT-tertile oracle; q286b below is the production
     // cut (percentile cutoffs, no global window) for corpus scale. ----
     // SCALE-AUDIT: q286_perplexity_buckets -> q286b_perplexity_buckets_at_scale
+    // PLAN-REGISTRY global-window q286_perplexity_buckets: post-aggregate small spine: the DECLARED sf-pinned global-NTILE twin of q286b
+    // PLAN-REGISTRY float-agg q286_perplexity_buckets: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q286_perplexity_buckets",
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
@@ -3087,6 +3141,7 @@ object Queries {
     // 100 TB swap in approx_percentile unchanged. Both engines use the
     // same (n-1)p linear interpolation, so cutoffs and buckets agree
     // bit-for-bit. q286 stays as the sf-pinned exact-tertile oracle. ----
+    // PLAN-REGISTRY float-agg q286b_perplexity_buckets_at_scale: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q286b_perplexity_buckets_at_scale",
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
@@ -3123,6 +3178,7 @@ object Queries {
     // one groupBy — the gram key is the shuffle key, identical to the q46
     // shape that measured near-linear at 10x. Top-50 with full (spread,
     // freq, gram) tie-break is deterministic. ----
+    // PLAN-REGISTRY global-window q287_boilerplate_ngrams: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
     q2("q287_boilerplate_ngrams",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
@@ -3191,6 +3247,7 @@ object Queries {
     // linear spread ranking instead). The quadratic is therefore bounded by
     // 32 x duplicate structure, not the corpus; runs/grouping are the
     // standard gaps-and-islands window. ----
+    // PLAN-REGISTRY global-window q289_dup_spans: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
     q2("q289_dup_spans",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, i,
@@ -3317,6 +3374,7 @@ object Queries {
     // (parallel, partitioned windows) — NOT a global-window cumsum, so no
     // single-partition stage exists at any corpus size (the exact q286
     // anti-pattern, avoided by construction). ----
+    // PLAN-REGISTRY global-window q292_shard_packing: post-aggregate small spine: cumsum over the sorted 256-bucket shard spine
     q2("q292_shard_packing",
       """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
         |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
@@ -3388,6 +3446,7 @@ object Queries {
     // interpolation both engines, q286b) is then deterministic. Scale
     // shape: one groupBy for centroids (broadcast, 10 x 64 rows), one
     // equi-join back, one per-label percentile — no pairwise anything. ----
+    // PLAN-REGISTRY float-agg q294_embedding_outliers: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q294_embedding_outliers",
       """WITH e AS (SELECT vec_id, label, i,
         |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
@@ -3430,6 +3489,7 @@ object Queries {
     // (q265's CROSS JOIN shape). Probabilities are ratios of exact
     // integer counts, so both engines feed identical doubles into LN;
     // ROUND(,4) absorbs summation-order ULP (the proven q265 pattern). ----
+    // PLAN-REGISTRY float-agg q295_source_drift: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q295_source_drift",
       """WITH w AS (SELECT source, explode(split(text, ' ')) AS word FROM documents),
         |ws AS (SELECT source, word, COUNT(*) AS c FROM w WHERE word <> '' GROUP BY source, word),
@@ -3594,7 +3654,13 @@ object Queries {
     // contamination flag at est-J >= 0.5. Output is
     // INTEGER-only (matches·625 = est-J ×10⁴ exactly, since 16 slots make
     // every estimate a multiple of 1/16): the driver hash can only
-    // disagree on integers (VERDICT r7 #2). The shingle CTE guards
+    // disagree on integers (VERDICT r7 #2). Slot values are 48-bit BIGINTs
+    // from the md5 prefix (round 11, the q383 portable idiom — the 32x
+    // BenchScale point caught the earlier MIN(md5-string) form spilling:
+    // a string aggregation buffer defeats HashAggregate's map-side
+    // combine, so shingles x 16 slot rows sorted instead of hash-folding;
+    // a fixed-width BIGINT buffer keeps the whole signature pass one
+    // map-side hash aggregate at any corpus size). The shingle CTE guards
     // size(w) >= 3 — Spark sequence(1, n) DESCENDS for n < 1 where DuckDB
     // generate_series is empty, so unguarded <3-word docs would emit
     // phantom shingles (VERDICT r7 #6). ----
@@ -3604,7 +3670,7 @@ object Queries {
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS STRING)))) AS mh
+        |mh AS (SELECT doc_id, i, MIN(CAST(CONV(SUBSTR(md5(concat(g, '#', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS mh
         |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
         |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
@@ -3620,7 +3686,7 @@ object Queries {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS VARCHAR)))) AS mh
+        |mh AS (SELECT doc_id, i, MIN(('0x' || substr(md5(concat(g, '#', CAST(i AS VARCHAR))), 1, 12))::BIGINT) AS mh
         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
         |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
@@ -3654,7 +3720,7 @@ object Queries {
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS STRING)))) AS mh
+        |mh AS (SELECT doc_id, i, MIN(CAST(CONV(SUBSTR(md5(concat(g, '#', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS mh
         |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
         |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
         |       GROUP BY i, mh HAVING COUNT(*) <= 32),
@@ -3673,7 +3739,7 @@ object Queries {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(md5(concat(g, '#', CAST(i AS VARCHAR)))) AS mh
+        |mh AS (SELECT doc_id, i, MIN(('0x' || substr(md5(concat(g, '#', CAST(i AS VARCHAR))), 1, 12))::BIGINT) AS mh
         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
         |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
         |       GROUP BY i, mh HAVING COUNT(*) <= 32),
@@ -3696,6 +3762,7 @@ object Queries {
     // ln(n) - Σc·ln(c)/n so the only doubles are ratios of exact integers
     // (summation-order ULP absorbed by ROUND, the q265 discipline);
     // percentiles use the proven (n-1)p interpolation agreement (q294). ----
+    // PLAN-REGISTRY float-agg q302_skew_audit: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q302_skew_audit",
       """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey),
         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nk, MAX(c) AS maxc,
@@ -3852,6 +3919,7 @@ object Queries {
     // partial+final aggregation — one shuffle on user_id. The POWER terms
     // are libm doubles; ROUND(,4) on the sum absorbs cross-engine ULP
     // (the q265 discipline; age ratios are exact integer-µs quotients). ----
+    // PLAN-REGISTRY float-agg q308_time_decay_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q308_time_decay_score",
       """WITH e AS (SELECT user_id, value,
         |    (unix_micros(TIMESTAMP '2024-07-01 00:00:00') - unix_micros(ts)) / 86400000000.0 AS age_d
@@ -3875,6 +3943,7 @@ object Queries {
     // semi-join (what the oracle computes) — the bloom pass only cuts
     // probe-side shuffle volume, which at 100 TB is the difference between
     // shuffling the corpus and shuffling ~0.1% of it. ----
+    // PLAN-REGISTRY float-agg q310_bloom_semijoin: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     q2("q310_bloom_semijoin",
       """WITH pre AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |        FROM orders o
@@ -4024,6 +4093,8 @@ object Queries {
     // q292's packing: per-shard fill statistics + overall overhead vs the
     // 2048-token budget). Same distributed two-level prefix sum as q292,
     // then one groupBy(shard) + a 1-row summary — no global window. ----
+    // PLAN-REGISTRY global-window q315_packing_efficiency: post-aggregate small spine: cumsum over per-doc token counts (packing audit twin)
+    // PLAN-REGISTRY float-agg q315_packing_efficiency: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q315_packing_efficiency",
       """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
         |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
@@ -4070,6 +4141,7 @@ object Queries {
     // vocab (Heaps-law bounded, not corpus-sized), so the global frame is
     // over thousands of rows at any corpus scale — the same justification
     // as q284's vocab-sized argmax. ----
+    // PLAN-REGISTRY global-window q316_vocab_coverage: post-aggregate small spine: cumulative token share over vocab ranks
     q2("q316_vocab_coverage",
       """WITH wc AS (SELECT word, COUNT(*) AS c
         |       FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
@@ -4196,6 +4268,7 @@ object Queries {
     // so dot products and norms are exact BIGINTs in both engines and
     // doubles appear only in the final cos = dot / (na*nb). Centroids
     // are d x labels rows (tiny); the label-pair matrix is 10 x 10. ----
+    // PLAN-REGISTRY float-agg q319_centroid_drift: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q319_centroid_drift",
       """WITH e AS (SELECT vec_id, label, i,
         |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
@@ -4254,6 +4327,7 @@ object Queries {
     // are bounded, so the pair set is bounded by sessions, never
     // users x events; the credit normalization is a groupBy on the
     // purchase key. ----
+    // PLAN-REGISTRY float-agg q320_linear_attribution: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q320_linear_attribution",
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
@@ -4297,6 +4371,7 @@ object Queries {
     // ROUND(,4) absorbs summation-order ULP (the q295 discipline).
     // Output: the 64 loadings plus the Rayleigh eigenvalue share of
     // trace(S) — the "how dominant is the top direction" statistic. ----
+    // PLAN-REGISTRY float-agg q321_pca_power_iteration: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q321_pca_power_iteration",
       """WITH x AS (SELECT vec_id, i,
         |    CAST(ROUND(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT) AS vk
@@ -4602,6 +4677,7 @@ object Queries {
     // +1 smoothing keeps PSI's logs finite on empty bins; probabilities
     // are ratios of exact integers so both engines feed LN identical
     // doubles (the q295 discipline). ----
+    // PLAN-REGISTRY float-agg q330_distribution_drift: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q330_distribution_drift",
       """WITH b AS (SELECT user_id % 2 AS g,
         |    LEAST(63, GREATEST(0, CAST(FLOOR(value / 5.0) AS INT))) AS bin
@@ -4733,6 +4809,7 @@ object Queries {
     // row (no self-contamination); warm-up rows (< 10 predecessors) are
     // unscored. Frame order is total (ts, event_id), so both engines
     // aggregate the same values; ROUND absorbs summation-order ULP. ----
+    // PLAN-REGISTRY float-agg q333_rolling_anomaly: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q333_rolling_anomaly",
       """WITH e AS (SELECT event_type, event_id, ts, value FROM events),
         |w AS (SELECT event_type, event_id, value,
@@ -4832,6 +4909,7 @@ object Queries {
     // are about to be gutted by the quality filter): q293's integer-exact
     // logit summarized per source — keep-rate plus quartiles via the
     // proven (n-1)p interpolation. One scan + one grouped aggregate. ----
+    // PLAN-REGISTRY float-agg q345_source_quality_profile: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q345_source_quality_profile",
       """WITH f AS (SELECT doc_id, source, n_chars,
         |    size(split(text, ' ')) AS wc,
@@ -4910,6 +4988,7 @@ object Queries {
     // as cross-entropy (avg -ln P), not exp(ppl): LN of identical
     // integer-ratio doubles agrees cross-engine, while libm EXP is not
     // pinned. ----
+    // PLAN-REGISTRY float-agg q338_heldout_xent: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q338_heldout_xent",
       """WITH tr AS (SELECT split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 0),
         |tb AS (SELECT w1, w2, COUNT(*) AS c12 FROM
@@ -4961,6 +5040,8 @@ object Queries {
     // alternative and its advantage). Four unrolled xy->d rounds of the
     // standard bit transform, pure integer arithmetic shared verbatim by
     // both engines; the windows run over 256 constant rows. ----
+    // PLAN-REGISTRY global-window q339_hilbert_locality: post-aggregate small spine: rank over the constant 256-cell grid
+    // PLAN-REGISTRY float-agg q339_hilbert_locality: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q339_hilbert_locality",
       s"""WITH g AS (SELECT id, CAST(id % 16 AS INT) AS x, CAST(id DIV 16 AS INT) AS y
          |           FROM (SELECT explode(sequence(0, 255)) AS id)),
@@ -5124,6 +5205,8 @@ object Queries {
     // GRANULARITY (the correct normalization for passage ranking); the
     // same Lucene-IDF arithmetic as q266 with its ROUND(,6) discipline.
     // Distributed top-k before the rank window (q266's shape). ----
+    // PLAN-REGISTRY global-window q342_chunk_bm25: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
+    // PLAN-REGISTRY float-agg q342_chunk_bm25: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q342_chunk_bm25",
       """WITH t AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
         |ch AS (SELECT doc_id, CAST((i - 1) DIV 24 AS BIGINT) AS chunk_id,
@@ -5232,6 +5315,7 @@ object Queries {
     // (corpus/100 rows AFTER aggregation, so the unpartitioned window is
     // safe at any SF). The short-doc guard keeps Spark's descending
     // sequence(1, n<1) out (ShortDocSpec class). ----
+    // PLAN-REGISTRY global-window q348_vocab_growth: post-aggregate small spine: cumulative distinct over the rank spine
     q2("q348_vocab_growth",
       """WITH w AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
         |       (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
@@ -5375,6 +5459,7 @@ object Queries {
     // TakeOrderedAndProject (per-partition top-64 + driver merge, never a
     // global sort); the rank window runs over 64 rows; the corpus total is
     // a 1-row broadcast. share in basis points = exact integer DIV. ----
+    // PLAN-REGISTRY global-window q352_zipf_rank_frequency: post-aggregate small spine: rank over the 31-word vocabulary
     q2("q352_zipf_rank_frequency",
       """WITH w AS (SELECT split(lower(text), ' ') AS ws FROM documents
         |           WHERE size(split(lower(text), ' ')) >= 3),
@@ -5414,6 +5499,7 @@ object Queries {
     // within-bucket windows); per-doc window spans explode to at most
     // n_tok/512 + 1 rows. All-integer: clip arithmetic is
     // LEAST/GREATEST on BIGINT offsets. ----
+    // PLAN-REGISTRY global-window q353_window_contamination: post-aggregate small spine: cumsum spine for 512-token packing (two-level prefix sum)
     q2("q353_window_contamination",
       """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok FROM documents),
         |b AS (SELECT doc_id, n_tok, doc_id DIV 1000 AS bkt FROM tok WHERE n_tok > 0),
@@ -5767,6 +5853,7 @@ object Queries {
     // the cumulative runs over the DISTINCT-logit spine (bounded values
     // after aggregation, the q348 bucket-spine shape), never the corpus.
     // Label: doc carries a [2,32]-shared 8-gram (q351's). ----
+    // PLAN-REGISTRY global-window q361_ranking_auc: post-aggregate small spine: cumulative negatives over distinct logit values
     q2("q361_ranking_auc",
       """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
@@ -6106,6 +6193,7 @@ object Queries {
     // explode + one groupBy on the shingle (the same single-shuffle shape
     // as every gram pass); the 10-row batch spine cumsum is the declared
     // post-aggregate unpartitioned window. Integer basis points. ----
+    // PLAN-REGISTRY global-window q368_shingle_novelty: post-aggregate small spine: cumsum over the 10-row arrival-batch spine
     q2("q368_shingle_novelty",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),

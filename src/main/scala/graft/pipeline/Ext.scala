@@ -81,22 +81,29 @@ object Ext {
     // corpus count (Dedup.simhashBandBits) with multiprobe recall, and the
     // entry is BenchScale-measured alongside q380 (VERDICT r10 #1).
     "q50b_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    // PLAN-REGISTRY float-agg q51_ann_lsh: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q51_ann_lsh" -> (Similarity.lshTopK _),
+    // PLAN-REGISTRY float-agg q335_ann_multiprobe: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q335_ann_multiprobe" -> (Similarity.multiprobeTopK _),
+    // PLAN-REGISTRY float-agg q336_multiprobe_recall: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q336_multiprobe_recall" -> (Similarity.multiprobeRecall _),
     "q51b_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q51c_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
     "q72b_embedding_neardup_scaled" ->
       ((s: SparkSession, d: String) => Similarity.prefilteredNearDup(s, d)),
+    // PLAN-REGISTRY float-agg q51e_kmeans_cells: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q51e_kmeans_cells" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCells(s, d)),
     "q51f_quantized_topk" ->
       ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
+    // PLAN-REGISTRY float-agg q271_ivf_kmeans_topk: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q271_ivf_kmeans_topk" ->
       ((s: SparkSession, d: String) => Similarity.ivfKmeansTopK(s, d)),
+    // PLAN-REGISTRY float-agg q275_pq_adc_topk: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q275_pq_adc_topk" ->
       ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // PLAN-REGISTRY float-agg q280_ivfpq_topk: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q280_ivfpq_topk" ->
       ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "q281_semdedup" ->
@@ -155,6 +162,7 @@ object Ext {
     // 100 TB this converts every recurring join on the key into a local
     // zip of co-located buckets. Unique table names so concurrent cloned
     // sessions (ConcurrencySpec) never race on the shared catalog.
+    // PLAN-REGISTRY float-agg q309_bucketed_join_readback: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q309_bucketed_join_readback" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -283,6 +291,7 @@ object Ext {
         .groupBy("s_suppkey").agg(count(lit(1)).as("n_cust"))
         .orderBy("s_suppkey")
     }),
+    // PLAN-REGISTRY float-agg q205_asof_join_op: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q205_asof_join_op" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -298,6 +307,7 @@ object Ext {
     // The SAME as-of query through the custom physical operator
     // (plans/AsOfJoinExec): one streaming merge pass after co-partitioned
     // sorts, against the identical DuckDB native-ASOF oracle as q205.
+    // PLAN-REGISTRY float-agg q205b_asof_join_native: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q205b_asof_join_native" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -313,6 +323,7 @@ object Ext {
     // lake, re-read with a partition filter (OpsSpec asserts the scan's
     // PartitionFilters actually prune), and aggregate the surviving
     // partition — the q255 backfill shape without the streaming leg.
+    // PLAN-REGISTRY float-agg q258_etl_partitioned_readback: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q258_etl_partitioned_readback" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -330,6 +341,7 @@ object Ext {
     // (user_id, value), read back through a 2-D box predicate, aggregate.
     // Layout must be invisible in the answer; the file-skipping win the
     // layout exists for is measured in LayoutSpec.
+    // PLAN-REGISTRY float-agg q260_zorder_readback: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q260_zorder_readback" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -348,6 +360,7 @@ object Ext {
     // schemas (the later one adds a column), and a mergeSchema scan
     // reconciles them — early rows surface NULL for the added column. The
     // lake-evolution behavior every long-lived 100 TB dataset depends on.
+    // PLAN-REGISTRY float-agg q270_schema_evolution: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q270_schema_evolution" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -385,6 +398,7 @@ object Ext {
     // equal the direct aggregate over raw events (cnt=Σcnt, sum=Σsum,
     // min=min(min), max=max(max), avg re-derived). This decomposability
     // is what makes incremental MV refresh valid at 100 TB.
+    // PLAN-REGISTRY float-agg q269_partial_agg_rollup: declared-contract aggregate: ROUND over commutative exact-in-double inputs or statistical contract output (driver-green bitwise since r1-r4)
     "q269_partial_agg_rollup" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       s.sql("""WITH daily AS (
@@ -401,6 +415,8 @@ object Ext {
     // BM25 ranking (Lucene IDF form, k1=1.2, b=0.75) for a fixed term query
     // — the lexical half of a retrieval stack. Shuffle shape: one tf
     // groupBy, a broadcastable df/stats side, one per-doc score aggregate.
+    // PLAN-REGISTRY global-window q266_bm25_topk: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
+    // PLAN-REGISTRY float-agg q266_bm25_topk: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q266_bm25_topk" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       s.sql(bm25Sql(limit = 10))
@@ -412,6 +428,8 @@ object Ext {
     // hybrid-retrieval combiner. Both input rankings are deterministic
     // cross-engine (rounded BM25, integer-exact quantized cosine), and the
     // fusion arithmetic is two correctly-rounded double divisions.
+    // PLAN-REGISTRY global-window q267_rrf_fusion: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
+    // PLAN-REGISTRY float-agg q267_rrf_fusion: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q267_rrf_fusion" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -438,6 +456,7 @@ object Ext {
     // shuffles: one bigram count (the "model", small enough to broadcast
     // at any corpus scale — char-bigram vocabulary is bounded), one
     // per-doc aggregate after the broadcast-shaped join.
+    // PLAN-REGISTRY float-agg q265_bigram_lm_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q265_bigram_lm_score" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       s.sql("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
@@ -478,6 +497,7 @@ object Ext {
     // Small-file compaction round-trip: fragment events into 50 files (the
     // per-micro-batch debris a streaming sink leaves), compact by on-disk
     // bytes, and aggregate the compacted lake — content must be untouched.
+    // PLAN-REGISTRY float-agg q261_compaction_readback: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q261_compaction_readback" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
@@ -503,6 +523,7 @@ object Ext {
               |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // PLAN-REGISTRY float-agg q206_salted_join_op: ROUND(MAX/AVG) over a total-ordered or per-key-unique frame
     "q206_salted_join_op" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)

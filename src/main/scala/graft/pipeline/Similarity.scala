@@ -315,22 +315,41 @@ object Similarity {
   // buckets/table) saturates as the corpus grows — bucket occupancy rises
   // linearly, same-bucket pairs quadratically. BenchScale MEASURED it:
   // alpha = 1.38, t(10x)/t(1x) = 26 at sf0.1 under fixed bits. bits =
-  // max(6, ceil(log2(n / 8))) targets ~8 vectors/bucket at any corpus
-  // size, which keeps per-table candidates ~4n and total candidate work
-  // O(n log n) — the standard LSH posture at 100 TB (the index grows in
-  // CODE LENGTH, never in pair volume). Longer codes alone would cost
+  // max(6, ceil(log2(n / 2))) targets ~2 vectors/bucket at any corpus
+  // size (round 11: the 32x point measured the earlier ~8/bucket target's
+  // candidate constant — 64n(1+bits) pairs, each dragging two embedding-
+  // array fetches — at 91x/32x; ~2/bucket quarters it to 16n(1+bits)),
+  // keeping total candidate work O(n log n) — the standard LSH posture at
+  // 100 TB (the index grows in CODE LENGTH, never in pair volume). The
+  // probe set rides along (bits+1 keys), so longer codes cost probe
+  // fan-out, not recall. Longer codes alone would cost
   // recall ((cos 0.94 twins agree per bit w.p. ~0.89, so a 13-bit table
   // hits w.p. 0.89^13 ~ 0.22); recall is restored by HAMMING-1 MULTIPROBE
   // on one join side (q335's trick): per-table pair hit prob becomes
   // p^b + b(1-p)p^(b-1) (~0.58 at b=13), and the 16-table miss probability
-  // stays <= ~2e-6 at every size BenchScale drives — re-proven exactly by
-  // the all-pairs oracle, which fails on ANY missed pair.
+  // stays <= ~2e-6 at every size BenchScale drives FOR THE cos~0.94 TWIN
+  // REGIME this fixture plants (ADVICE r10: a pair sitting AT the 0.85
+  // verify threshold has per-bit agreement only ~0.82 — per-table hit
+  // ~0.30 at b=13, miss over 16 tables ~3e-3, and the margin shrinks
+  // further as bits grow with n; a corpus dense in threshold-boundary
+  // pairs would want hamming-2 probes above ~16 bits, trading probe
+  // fan-out (+b(b-1)/2 keys per table) for the boundary recall). The
+  // pinned fixtures are safe regardless — the exact all-pairs oracle
+  // fails the gate on ANY missed pair, at every SF and BenchScale size.
   private val DupTables = 16
   private val DupBits = 6
 
   /** ceil(log2(n / targetBucket)) with the 6-bit floor — deterministic from
-    * the corpus row count (production reads it from table stats). */
-  private[pipeline] def dupBitsFor(n: Long, targetBucket: Long = 8L): Int = {
+    * the corpus row count (production reads it from table stats).
+    * targetBucket defaults to 2 (round 11): the 32x BenchScale point showed
+    * ~8 vectors/bucket leaves candidate volume 64n(1+bits) — O(n log n) in
+    * shape but with a constant that drags two corpus-sized embedding-array
+    * join-backs (the fitted tail went quadratic-looking at 32x: 91x vs 42
+    * bound, ~56M candidate verifications). Two per bucket quarters the
+    * candidates (16n(1+bits)); twin recall stays >= 1 - 2e-5 at the largest
+    * BenchScale size (per-table hit p^b + b(1-p)p^(b-1) ~ 0.49 at b=15,
+    * 16 tables), and the exact all-pairs oracle re-proves it at every SF. */
+  private[pipeline] def dupBitsFor(n: Long, targetBucket: Long = 2L): Int = {
     val buckets = math.max(1L, n / targetBucket)
     math.max(DupBits, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1)))
   }

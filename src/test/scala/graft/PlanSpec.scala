@@ -389,6 +389,30 @@ class PlanSpec extends SparkSpec {
       "q333_rolling_anomaly", "q335_ann_multiprobe", "q336_multiprobe_recall",
       "q338_heldout_xent", "q339_hilbert_locality", "q342_chunk_bm25",
       "q345_source_quality_profile")
+    // Marker parity (round 11 / VERDICT r10 #8): each registry row must
+    // carry a `PLAN-REGISTRY <tag> <name>: <justification>` marker NEXT TO
+    // the entry's definition (the SCALE-AUDIT convention) — the reviewed
+    // reason lives with the code it justifies, so editing the entry makes a
+    // stale justification visible in the diff, and a marker without a
+    // registry row (or vice versa) fails here in both directions.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val marker = """PLAN-REGISTRY\s+(global-window|float-agg)\s+(\S+):""".r
+      val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+      val marked: Map[String, Set[String]] = java.nio.file.Files.walk(srcRoot)
+        .iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap(p => marker.findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.group(2)))
+        .toSeq.groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+      for ((tag, declared) <- Seq("global-window" -> globalWindowRegistry,
+                                  "float-agg" -> floatAggDoubleRegistry)) {
+        val m = marked.getOrElse(tag, Set.empty)
+        assert(m == declared,
+          s"$tag marker drift — marked-not-registered: ${(m -- declared).toSeq.sorted}, " +
+          s"registered-not-marked: ${(declared -- m).toSeq.sorted}")
+      }
+    }
     var gw = Set.empty[String]
     var fd = Set.empty[String]
     for (name <- Determinism.batchNames.sorted) {

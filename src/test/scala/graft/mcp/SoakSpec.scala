@@ -118,5 +118,27 @@ class SoakSpec extends SparkSpec {
     // p50 sanity (informational ceiling far above normal: collapse detector)
     val p50 = ops(ops.size / 2)
     assert(p50 < 30.0, f"median MCP op latency $p50%.1f s — serialization collapse")
+
+    // Tagged manual-soak artifact (VERDICT r10 #7): with GRAFT_SOAK_OUT set,
+    // record the window as JSON — per-op latency histogram + percentiles,
+    // rounds, clients, failure count — so the round record can cite a file
+    // instead of prose. The CI run (8 rounds, no env) writes nothing.
+    sys.env.get("GRAFT_SOAK_OUT").foreach { out =>
+      def pct(p: Double) = ops(math.min(ops.size - 1, (p * ops.size).toInt))
+      // decade histogram over op seconds
+      val edges = Seq(0.01, 0.02, 0.05, 0.1, 0.2, 0.5, 1.0, 2.0, 5.0, 10.0, 30.0)
+      val histo = (Seq(0.0) ++ edges).zip(edges ++ Seq(Double.MaxValue)).map {
+        case (lo, hi) => s""""[${lo}s,${if (hi == Double.MaxValue) "inf" else hi + "s"})":${ops.count(s => s >= lo && s < hi)}"""
+      }
+      val json =
+        s"""{"metric":"mcp_soak","clients":$nClients,"rounds":$rounds,""" +
+        s""""sf_dir":"$sfDir","n_ops":${ops.size},"n_failures":${failures.size},""" +
+        f""""p50_sec":${pct(0.50)}%.4f,"p90_sec":${pct(0.90)}%.4f,"p99_sec":${pct(0.99)}%.4f,""" +
+        f""""max_sec":${ops.last}%.4f,"per_op_ceiling_sec":$perOpCeilingSec,""" +
+        s""""histogram":{${histo.mkString(",")}},""" +
+        s""""ops_per_round_per_client":"canary read + client-pinned aggregate + shared aggregate (every 3rd) + denied DROP"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      System.err.println(s"[soak] wrote $out")
+    }
   }
 }

@@ -188,6 +188,42 @@ def test_yaml_tool_with_binding(initialized):
     assert not resp["result"].get("isError", False), f"yaml tool errored: {resp}"
 
 
+def test_typed_yaml_tool(initialized):
+    """Typed (integer + array) params bind natively through a reference-style
+    client sending real JSON types; violations are structured errors."""
+    ok = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "source_mix",
+                   "arguments": {"sources": [], "min_chars": 0}},
+        "id": 9})
+    assert "result" in ok and not ok["result"].get("isError", False), f"source_mix failed: {ok}"
+    rows = [json.loads(c["text"]) for c in ok["result"]["content"]]
+    assert rows and all("n_docs" in r and "n_tokens" in r for r in rows)
+
+    one = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "source_mix",
+                   "arguments": {"sources": [rows[0]["source"]], "min_chars": 0}},
+        "id": 10})
+    sub = [json.loads(c["text"]) for c in one["result"]["content"]]
+    assert len(sub) == 1 and sub[0] == rows[0], f"array filter drift: {sub} vs {rows[0]}"
+
+    bad = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "source_mix",
+                   "arguments": {"sources": "src0", "min_chars": 0}},
+        "id": 11})
+    assert bad["result"].get("isError") is True
+    assert "parameter 'sources' expects array" in bad["result"]["content"][0]["text"]
+
+    missing = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "source_mix", "arguments": {"sources": []}},
+        "id": 12})
+    assert missing["result"].get("isError") is True
+    assert "missing required parameter(s) min_chars" in missing["result"]["content"][0]["text"]
+
+
 # ============================================================================
 # NEGATIVE CONFIG MATRIX (tests/snowflake/test_mcp.py:525-592 shape:
 # bad launch configs must exit non-zero with a diagnostic, fast)
