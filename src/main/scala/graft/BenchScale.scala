@@ -87,7 +87,10 @@ object BenchScale {
     Entry("q298_triangle_count", "events", 13.0, "degree-oriented triangle join"),
     Entry("q276_pagerank", "events", 13.0, "3 unrolled iterations, one equi-join + groupBy each"),
     Entry("q281_semdedup", "emb", 13.0, "k-means cells + in-cell pairs; adaptive k = n/64 (fixed k is n^2/k — the q72b failure class)"),
-    Entry("q371_stream_neardup_index", "docs", 13.0, "STREAMING ingest-time near-dup screen: stream-static join against the [2,32]-capped corpus gram index (micro-batch drain)"))
+    Entry("q371_stream_neardup_index", "docs", 13.0, "STREAMING ingest-time near-dup screen: stream-static join against the [2,32]-capped corpus gram index (micro-batch drain)"),
+    // round-11 new capabilities, registered on arrival
+    Entry("q394_dsir_selection", "docs", 13.0, "DSIR importance selection: O(n) tokenize, 64-row bucket-LM broadcast, distributed top-k"),
+    Entry("q395_coreset_fps", "emb", 13.0, "FPS coreset: 8 rounds x (1-row broadcast + argmax); O(k*n) distances"))
 
   private val scales = Seq(1, 4, 10)
   private val deepScaleK = 32

@@ -7226,7 +7226,123 @@ object Queries {
         |  nd.neardup_new_docs,
         |  CAST(nd.neardup_new_docs * 10000 // base.n_new AS BIGINT) AS neardup_rate_x1e4
         |FROM base CROSS JOIN nov CROSS JOIN nd""".stripMargin),
+
+    // ---- [EXT] DSIR-style importance-weighted data selection (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance Resampling"):
+    // hashed-unigram bucket LMs for the TARGET distribution (here the 'en'
+    // slice — the "high-quality domain") and the RAW pool, per-doc
+    // importance weight = Σ_b c_b·log(p_b/q_b) (Laplace-smoothed), top-100
+    // docs by weight. The one transcendental (LN of count ratios) is
+    // computed ONCE PER BUCKET (64 deterministic scalars, q64's LN+ROUND
+    // precedent) and snapped to a 1e-4 integer lattice BEFORE the per-doc
+    // summation, so every aggregate is an order-free exact BIGINT sum.
+    // Scale: tokenize O(n) → two 64-row global aggs → 64-row broadcast
+    // join → per-doc agg → distributed top-k. No shuffle carries more
+    // than (doc, bucket) rows; the bucket LM table is O(1). The token
+    // hash is the q45b portable polynomial (seed 7 decorrelates it from
+    // the fingerprint family). ----
+    q2("q394_dsir_selection",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, t FROM (
+        |    SELECT doc_id, lang, explode(split(lower(text), ' ')) AS t FROM documents) x
+        |  WHERE t <> ''),
+        |hb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(aggregate(split(t, ''), CAST(7 AS BIGINT),
+        |         (acc, c) -> (acc * 131 + ascii(c)) % 1000000007) % 64 AS INT) AS b
+        |  FROM toks),
+        |raw AS (SELECT b, COUNT(*) AS rc FROM hb GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM hb WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rtot FROM raw),
+        |ttot AS (SELECT CAST(SUM(tc) AS DOUBLE) AS tt FROM tgt),
+        |lr AS (
+        |  SELECT r.b,
+        |    CAST(ROUND(LN(((COALESCE(t.tc, 0) + 1) / (ttot.tt + 64)) /
+        |                  ((r.rc + 1) / (tot.rtot + 64))) * 10000, 0) AS BIGINT) AS lr_x1e4
+        |  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot CROSS JOIN ttot),
+        |db AS (SELECT doc_id, b, COUNT(*) AS c FROM hb GROUP BY doc_id, b),
+        |score AS (
+        |  SELECT d.doc_id, CAST(SUM(d.c * lr.lr_x1e4) AS BIGINT) AS dsir_x1e4,
+        |    CAST(SUM(d.c) AS BIGINT) AS n_tokens
+        |  FROM db d JOIN lr ON d.b = lr.b GROUP BY d.doc_id)
+        |SELECT s.doc_id, s.dsir_x1e4, s.n_tokens, dd.lang
+        |FROM score s JOIN documents dd ON dd.doc_id = s.doc_id
+        |ORDER BY s.dsir_x1e4 DESC, s.doc_id LIMIT 100""".stripMargin,
+      """WITH toks AS (
+        |  SELECT doc_id, lang, t FROM (
+        |    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS t FROM documents) x
+        |  WHERE t <> ''),
+        |hb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_prepend(7::BIGINT,
+        |           list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
+        |         (acc, c) -> (acc * 131 + c) % 1000000007) % 64 AS INT) AS b
+        |  FROM toks),
+        |raw AS (SELECT b, COUNT(*) AS rc FROM hb GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS tc FROM hb WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rtot FROM raw),
+        |ttot AS (SELECT CAST(SUM(tc) AS DOUBLE) AS tt FROM tgt),
+        |lr AS (
+        |  SELECT r.b,
+        |    CAST(round(ln(((COALESCE(t.tc, 0) + 1) / (ttot.tt + 64)) /
+        |                  ((r.rc + 1) / (tot.rtot + 64))) * 10000, 0) AS BIGINT) AS lr_x1e4
+        |  FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot CROSS JOIN ttot),
+        |db AS (SELECT doc_id, b, COUNT(*) AS c FROM hb GROUP BY doc_id, b),
+        |score AS (
+        |  SELECT d.doc_id, CAST(SUM(d.c * lr.lr_x1e4) AS BIGINT) AS dsir_x1e4,
+        |    CAST(SUM(d.c) AS BIGINT) AS n_tokens
+        |  FROM db d JOIN lr ON d.b = lr.b GROUP BY d.doc_id)
+        |SELECT s.doc_id, s.dsir_x1e4, s.n_tokens, dd.lang
+        |FROM score s JOIN documents dd ON dd.doc_id = s.doc_id
+        |ORDER BY s.dsir_x1e4 DESC, s.doc_id LIMIT 100""".stripMargin),
+
+    // ---- [EXT] farthest-point-sampling coreset (k-center greedy / the
+    // 2-approximation of Gonzalez 1985 — the diversity-subset selector a
+    // training pipeline uses to seed k-means, pick annotation batches, or
+    // build an eval slice that spans embedding space). 8 unrolled rounds;
+    // the min-distance column updates INCREMENTALLY (md ← LEAST(md, d² to
+    // the one newly selected vector)), so each round is one 1-row
+    // broadcast join + one distributed argmax (TakeOrderedAndProject) —
+    // O(k·n) total distance work, never the n×k re-scan per round a naive
+    // FPS does. Vectors snap to the tie-free 1e-3 lattice (q355's proof)
+    // so every distance is an exact BIGINT and both engines agree
+    // bitwise. Output = the selected ids in selection order with the
+    // covering gain (the maximized min-d²) each selection achieved —
+    // monotonically non-increasing by construction. ----
+    q2("q395_coreset_fps", fpsSql(duck = false), fpsSql(duck = true)),
   )
+
+  /** Unrolled farthest-point-sampling rounds (q395) in either dialect —
+    * seed = vec_id 0, `rounds` further selections, incremental min-dist. */
+  private def fpsSql(duck: Boolean, rounds: Int = 7): String = {
+    def d2(a: String, b: String): String =
+      if (duck)
+        s"CAST(list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"
+      else
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val quant =
+      if (duck) "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+      else "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+    val ctes = Seq(
+      s"e AS (SELECT vec_id, $quant AS q FROM embeddings)",
+      "s0 AS (SELECT q AS sq FROM e WHERE vec_id = 0)",
+      s"m0 AS (SELECT e.vec_id, e.q, ${d2("e.q", "s0.sq")} AS md FROM e CROSS JOIN s0)") ++
+      (1 to rounds).flatMap { r =>
+        Seq(
+          s"p$r AS (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1)",
+          s"s$r AS (SELECT e.q AS sq FROM e JOIN p$r ON e.vec_id = p$r.vec_id)") ++
+          (if (r < rounds)
+             Seq(s"m$r AS (SELECT m.vec_id, m.q, LEAST(m.md, ${d2("m.q", "s.sq")}) AS md " +
+               s"FROM m${r - 1} m CROSS JOIN s$r s)")
+           else Nil)
+      }
+    val union =
+      (s"SELECT 1 AS sel_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS gain_d2" +:
+        (1 to rounds).map(r => s"SELECT ${r + 1} AS sel_rank, vec_id, md AS gain_d2 FROM p$r"))
+        .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, gain_d2 FROM ($union) u ORDER BY sel_rank"
+  }
 
   /** Spark-dialect CTE chain of the q284/q288 BPE unroll (wd word counts,
     * w0 char symbols, 3 x (pair counts pK, argmax bK, merged wK)). */

@@ -275,7 +275,9 @@ class PlanSpec extends SparkSpec {
       "q373_bloom_fpp",             // CROSS JOINs of 1-row build/bit-count aggregates
       "q374_salt_planner",          // CROSS JOIN with the 1-row plan-summary aggregate
       "q375_lsh_br_tradeoff",       // 3-row (b,r) config spine + 1-row n_pos aggregate broadcasts
-      "q377_maxsim_late_interaction") // 20 broadcast probe token vectors x corpus (q51c shape)
+      "q377_maxsim_late_interaction", // 20 broadcast probe token vectors x corpus (q51c shape)
+      "q394_dsir_selection",          // CROSS JOINs with the 1-row raw/target token-total aggregates
+      "q395_coreset_fps")             // 8 FPS rounds: 1-row newly-selected-vector broadcast each
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan =
         try executedPlan(SparkEntry.queries(name)(spark, sfDir))
