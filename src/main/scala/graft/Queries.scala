@@ -7326,13 +7326,19 @@ object Queries {
     val ctes = Seq(
       s"e AS (SELECT vec_id, $quant AS q FROM embeddings)",
       "s0 AS (SELECT q AS sq FROM e WHERE vec_id = 0)",
-      s"m0 AS (SELECT e.vec_id, e.q, ${d2("e.q", "s0.sq")} AS md FROM e CROSS JOIN s0)") ++
+      // The 1-row selected-vector side must BROADCAST (hinted in the Spark
+      // dialect): post-join CTEs carry no row-count stats, so without the
+      // hint Spark falls back to CartesianProductExec — same result, but a
+      // full-shuffle all-pairs operator instead of a map-side pass.
+      s"m0 AS (SELECT${if (duck) "" else " /*+ BROADCAST(s0) */"} e.vec_id, e.q, " +
+        s"${d2("e.q", "s0.sq")} AS md FROM e CROSS JOIN s0)") ++
       (1 to rounds).flatMap { r =>
         Seq(
           s"p$r AS (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1)",
           s"s$r AS (SELECT e.q AS sq FROM e JOIN p$r ON e.vec_id = p$r.vec_id)") ++
           (if (r < rounds)
-             Seq(s"m$r AS (SELECT m.vec_id, m.q, LEAST(m.md, ${d2("m.q", "s.sq")}) AS md " +
+             Seq(s"m$r AS (SELECT${if (duck) "" else " /*+ BROADCAST(s) */"} m.vec_id, m.q, " +
+               s"LEAST(m.md, ${d2("m.q", "s.sq")}) AS md " +
                s"FROM m${r - 1} m CROSS JOIN s$r s)")
            else Nil)
       }

@@ -191,6 +191,8 @@ object Ext {
     "q372_image_histogram" -> (Multimodal.bmpHistogram _),
     "q378_image_gradient" -> (Multimodal.bmpGradient _),
     "q382_audio_silence_runs" -> (Multimodal.audioSilenceRuns _),
+    "q396_image_phash_dedup" -> (Multimodal.imagePerceptualDedup _),
+    "q397_audio_fingerprint_dedup" -> (Multimodal.audioFingerprintDedup _),
     // [EXT] detector-agreement audit: precision/recall of the SimHash
     // hamming<=3 detector (q50b's banded pairs — exact within its pigeonhole
     // radius) against the exact 3-gram Jaccard >= 0.90 ground truth on the
@@ -1735,6 +1737,66 @@ object Ext {
         |  c.n_clipped
         |FROM c LEFT JOIN agg a ON c.doc_id = a.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Perceptual image dedup: DuckDB rebuilds every variant BMP's shifted
+    // pixels from the generator's closed form (content keyed on cid =
+    // doc_id % 61 mod 200, plus the per-doc brightness shift d), recomputes
+    // the 4x4 floor-NN resize and the 16-bit mean-relative aHash
+    // (16*gray_p > total — brightness cancels exactly: +3d per gray, +48d on
+    // the total), then the same (w, h, ahash) clustering. The Spark side
+    // decodes and hashes the REAL bytes, so equality proves decode + resize
+    // + hash + the invariance claim end to end.
+    "q396_image_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
+        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
+        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
+        |       FROM m, UNNEST(range(0, 16)) p(i)),
+        |g AS (SELECT doc_id, w, h, p,
+        |        (cid * 3 + sx * 29 + sy * 19) % 200
+        |      + (cid * 11 + sx * 17 + sy * 5) % 200
+        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
+        |      FROM px),
+        |t AS (SELECT doc_id, w, h, p, gray,
+        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
+        |hh AS (SELECT doc_id, w, h,
+        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM t GROUP BY doc_id, w, h),
+        |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id, COUNT(*) AS n
+        |      FROM hh GROUP BY w, h, ahash)
+        |SELECT hh.doc_id, c.rep_id, CAST(c.n AS BIGINT) AS cluster_size,
+        |  hh.doc_id = c.rep_id AS is_canonical
+        |FROM hh JOIN c USING (w, h, ahash) ORDER BY hh.doc_id""".stripMargin,
+
+    // DC-invariant audio fingerprint dedup: DuckDB rebuilds every variant
+    // WAV's offset samples from the closed form (content keyed on cid =
+    // doc_id % 61 mod 3001, plus the per-doc DC offset), recomputes the
+    // 8-sample frame sums and the sign pattern of consecutive differences
+    // (DC adds 8*dc to every frame sum and cancels), then the same
+    // (n_samples, fp) clustering. The Spark side decodes and fingerprints
+    // the REAL PCM16 bytes, so equality proves decode + framing + the
+    // DC-invariance claim end to end.
+    "q397_audio_fingerprint_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 13) % 801 - 400 AS dc,
+        |         64 + (doc_id % 61) % 64 AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, n, t.i AS i, t.i // 8 AS f,
+        |        (cid * 31 + t.i * 73) % 3001 - 1500 + dc AS v
+        |      FROM m, UNNEST(range(0, (n // 8) * 8)) t(i)),
+        |fr AS (SELECT doc_id, n, f, SUM(v) AS fs FROM s GROUP BY doc_id, n, f),
+        |d AS (SELECT doc_id, n, f, fs,
+        |        LEAD(fs) OVER (PARTITION BY doc_id ORDER BY f) AS nxt FROM fr),
+        |hh AS (SELECT doc_id, n,
+        |         CAST(COALESCE(SUM(CASE WHEN nxt > fs THEN 1 << f ELSE 0 END), 0) AS BIGINT) AS fp
+        |       FROM d WHERE nxt IS NOT NULL GROUP BY doc_id, n),
+        |c AS (SELECT n, fp, MIN(doc_id) AS rep_id, COUNT(*) AS cnt
+        |      FROM hh GROUP BY n, fp)
+        |SELECT hh.doc_id, c.rep_id, CAST(c.cnt AS BIGINT) AS cluster_size,
+        |  hh.doc_id = c.rep_id AS is_canonical
+        |FROM hh JOIN c USING (n, fp) ORDER BY hh.doc_id""".stripMargin,
 
     // Detector agreement: DuckDB recomputes BOTH detectors end to end — the
     // 48-bit portable-hash SimHash (q50b's all-pairs hamming <= 3, which the

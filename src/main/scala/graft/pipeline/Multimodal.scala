@@ -27,11 +27,11 @@ object Multimodal {
   // even doc_id -> BMP, odd doc_id -> WAV. All parameters are closed-form in
   // doc_id so the DuckDB oracle can recompute the decoded stats exactly.
 
-  /** 24-bit uncompressed BMP: width 4..8 (exercises every row-padding case
-    * 0..3), height 3..5, pixel (x, y) channels are affine mod 256. */
-  def encodeBmp(id: Long): Array[Byte] = {
-    val w = (4 + id % 5).toInt
-    val h = (3 + id % 3).toInt
+  /** Writes a 24-bit uncompressed BMP container: 54-byte headers, bottom-up
+    * rows with 4-byte padding; `px(x, y)` supplies the (r, g, b) channels at
+    * LOGICAL top-down coordinates. Shared by the base and variant encoders
+    * so the container arithmetic is stated once. */
+  private def bmpContainer(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rowSize = ((3 * w + 3) / 4) * 4
     val size = 54 + rowSize * h
     val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
@@ -44,9 +44,8 @@ object Multimodal {
       val y = h - 1 - yFile // BMP stores rows bottom-up
       var x = 0
       while (x < w) {
-        b.put(((id * 7 + x * 13 + y * 31) % 256).toByte)  // B
-        b.put(((id * 11 + x * 17 + y * 5) % 256).toByte)  // G
-        b.put(((id * 3 + x * 29 + y * 19) % 256).toByte)  // R
+        val (r, g, bl) = px(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
         x += 1
       }
       var p = 3 * w
@@ -56,19 +55,63 @@ object Multimodal {
     b.array()
   }
 
-  /** PCM16 mono WAV, 8 kHz, 64..127 samples; sample i is affine mod 4001,
-    * centered on zero (range [-2000, 2000]). */
-  def encodeWav(id: Long): Array[Byte] = {
-    val n = (64 + id % 64).toInt
-    val rate = 8000
+  /** Writes a PCM16 mono RIFF/WAVE container; `sample(i)` supplies sample i. */
+  private def wavContainer(n: Int, rate: Int)(sample: Int => Int): Array[Byte] = {
     val b = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n).put("WAVE".getBytes("US-ASCII"))
     b.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
     b.put("data".getBytes("US-ASCII")).putInt(2 * n)
     var i = 0
-    while (i < n) { b.putShort(((id * 31 + i * 73) % 4001 - 2000).toShort); i += 1 }
+    while (i < n) { b.putShort(sample(i).toShort); i += 1 }
     b.array()
+  }
+
+  /** 24-bit uncompressed BMP: width 4..8 (exercises every row-padding case
+    * 0..3), height 3..5, pixel (x, y) channels are affine mod 256. */
+  def encodeBmp(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 3).toInt
+    bmpContainer(w, h) { (x, y) =>
+      (((id * 3 + x * 29 + y * 19) % 256).toInt,
+        ((id * 11 + x * 17 + y * 5) % 256).toInt,
+        ((id * 7 + x * 13 + y * 31) % 256).toInt)
+    }
+  }
+
+  /** PCM16 mono WAV, 8 kHz, 64..127 samples; sample i is affine mod 4001,
+    * centered on zero (range [-2000, 2000]). */
+  def encodeWav(id: Long): Array[Byte] =
+    wavContainer((64 + id % 64).toInt, 8000)(i => ((id * 31 + i * 73) % 4001 - 2000).toInt)
+
+  /** Perceptual-variant BMP: image CONTENT is keyed on cid = id % 61 — every
+    * doc sharing cid renders the same picture (same dims, same base pixels) —
+    * plus a per-doc uniform brightness shift d = id·37 mod 56 added to every
+    * channel. Base channels are affine mod 200, so base + d stays in
+    * [0, 254]: no clamping or wraparound, which makes the shift EXACTLY
+    * invisible to any mean-relative perceptual hash (the invariance q396
+    * proves end to end). */
+  def encodeBmpVariant(id: Long): Array[Byte] = {
+    val cid = id % 61
+    val d = (id * 37 % 56).toInt
+    val w = (4 + cid % 5).toInt
+    val h = (3 + cid % 3).toInt
+    bmpContainer(w, h) { (x, y) =>
+      (((cid * 3 + x * 29 + y * 19) % 200).toInt + d,
+        ((cid * 11 + x * 17 + y * 5) % 200).toInt + d,
+        ((cid * 7 + x * 13 + y * 31) % 200).toInt + d)
+    }
+  }
+
+  /** Perceptual-variant WAV: audio CONTENT is keyed on cid = id % 61 (length
+    * 64 + cid mod 64, base sample affine mod 3001 centered on zero), plus a
+    * per-doc DC offset id·13 mod 801 − 400. base + dc stays in
+    * [−1900, 1900] — int16-safe — and cancels in any sample/frame
+    * DIFFERENCE, the invariance q397 proves end to end. */
+  def encodeWavVariant(id: Long): Array[Byte] = {
+    val cid = id % 61
+    val dc = (id * 13 % 801 - 400).toInt
+    wavContainer((64 + cid % 64).toInt, 8000)(i => ((cid * 31 + i * 73) % 3001 - 1500).toInt + dc)
   }
 
   // ---------------------------------------------------------------- decoders
@@ -185,6 +228,23 @@ object Multimodal {
     spark.table("documents").select(col("doc_id")).as[Long].map { id =>
       val fmt = formatOf(id)
       val bytes = if (fmt == "bmp") encodeBmp(id) else encodeWav(id)
+      MediaRow(id, fmt, bytes.length, bytes)
+    }
+  }
+
+  /** Perceptual-variant media table: one variant payload per document — same
+    * modality rule ([[formatOf]]), content keyed on doc_id % 61 with a
+    * per-doc photometric nuisance (brightness shift for images, DC offset
+    * for audio). The fixture a perceptual near-dup pass runs against:
+    * ~n/61 GENUINE perceptual duplicates per content key, each rendered
+    * under a different nuisance value, so hash equality is earned by
+    * invariance, not byte identity. */
+  def variantMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    Tables.register(spark, dir)
+    import spark.implicits._
+    spark.table("documents").select(col("doc_id")).as[Long].map { id =>
+      val fmt = formatOf(id)
+      val bytes = if (fmt == "bmp") encodeBmpVariant(id) else encodeWavVariant(id)
       MediaRow(id, fmt, bytes.length, bytes)
     }
   }
@@ -445,6 +505,87 @@ object Multimodal {
       }
       .toDF("doc_id", "n_quiet_runs", "longest_quiet_run", "n_quiet", "n_clipped")
       .orderBy("doc_id")
+  }
+
+  /** Per-doc cluster assignment from a hashed Dataset: exact groupBy on the
+    * key columns via window functions — ONE O(n) shuffle, no candidate pairs
+    * ever materialized (saturating a fixed hash space grows cluster SIZES,
+    * never a pair count, so the pass stays linear at any corpus scale;
+    * contrast the banded pair generators q380 audits). */
+  private def clusterByKey(hashed: DataFrame, keys: String*): DataFrame = {
+    val cluster = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    hashed
+      .withColumn("rep_id", min("doc_id").over(cluster))
+      .withColumn("cluster_size", count(lit(1)).over(cluster).cast("long"))
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        (col("doc_id") === col("rep_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual image dedup (q396): decode every variant BMP's REAL bytes,
+    * nearest-neighbor resize to the canonical 4×4 thumbnail, and compute a
+    * 16-bit average-hash — bit p set iff thumbnail pixel p's gray sum
+    * (r+g+b) exceeds the thumbnail mean, integer-exact as
+    * 16·gray_p > Σ gray. A uniform brightness shift d adds 3d to every gray
+    * and 48d to the total, so the comparison — hence the hash — is EXACTLY
+    * brightness-invariant: the nuisance the variant generator plants is
+    * provably invisible, and docs sharing a content key cluster on
+    * (w, h, ahash) equality alone. Clustering is [[clusterByKey]] — linear,
+    * pair-free. Oracle: DuckDB rebuilds the shifted pixels from the
+    * generator's closed form (including the shift, so invariance is proven
+    * rather than assumed), recomputes the same resize and 16 bits, and
+    * reproduces every cluster assignment. */
+  def imagePerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = variantMediaTable(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = decodeBmp(r.media) // real header parse for dimensions
+          val t = resizeBmpNearest(r.media, 4, 4)
+          val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
+          val total = gray.sum
+          var hash = 0L
+          var p = 0
+          while (p < 16) { if (16L * gray(p) > total) hash |= 1L << p; p += 1 }
+          (r.doc_id, s.width, s.height, hash)
+        }
+      }
+      .toDF("doc_id", "w", "h", "ahash")
+    clusterByKey(hashed, "w", "h", "ahash")
+  }
+
+  /** DC-invariant audio fingerprint dedup (q397): decode every variant WAV's
+    * REAL PCM16 samples, sum non-overlapping 8-sample frames, and fingerprint
+    * the SIGN PATTERN of consecutive frame-sum differences (bit k set iff
+    * F_{k+1} > F_k). A DC offset adds 8·dc to every frame sum and cancels in
+    * each difference, so the fingerprint is exactly DC-invariant — the audio
+    * analogue of q396's brightness-proof hash. Cluster key is (n_samples,
+    * fingerprint); same linear pair-free clustering. Oracle: DuckDB rebuilds
+    * the offset samples from the closed form and recomputes frames, signs,
+    * and clusters. */
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = variantMediaTable(spark, dir)
+      .filter(col("format") === "wav").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = decodeWavSamples(r.media)
+          val nf = s.length / 8
+          require(nf >= 2, s"too few samples to fingerprint (doc_id=${r.doc_id})")
+          val fs = Array.tabulate(nf) { k =>
+            var sum = 0L; var j = 0
+            while (j < 8) { sum += s(8 * k + j); j += 1 }
+            sum
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nf - 1) { if (fs(k + 1) > fs(k)) fp |= 1L << k; k += 1 }
+          (r.doc_id, s.length, fp)
+        }
+      }
+      .toDF("doc_id", "n_samples", "fp")
+    clusterByKey(hashed, "n_samples", "fp")
   }
 
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container

@@ -217,6 +217,67 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("variant aHash is exactly brightness-invariant and separates content keys") {
+    // docs 0 and 122 share cid = 0 (122 % 61 = 0) under DIFFERENT brightness
+    // shifts (0·37 % 56 = 0 vs 122·37 % 56 = 34); doc 2 is a different
+    // content key. The hash must equate the first pair and (for these
+    // fixtures) separate the third.
+    def ahash(id: Long): (Int, Int, Long) = {
+      val bytes = Multimodal.encodeBmpVariant(id)
+      val s = Multimodal.decodeBmp(bytes)
+      val t = Multimodal.resizeBmpNearest(bytes, 4, 4)
+      val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
+      val total = gray.sum
+      var h = 0L
+      for (p <- 0 until 16) if (16L * gray(p) > total) h |= 1L << p
+      (s.width, s.height, h)
+    }
+    assert(ahash(0L) == ahash(122L)) // same content key, shift 0 vs 34
+    assert(ahash(4L) == ahash(126L)) // cid 4, shift 36 vs 18
+    assert(ahash(0L) != ahash(2L))   // different content keys
+    // raw payloads differ (the shift is real, not byte identity)
+    assert(!Multimodal.encodeBmpVariant(0L).sameElements(Multimodal.encodeBmpVariant(122L)))
+  }
+
+  test("variant audio fingerprint is exactly DC-invariant across real decode") {
+    def fp(id: Long): (Int, Long) = {
+      val s = Multimodal.decodeWavSamples(Multimodal.encodeWavVariant(id))
+      val nf = s.length / 8
+      val fs = Array.tabulate(nf)(k => (0 until 8).map(j => s(8 * k + j).toLong).sum)
+      var h = 0L
+      for (k <- 0 until nf - 1) if (fs(k + 1) > fs(k)) h |= 1L << k
+      (s.length, h)
+    }
+    assert(fp(1L) == fp(123L))  // cid 1: DC 13-400 = -387 vs 123·13%801-400 = 398
+    assert(fp(3L) == fp(125L))  // cid 3
+    assert(fp(1L) != fp(3L))    // different content keys
+    assert(!Multimodal.encodeWavVariant(1L).sameElements(Multimodal.encodeWavVariant(123L)))
+    // DC offsets stay inside int16 and below the q382 clip line
+    for (id <- 1L to 99L by 2)
+      Multimodal.decodeWavSamples(Multimodal.encodeWavVariant(id))
+        .foreach(v => assert(math.abs(v) <= 1900))
+  }
+
+  test("perceptual dedup recovers every content-key cluster on the fixture") {
+    for (df <- Seq(Multimodal.imagePerceptualDedup(spark, sfDir),
+                   Multimodal.audioFingerprintDedup(spark, sfDir))) {
+      val rows = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      // same content key (doc_id % 61) => same cluster representative
+      val repOf = rows.map(r => r._1 -> r._2).toMap
+      rows.groupBy(_._1 % 61).foreach { case (cid, g) =>
+        assert(g.map(_._2).distinct.length == 1, s"cid=$cid split across clusters")
+      }
+      // rep is the cluster min; exactly one canonical per cluster; sizes add up
+      rows.groupBy(_._2).foreach { case (rep, g) =>
+        assert(g.map(_._1).min == rep)
+        assert(g.count(_._4) == 1 && g.find(_._4).get._1 == rep)
+        assert(g.forall(_._3 == g.length))
+      }
+      assert(repOf.values.toSet.size == 61) // one cluster per content key, none merged
+    }
+  }
+
   test("resize pools the feature vector to the target width, preserving scale") {
     import graft.TestSpark.spark.implicits._
     val df = Seq((1L, (1 to 16).map(_.toDouble)), (2L, (0 until 16).map(i => i * 0.25)))
