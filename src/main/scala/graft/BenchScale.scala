@@ -90,7 +90,10 @@ object BenchScale {
     Entry("q371_stream_neardup_index", "docs", 13.0, "STREAMING ingest-time near-dup screen: stream-static join against the [2,32]-capped corpus gram index (micro-batch drain)"),
     // round-11 new capabilities, registered on arrival
     Entry("q394_dsir_selection", "docs", 13.0, "DSIR importance selection: O(n) tokenize, 64-row bucket-LM broadcast, distributed top-k"),
-    Entry("q395_coreset_fps", "emb", 13.0, "FPS coreset: 8 rounds x (1-row broadcast + argmax); O(k*n) distances"))
+    Entry("q395_coreset_fps", "emb", 13.0, "FPS coreset: 8 rounds x (1-row broadcast + argmax); O(k*n) distances"),
+    Entry("q396_image_phash_dedup", "docs", 13.0,
+      "variant-media BMP decode + 16-bit aHash; pair-free window clustering on (w,h,ahash) — " +
+        "cluster SIZES grow with the corpus, output rows and shuffle stay O(n) (q397 shares the shape)"))
 
   private val scales = Seq(1, 4, 10)
   private val deepScaleK = 32

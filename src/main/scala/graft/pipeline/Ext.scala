@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** [EXT] DataFrame-coded pipeline operators (SURVEY §2.E), registered in
   * SparkEntry.queries. Where the RESULT is independently recomputable in
@@ -55,6 +55,53 @@ object Ext {
     }),
     "q49c_incremental_neardup" ->
       ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
+    // [EXT] leakage-free split GENERATOR — the fix whose absence q363
+    // audits: instead of hashing each doc_id into train/val/test (which
+    // tears near-dup clusters across the boundary — q363 measures the
+    // resulting contamination), hash the CLUSTER CANONICAL, so every member
+    // of a near-dup component lands in the same split by construction.
+    // Components come from the O(log n)-round star contraction (q332's
+    // algorithm, oracle-proven against the exact recursive closure);
+    // singletons are their own canonical. The entry then MEASURES its own
+    // guarantee with the same verified-pair universe: n_cross_pairs
+    // (cluster-keyed split) must be 0 on every row while
+    // n_cross_pairs_naive shows what the per-doc hash would have leaked.
+    // Scale: assignment is a map-side md5 of the canonical; doc and pair
+    // stats are one groupBy each over O(n) rows — no new pair enumeration
+    // beyond the capped MinHash pipeline the components already ran.
+    "q398_leakage_free_split" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.register(s, d)
+      val comp = Dedup.starComponents(s, d).select(col("doc_id"), col("canonical_id"))
+      val pairs = Dedup.minhashNearDup(s, d).select("a_id", "b_id")
+      def bucket(c: Column): Column =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+      def splitOf(c: Column): Column =
+        when(bucket(c) < 80, "train").when(bucket(c) < 90, "val").otherwise("test")
+      val assigned = s.table("documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+        .withColumn("sp", splitOf(col("canon")))
+        .withColumn("sp_naive", splitOf(col("doc_id")))
+      val docStats = assigned.groupBy("sp").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct("canon").cast("long").as("n_clusters"),
+        sum(when(col("sp") =!= col("sp_naive"), 1L).otherwise(0L)).cast("long").as("n_moved"))
+      val pa = assigned.select(col("doc_id").as("a_id"),
+        col("sp").as("sp_a"), col("sp_naive").as("spn_a"))
+      val pb = assigned.select(col("doc_id").as("b_id"),
+        col("sp").as("sp_b"), col("sp_naive").as("spn_b"))
+      val pairStats = pairs.join(pa, "a_id").join(pb, "b_id")
+        .groupBy(least(col("sp_a"), col("sp_b")).as("sp"))
+        .agg(
+          sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L)).cast("long").as("n_cross_pairs"),
+          sum(when(col("spn_a") =!= col("spn_b"), 1L).otherwise(0L)).cast("long").as("n_cross_pairs_naive"))
+      docStats.join(pairStats, Seq("sp"), "left")
+        .select(col("sp"), col("n_docs"), col("n_clusters"), col("n_moved"),
+          coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"),
+          coalesce(col("n_cross_pairs_naive"), lit(0L)).as("n_cross_pairs_naive"))
+        .orderBy("sp")
+    }),
     // [EXT] cluster-size law: the distribution of near-dup cluster sizes
     // over the verified components — the telemetry that distinguishes a
     // mirror-dominated corpus (few huge clusters: contract the star early)
@@ -1208,6 +1255,60 @@ object Ext {
          |  ROUND(rk.logit, 4) AS keeper_logit, csz.cluster_size
          |FROM rk JOIN csz ON rk.canonical_id = csz.canonical_id
          |WHERE rk.r = 1 ORDER BY rk.canonical_id""".stripMargin,
+
+    // Leakage-free split: DuckDB recomputes the exact recursive closure
+    // (q49b's oracle), derives each doc's canonical (singletons = self),
+    // assigns splits by md5 of the CANONICAL (vs doc_id for the naive
+    // counterfactual), and re-counts cross-split verified pairs both ways —
+    // the cluster-keyed count must be zero on every row, measured with the
+    // same pair universe, not asserted.
+    "q398_leakage_free_split" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes na ON a_id = na.doc_id
+         |  JOIN sizes nb ON b_id = nb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) >= 0.5
+         |),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+         |         FROM reach GROUP BY u),
+         |alldocs AS (SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canon
+         |            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |asg AS (SELECT doc_id, canon,
+         |    CASE WHEN ('0x' || substr(md5(CAST(canon AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(canon AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS sp,
+         |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS spn
+         |  FROM alldocs),
+         |ds AS (SELECT sp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_clusters,
+         |         CAST(SUM(CASE WHEN sp <> spn THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |       FROM asg GROUP BY sp),
+         |ps AS (SELECT LEAST(aa.sp, ab.sp) AS sp,
+         |         CAST(SUM(CASE WHEN aa.sp <> ab.sp THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs,
+         |         CAST(SUM(CASE WHEN aa.spn <> ab.spn THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs_naive
+         |       FROM prs JOIN asg aa ON prs.a_id = aa.doc_id
+         |       JOIN asg ab ON prs.b_id = ab.doc_id
+         |       GROUP BY LEAST(aa.sp, ab.sp))
+         |SELECT ds.sp, ds.n_docs, ds.n_clusters, ds.n_moved,
+         |  COALESCE(ps.n_cross_pairs, CAST(0 AS BIGINT)) AS n_cross_pairs,
+         |  COALESCE(ps.n_cross_pairs_naive, CAST(0 AS BIGINT)) AS n_cross_pairs_naive
+         |FROM ds LEFT JOIN ps ON ds.sp = ps.sp ORDER BY ds.sp""".stripMargin,
 
     // The star-contraction CC must land on the IDENTICAL labeling as the
     // label-propagation form — both are checked against the same exact

@@ -143,6 +143,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leakage-free split keeps every near-dup pair inside one split") {
+    val rows = graft.SparkEntry.queries("q398_leakage_free_split")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq("test", "train", "val"))
+    // the guarantee, measured: zero cluster-keyed cross pairs on every row
+    assert(rows.forall(_._5 == 0L), s"cluster-keyed split leaked: $rows")
+    // the counterfactual: the per-doc hash split WOULD have leaked on this
+    // fixture (otherwise the entry proves nothing)
+    assert(rows.map(_._6).sum > 0, "fixture has no naive leakage to prevent")
+    // docs conserved and every moved doc moved for a reason (cluster != self)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(rows.map(_._4).sum > 0, "no doc moved — naive and cluster splits identical?")
+  }
+
   test("simhash is deterministic and near-dups have small hamming distance") {
     val h = Dedup.simhash(spark, sfDir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.minhashNearDup(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
