@@ -535,25 +535,46 @@ object Multimodal {
     * generator's closed form (including the shift, so invariance is proven
     * rather than assumed), recomputes the same resize and 16 bits, and
     * reproduces every cluster assignment. */
-  def imagePerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+  def imagePerceptualDedup(spark: SparkSession, dir: String): DataFrame =
+    clusterByKey(imagePerceptualHashes(spark, dir), "w", "h", "ahash")
+
+  /** The 16-bit average-hash of a BMP payload's REAL bytes: decode, 4×4
+    * floor-NN resize, bit p set iff 16·gray_p > Σ gray (integer-exact,
+    * brightness-shift-invariant — see [[imagePerceptualDedup]]). Returns
+    * (width, height, hash); shared by the batch dedup and the streaming
+    * ingest screen so the hash definition is stated once. */
+  def ahashOf(bytes: Array[Byte]): (Int, Int, Long) = {
+    val s = decodeBmp(bytes) // real header parse for dimensions
+    val t = resizeBmpNearest(bytes, 4, 4)
+    val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
+    val total = gray.sum
+    var hash = 0L
+    var p = 0
+    while (p < 16) { if (16L * gray(p) > total) hash |= 1L << p; p += 1 }
+    (s.width, s.height, hash)
+  }
+
+  /** Per-variant-BMP (doc_id, w, h, ahash) rows — the hashing pass shared
+    * by [[imagePerceptualDedup]] and the q399 canonical index. */
+  def imagePerceptualHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = variantMediaTable(spark, dir)
+    variantMediaTable(spark, dir)
       .filter(col("format") === "bmp").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val s = decodeBmp(r.media) // real header parse for dimensions
-          val t = resizeBmpNearest(r.media, 4, 4)
-          val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
-          val total = gray.sum
-          var hash = 0L
-          var p = 0
-          while (p < 16) { if (16L * gray(p) > total) hash |= 1L << p; p += 1 }
-          (r.doc_id, s.width, s.height, hash)
+          val (w, h, hash) = ahashOf(r.media)
+          (r.doc_id, w, h, hash)
         }
       }
       .toDF("doc_id", "w", "h", "ahash")
-    clusterByKey(hashed, "w", "h", "ahash")
   }
+
+  /** The persisted canonical index a streaming ingest screen joins against:
+    * one row per occupied (w, h, ahash) cell with the cluster's
+    * representative (min doc_id). O(n) groupBy; index size ≤ corpus size. */
+  def imagePerceptualIndex(spark: SparkSession, dir: String): DataFrame =
+    imagePerceptualHashes(spark, dir)
+      .groupBy("w", "h", "ahash").agg(min("doc_id").as("rep_id"))
 
   /** DC-invariant audio fingerprint dedup (q397): decode every variant WAV's
     * REAL PCM16 samples, sum non-overlapping 8-sample frames, and fingerprint

@@ -311,6 +311,39 @@ object Streams {
             sum("n_samples").cast("long").as("sum_samples"))
       }.orderBy("len_bucket")),
 
+    // Ingest-time PERCEPTUAL dedup screen (q396's streaming sibling, the
+    // image analogue of q371's text screen): each arriving even-id doc's
+    // variant BMP payload is decoded and aHashed INSIDE the micro-batch
+    // (typed map — the codec point under streaming execution), then
+    // stream-static joined against the batch-built canonical index on
+    // (w, h, ahash); an arrival whose cluster representative is not itself
+    // is flagged as a perceptual duplicate at the door. Complete-mode
+    // per-width totals; every column is an order-invariant integer count,
+    // so the drain equals the batch rebuild at any partitioning, and the
+    // oracle re-derives hash, index, and counts from the variant
+    // generator's closed form. 20th real streaming entry.
+    "q399_stream_phash_screen" -> ((s: SparkSession, d: String) => {
+      val idx = graft.pipeline.Multimodal.imagePerceptualIndex(s, d)
+      drainDocs(s, d, "complete") { docs =>
+        import s.implicits._
+        docs.select(col("doc_id")).as[Long]
+          .filter((id: Long) => id % 2 == 0)
+          .map { id =>
+            val (w, h, hash) = graft.pipeline.Multimodal.ahashOf(
+              graft.pipeline.Multimodal.encodeBmpVariant(id))
+            (id, w, h, hash)
+          }
+          .toDF("doc_id", "w", "h", "ahash")
+          .join(idx, Seq("w", "h", "ahash"))
+          .groupBy("w")
+          .agg(count(lit(1)).cast("long").as("n_arrivals"),
+            sum(when(col("rep_id") =!= col("doc_id"), 1L).otherwise(0L))
+              .cast("long").as("n_dups"),
+            sum(when(col("rep_id") === col("doc_id"), 1L).otherwise(0L))
+              .cast("long").as("n_canonicals"))
+      }.orderBy("w")
+    }),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -877,5 +910,37 @@ object Streams {
         |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude,
         |  CAST(SUM(n) AS BIGINT) AS sum_samples
         |FROM p GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+
+    // q396's closed-form aHash CTEs (variant pixels incl. the brightness
+    // shift, 4x4 floor-NN resize, 16 mean-relative bits), then the
+    // canonical index and the per-width arrival/dup/canonical counts; the
+    // streaming side decodes and hashes the REAL bytes in-stream, so
+    // equality proves the codec + hash + stream-static join under
+    // streaming execution.
+    "q399_stream_phash_screen" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
+        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
+        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
+        |       FROM m, UNNEST(range(0, 16)) p(i)),
+        |g AS (SELECT doc_id, w, h, p,
+        |        (cid * 3 + sx * 29 + sy * 19) % 200
+        |      + (cid * 11 + sx * 17 + sy * 5) % 200
+        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
+        |      FROM px),
+        |t AS (SELECT doc_id, w, h, p, gray,
+        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
+        |hh AS (SELECT doc_id, w, h,
+        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM t GROUP BY doc_id, w, h),
+        |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id FROM hh GROUP BY w, h, ahash)
+        |SELECT CAST(hh.w AS INT) AS w,
+        |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+        |  CAST(SUM(CASE WHEN c.rep_id <> hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals
+        |FROM hh JOIN c USING (w, h, ahash)
+        |GROUP BY hh.w ORDER BY w""".stripMargin,
   )
 }
