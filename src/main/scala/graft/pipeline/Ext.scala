@@ -240,6 +240,10 @@ object Ext {
     "q382_audio_silence_runs" -> (Multimodal.audioSilenceRuns _),
     "q396_image_phash_dedup" -> (Multimodal.imagePerceptualDedup _),
     "q397_audio_fingerprint_dedup" -> (Multimodal.audioFingerprintDedup _),
+    "q401_multimodal_manifest" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      Multimodal.multimodalManifest(s, d)
+    }),
     // [EXT] detector-agreement audit: precision/recall of the SimHash
     // hamming<=3 detector (q50b's banded pairs — exact within its pigeonhole
     // radius) against the exact 3-gram Jaccard >= 0.90 ground truth on the
@@ -1898,6 +1902,23 @@ object Ext {
         |SELECT hh.doc_id, c.rep_id, CAST(c.cnt AS BIGINT) AS cluster_size,
         |  hh.doc_id = c.rep_id AS is_canonical
         |FROM hh JOIN c USING (n, fp) ORDER BY hh.doc_id""".stripMargin,
+
+    // Cross-modal manifest: dims from the BMP generator's closed form,
+    // token counts from the text, identical grouping — the Spark side
+    // decodes the REAL bytes and joins, so equality proves decode + the
+    // cross-modal equi-join.
+    "q401_multimodal_manifest" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+        |SELECT CAST(m.w AS INT) AS w, CAST(m.h AS INT) AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST((COUNT(*) + 63) // 64 AS BIGINT) AS n_batches,
+        |  CAST(SUM(tk.n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(m.w * m.h) AS BIGINT) AS sum_pixels,
+        |  CAST(SUM(tk.n_tokens) * 10000 // SUM(m.w * m.h) AS BIGINT) AS tpp_x1e4
+        |FROM m JOIN tk USING (doc_id)
+        |GROUP BY m.w, m.h ORDER BY w, h""".stripMargin,
 
     // Detector agreement: DuckDB recomputes BOTH detectors end to end — the
     // 48-bit portable-hash SimHash (q50b's all-pairs hamming <= 3, which the

@@ -609,6 +609,42 @@ object Multimodal {
     clusterByKey(hashed, "n_samples", "fp")
   }
 
+  /** Cross-modal batch manifest (q401): the first entry that JOINS decoded
+    * MEDIA statistics with TEXT statistics per document — the manifest an
+    * image-text training pipeline builds to batch samples by resolution
+    * class (uniform tensor shapes per batch, zero padding waste). Every
+    * BMP payload's REAL bytes give (w, h) via the actual header parse; the
+    * doc's token count equi-joins on doc_id; per resolution class the
+    * manifest carries doc count, 64-image batch count (ceil), token/pixel
+    * totals, and mean tokens-per-pixel in 1e-4 integer units. O(n) decode
+    * pass + one equi-join + a |{w}×{h}| = 15-group aggregate — nothing
+    * grows faster than the corpus. Oracle: DuckDB rebuilds dims from the
+    * generator's closed form and token counts from the text, so equality
+    * proves the decode and the cross-modal join end to end. */
+  def multimodalManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = mediaTable(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = decodeBmp(r.media)
+          (r.doc_id, s.width, s.height)
+        }
+      }
+      .toDF("doc_id", "w", "h")
+    val toks = spark.table("documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    dims.join(toks, "doc_id")
+      .groupBy("w", "h")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        expr("CAST((COUNT(1) + 63) DIV 64 AS BIGINT)").as("n_batches"),
+        sum("n_tokens").cast("long").as("sum_tokens"),
+        sum(col("w") * col("h")).cast("long").as("sum_pixels"))
+      .withColumn("tpp_x1e4", expr("CAST(sum_tokens * 10000 DIV sum_pixels AS BIGINT)"))
+      .orderBy("w", "h")
+  }
+
   /** Typed-metadata slice of the media pipeline (q52b): doc_id, container
     * format, actual octet length — oracle-checked against the containers'
     * size arithmetic (54 + rowSize·h for BMP, 44 + 2n for WAV). */

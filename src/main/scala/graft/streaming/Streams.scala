@@ -344,6 +344,37 @@ object Streams {
       }.orderBy("w")
     }),
 
+    // Ingest-time DECONTAMINATION screen (q290's streaming sibling): the
+    // benchmark/eval gram set (3-grams of every doc_id % 97 = 0 doc) is
+    // built batch-side — the small static side a pipeline materializes
+    // once per eval release — and each arriving train-side doc's distinct
+    // 3-grams stream-static join against it; the per-doc shared-gram count
+    // is the ONE aggregation of the drain (complete mode), so the result
+    // is q290's exact output shape plus the source column, executed by the
+    // streaming engine. An arrival with any overlap is quarantined at the
+    // door instead of discovered in a post-hoc sweep. 21st streaming entry.
+    "q400_stream_decontamination" -> ((s: SparkSession, d: String) => {
+      Tables.register(s, d)
+      val ev = s.table("documents")
+        .where(col("doc_id") % 97 === 0)
+        .selectExpr("split(text, ' ') AS ws").where("size(ws) >= 3")
+        .selectExpr(
+          "explode(array_distinct(transform(sequence(1, size(ws) - 2), " +
+            "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))) AS g")
+        .distinct()
+      drainDocs(s, d, "complete") { docs =>
+        docs.where(col("doc_id") % 97 =!= 0)
+          .selectExpr("doc_id", "source", "split(text, ' ') AS ws")
+          .where("size(ws) >= 3")
+          .selectExpr("doc_id", "source",
+            "explode(array_distinct(transform(sequence(1, size(ws) - 2), " +
+              "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))) AS g")
+          .join(ev, "g")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+      }.orderBy("doc_id")
+    }),
+
     // Watermark + late data under the gate, as a phased drain: phase 1
     // drains ONLY the newest two hours of events (advancing the checkpointed
     // watermark to max(ts) - 30min), then the older file arrives and phase 2
@@ -942,5 +973,18 @@ object Streams {
         |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals
         |FROM hh JOIN c USING (w, h, ahash)
         |GROUP BY hh.w ORDER BY w""".stripMargin,
+
+    // q290's exact decontamination oracle plus the source column — the
+    // streaming side executes the identical gram join inside the drain, so
+    // equality proves the screen under streaming execution.
+    "q400_stream_decontamination" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, source, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
   )
 }
