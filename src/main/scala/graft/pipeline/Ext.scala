@@ -244,6 +244,38 @@ object Ext {
       graft.Tables.register(s, d)
       Multimodal.multimodalManifest(s, d)
     }),
+    "q402_incremental_phash_dedup" -> (Multimodal.incrementalPerceptualDedup _),
+    // [EXT] eval-release decontamination diff (q404): when the benchmark
+    // suite rotates (release A = doc_id % 97 grams, release B = doc_id %
+    // 89 grams), which train docs NEWLY quarantine, which clear, which
+    // stay? Two broadcast gram screens (q290's shape twice) FULL OUTER
+    // joined on the tiny contaminated sets; train side = docs in neither
+    // eval set. The re-release delta a curation pipeline publishes with
+    // each eval refresh instead of re-arguing the whole sweep.
+    "q404_decontamination_diff" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql(
+        """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+          |g AS (SELECT doc_id, concat_ws(' ', ws[i-1], ws[i], ws[i+1]) AS g
+          |      FROM (SELECT * FROM w WHERE size(ws) >= 3) w
+          |      LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i),
+          |eva AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+          |evb AS (SELECT DISTINCT g FROM g WHERE doc_id % 89 = 0),
+          |tr AS (SELECT DISTINCT doc_id, g FROM g
+          |       WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+          |ca AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_a
+          |       FROM tr JOIN eva USING (g) GROUP BY doc_id),
+          |cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_b
+          |       FROM tr JOIN evb USING (g) GROUP BY doc_id)
+          |SELECT COALESCE(ca.doc_id, cb.doc_id) AS doc_id,
+          |  COALESCE(ca.n_shared_a, 0) AS n_shared_a,
+          |  COALESCE(cb.n_shared_b, 0) AS n_shared_b,
+          |  CASE WHEN ca.doc_id IS NULL THEN 'new'
+          |       WHEN cb.doc_id IS NULL THEN 'cleared'
+          |       ELSE 'still' END AS status
+          |FROM ca FULL OUTER JOIN cb ON ca.doc_id = cb.doc_id
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // [EXT] detector-agreement audit: precision/recall of the SimHash
     // hamming<=3 detector (q50b's banded pairs — exact within its pigeonhole
     // radius) against the exact 3-gram Jaccard >= 0.90 ground truth on the
@@ -1919,6 +1951,61 @@ object Ext {
         |  CAST(SUM(tk.n_tokens) * 10000 // SUM(m.w * m.h) AS BIGINT) AS tpp_x1e4
         |FROM m JOIN tk USING (doc_id)
         |GROUP BY m.w, m.h ORDER BY w, h""".stripMargin,
+
+    // Incremental perceptual dedup: the q396 aHash CTEs split 80/20 into
+    // corpus index vs batch, batch cells inherit the corpus rep or found a
+    // new cluster at the batch min — recomputed entirely from the variant
+    // generator's closed form.
+    "q402_incremental_phash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
+        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
+        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
+        |       FROM m, UNNEST(range(0, 16)) p(i)),
+        |g AS (SELECT doc_id, w, h, p,
+        |        (cid * 3 + sx * 29 + sy * 19) % 200
+        |      + (cid * 11 + sx * 17 + sy * 5) % 200
+        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
+        |      FROM px),
+        |t AS (SELECT doc_id, w, h, p, gray,
+        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
+        |hh AS (SELECT doc_id, w, h,
+        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM t GROUP BY doc_id, w, h),
+        |idx AS (SELECT w, h, ahash, MIN(doc_id) AS corpus_rep FROM hh
+        |        WHERE NOT (doc_id % 61 >= 55 OR doc_id % 5 = 4) GROUP BY w, h, ahash),
+        |b AS (SELECT * FROM hh WHERE doc_id % 61 >= 55 OR doc_id % 5 = 4),
+        |br AS (SELECT w, h, ahash, MIN(doc_id) AS batch_rep FROM b GROUP BY w, h, ahash)
+        |SELECT b.doc_id,
+        |  COALESCE(idx.corpus_rep, br.batch_rep) AS rep_id,
+        |  (idx.corpus_rep IS NULL) AS is_new_cluster
+        |FROM b LEFT JOIN idx USING (w, h, ahash) JOIN br USING (w, h, ahash)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Decontamination diff: both gram screens and the FULL OUTER status
+    // join restated in DuckDB list idioms.
+    "q404_decontamination_diff" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM w, UNNEST(range(1, len(ws) - 1)) t(i) WHERE len(ws) >= 3),
+        |eva AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |evb AS (SELECT DISTINCT g FROM g WHERE doc_id % 89 = 0),
+        |tr AS (SELECT DISTINCT doc_id, g FROM g
+        |       WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+        |ca AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_a
+        |       FROM tr JOIN eva USING (g) GROUP BY doc_id),
+        |cb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_b
+        |       FROM tr JOIN evb USING (g) GROUP BY doc_id)
+        |SELECT COALESCE(ca.doc_id, cb.doc_id) AS doc_id,
+        |  COALESCE(ca.n_shared_a, 0) AS n_shared_a,
+        |  COALESCE(cb.n_shared_b, 0) AS n_shared_b,
+        |  CASE WHEN ca.doc_id IS NULL THEN 'new'
+        |       WHEN cb.doc_id IS NULL THEN 'cleared'
+        |       ELSE 'still' END AS status
+        |FROM ca FULL OUTER JOIN cb ON ca.doc_id = cb.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Detector agreement: DuckDB recomputes BOTH detectors end to end — the
     // 48-bit portable-hash SimHash (q50b's all-pairs hamming <= 3, which the

@@ -609,6 +609,32 @@ object Multimodal {
     clusterByKey(hashed, "n_samples", "fp")
   }
 
+  /** Incremental perceptual dedup (q402) — the q49c shape for media: the
+    * corpus index is the persisted (w, h, ahash) → representative table; a
+    * NEW BATCH is hashed and joined against it. A batch doc whose cell
+    * exists inherits the corpus representative; an unmatched cell founds a
+    * new cluster under the batch's own minimum. The batch split exercises
+    * BOTH branches on the fixture: content keys ≥ 55 exist ONLY in the
+    * batch (genuinely new material → new clusters) while the doc_id % 5
+    * slice resamples known keys (→ inherited representatives). Work is
+    * batch-proportional: the corpus side is the prebuilt index (groupBy
+    * once), the batch side is an O(batch) decode + two equi-joins on the
+    * 16-bit-keyed cells. */
+  def incrementalPerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imagePerceptualHashes(spark, dir)
+    val inBatch = (col("doc_id") % 61 >= 55) || (col("doc_id") % 5 === 4)
+    val corpus = hashes.where(!inBatch)
+    val batch = hashes.where(inBatch)
+    val idx = corpus.groupBy("w", "h", "ahash").agg(min("doc_id").as("corpus_rep"))
+    val batchRep = batch.groupBy("w", "h", "ahash").agg(min("doc_id").as("batch_rep"))
+    batch.join(idx, Seq("w", "h", "ahash"), "left")
+      .join(batchRep, Seq("w", "h", "ahash"))
+      .select(col("doc_id"),
+        coalesce(col("corpus_rep"), col("batch_rep")).as("rep_id"),
+        col("corpus_rep").isNull.as("is_new_cluster"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-modal batch manifest (q401): the first entry that JOINS decoded
     * MEDIA statistics with TEXT statistics per document — the manifest an
     * image-text training pipeline builds to batch samples by resolution

@@ -278,6 +278,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("incremental perceptual dedup exercises both branches with consistent reps") {
+    val rows = Multimodal.incrementalPerceptualDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    def inBatch(id: Long) = id % 61 >= 55 || id % 5 == 4
+    assert(rows.nonEmpty && rows.forall(r => inBatch(r._1)))
+    val (fresh, known) = rows.partition(_._3)
+    // the fixture must exercise BOTH branches or the entry proves nothing
+    assert(fresh.nonEmpty, "no new clusters — the unseen-content branch is vacuous")
+    assert(known.nonEmpty, "no inherited reps — the index-hit branch is vacuous")
+    // inherited reps live in the corpus; new-cluster reps are batch minima
+    known.foreach { case (id, rep, _) => assert(!inBatch(rep), s"doc $id: corpus rep $rep is in the batch") }
+    fresh.foreach { case (id, rep, _) =>
+      assert(inBatch(rep) && rep <= id, s"doc $id: new-cluster rep $rep not a batch minimum")
+    }
+  }
+
   test("resize pools the feature vector to the target width, preserving scale") {
     import graft.TestSpark.spark.implicits._
     val df = Seq((1L, (1 to 16).map(_.toDouble)), (2L, (0 until 16).map(i => i * 0.25)))
