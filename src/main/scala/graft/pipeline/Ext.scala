@@ -72,8 +72,13 @@ object Ext {
     "q398_leakage_free_split" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
-      val comp = Dedup.starComponents(s, d).select(col("doc_id"), col("canonical_id"))
-      val pairs = Dedup.minhashNearDup(s, d).select("a_id", "b_id")
+      // ONE pair derivation feeds both the components and the self-audit
+      // join (running starComponents + minhashNearDup separately would
+      // execute the whole MinHash pipeline — the dominant cost — twice).
+      val pairs = Dedup.minhashNearDup(s, d).select("a_id", "b_id").persist()
+      val comp = Dedup
+        .starContract(pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+        .select(col("doc_id"), col("canonical_id"))
       def bucket(c: Column): Column =
         conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
       def splitOf(c: Column): Column =
@@ -680,6 +685,32 @@ object Ext {
   /** DuckDB CTE computing the 48-bit SimHash per document with the same
     * portable polynomial token hash as Dedup.simhash (list_reduce over a
     * 0-prepended codepoint list = Spark's aggregate with 0 init). */
+  /** DuckDB CTE chain rebuilding every variant BMP's (doc_id, w, h, ahash)
+    * from the generator's closed form — shifted pixels (content keyed on
+    * doc_id % 61 mod 200 plus the per-doc brightness shift), 4×4 floor-NN
+    * resize, and the 16 mean-relative bits (16·gray > total; the shift
+    * cancels exactly). Stated ONCE and shared by the q396/q402 oracles
+    * here and q399's in streaming/Streams.scala, so the hash definition
+    * cannot silently diverge between consumers. */
+  private[graft] val ahashCte: String =
+    """WITH m AS (
+      |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
+      |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
+      |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
+      |       FROM m, UNNEST(range(0, 16)) p(i)),
+      |g AS (SELECT doc_id, w, h, p,
+      |        (cid * 3 + sx * 29 + sy * 19) % 200
+      |      + (cid * 11 + sx * 17 + sy * 5) % 200
+      |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
+      |      FROM px),
+      |t AS (SELECT doc_id, w, h, p, gray,
+      |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
+      |hh AS (SELECT doc_id, w, h,
+      |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+      |       FROM t GROUP BY doc_id, w, h)""".stripMargin
+
   private val simhashCte =
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, tok FROM (
@@ -1884,28 +1915,12 @@ object Ext {
     // decodes and hashes the REAL bytes, so equality proves decode + resize
     // + hash + the invariance claim end to end.
     "q396_image_phash_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
-        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
-        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
-        |       FROM m, UNNEST(range(0, 16)) p(i)),
-        |g AS (SELECT doc_id, w, h, p,
-        |        (cid * 3 + sx * 29 + sy * 19) % 200
-        |      + (cid * 11 + sx * 17 + sy * 5) % 200
-        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
-        |      FROM px),
-        |t AS (SELECT doc_id, w, h, p, gray,
-        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
-        |hh AS (SELECT doc_id, w, h,
-        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
-        |       FROM t GROUP BY doc_id, w, h),
-        |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id, COUNT(*) AS n
-        |      FROM hh GROUP BY w, h, ahash)
-        |SELECT hh.doc_id, c.rep_id, CAST(c.n AS BIGINT) AS cluster_size,
-        |  hh.doc_id = c.rep_id AS is_canonical
-        |FROM hh JOIN c USING (w, h, ahash) ORDER BY hh.doc_id""".stripMargin,
+      s"""$ahashCte,
+         |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id, COUNT(*) AS n
+         |      FROM hh GROUP BY w, h, ahash)
+         |SELECT hh.doc_id, c.rep_id, CAST(c.n AS BIGINT) AS cluster_size,
+         |  hh.doc_id = c.rep_id AS is_canonical
+         |FROM hh JOIN c USING (w, h, ahash) ORDER BY hh.doc_id""".stripMargin,
 
     // DC-invariant audio fingerprint dedup: DuckDB rebuilds every variant
     // WAV's offset samples from the closed form (content keyed on cid =
@@ -1957,32 +1972,16 @@ object Ext {
     // new cluster at the batch min — recomputed entirely from the variant
     // generator's closed form.
     "q402_incremental_phash_dedup" ->
-      """WITH m AS (
-        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
-        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
-        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
-        |       FROM m, UNNEST(range(0, 16)) p(i)),
-        |g AS (SELECT doc_id, w, h, p,
-        |        (cid * 3 + sx * 29 + sy * 19) % 200
-        |      + (cid * 11 + sx * 17 + sy * 5) % 200
-        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
-        |      FROM px),
-        |t AS (SELECT doc_id, w, h, p, gray,
-        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
-        |hh AS (SELECT doc_id, w, h,
-        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
-        |       FROM t GROUP BY doc_id, w, h),
-        |idx AS (SELECT w, h, ahash, MIN(doc_id) AS corpus_rep FROM hh
-        |        WHERE NOT (doc_id % 61 >= 55 OR doc_id % 5 = 4) GROUP BY w, h, ahash),
-        |b AS (SELECT * FROM hh WHERE doc_id % 61 >= 55 OR doc_id % 5 = 4),
-        |br AS (SELECT w, h, ahash, MIN(doc_id) AS batch_rep FROM b GROUP BY w, h, ahash)
-        |SELECT b.doc_id,
-        |  COALESCE(idx.corpus_rep, br.batch_rep) AS rep_id,
-        |  (idx.corpus_rep IS NULL) AS is_new_cluster
-        |FROM b LEFT JOIN idx USING (w, h, ahash) JOIN br USING (w, h, ahash)
-        |ORDER BY b.doc_id""".stripMargin,
+      s"""$ahashCte,
+         |idx AS (SELECT w, h, ahash, MIN(doc_id) AS corpus_rep FROM hh
+         |        WHERE NOT (doc_id % 61 >= 55 OR doc_id % 5 = 4) GROUP BY w, h, ahash),
+         |b AS (SELECT * FROM hh WHERE doc_id % 61 >= 55 OR doc_id % 5 = 4),
+         |br AS (SELECT w, h, ahash, MIN(doc_id) AS batch_rep FROM b GROUP BY w, h, ahash)
+         |SELECT b.doc_id,
+         |  COALESCE(idx.corpus_rep, br.batch_rep) AS rep_id,
+         |  (idx.corpus_rep IS NULL) AS is_new_cluster
+         |FROM b LEFT JOIN idx USING (w, h, ahash) JOIN br USING (w, h, ahash)
+         |ORDER BY b.doc_id""".stripMargin,
 
     // Decontamination diff: both gram screens and the FULL OUTER status
     // join restated in DuckDB list idioms.

@@ -544,14 +544,18 @@ object Multimodal {
     * (width, height, hash); shared by the batch dedup and the streaming
     * ingest screen so the hash definition is stated once. */
   def ahashOf(bytes: Array[Byte]): (Int, Int, Long) = {
-    val s = decodeBmp(bytes) // real header parse for dimensions
-    val t = resizeBmpNearest(bytes, 4, 4)
+    val t = resizeBmpNearest(bytes, 4, 4) // validates the container + dims
+    // dims from the (just-validated) header directly — decodeBmp would
+    // re-scan every pixel for channel means this path discards
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val w = b.getInt(18)
+    val h = b.getInt(22)
     val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
     val total = gray.sum
     var hash = 0L
     var p = 0
     while (p < 16) { if (16L * gray(p) > total) hash |= 1L << p; p += 1 }
-    (s.width, s.height, hash)
+    (w, h, hash)
   }
 
   /** Per-variant-BMP (doc_id, w, h, ahash) rows — the hashing pass shared
@@ -621,7 +625,10 @@ object Multimodal {
     * once), the batch side is an O(batch) decode + two equi-joins on the
     * 16-bit-keyed cells. */
   def incrementalPerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = imagePerceptualHashes(spark, dir)
+    // the plan is referenced three times (index build, batch join input,
+    // batch minima); persist so the decode+hash pass runs once, keeping
+    // the batch-proportional claim true (the nearDupComponents precedent)
+    val hashes = imagePerceptualHashes(spark, dir).persist()
     val inBatch = (col("doc_id") % 61 >= 55) || (col("doc_id") % 5 === 4)
     val corpus = hashes.where(!inBatch)
     val batch = hashes.where(inBatch)

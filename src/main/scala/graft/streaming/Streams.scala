@@ -942,37 +942,22 @@ object Streams {
         |  CAST(SUM(n) AS BIGINT) AS sum_samples
         |FROM p GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
 
-    // q396's closed-form aHash CTEs (variant pixels incl. the brightness
-    // shift, 4x4 floor-NN resize, 16 mean-relative bits), then the
+    // The SHARED closed-form aHash CTE chain (graft.pipeline.Ext.ahashCte —
+    // variant pixels incl. the brightness shift, 4x4 floor-NN resize, 16
+    // mean-relative bits, stated once for q396/q399/q402), then the
     // canonical index and the per-width arrival/dup/canonical counts; the
     // streaming side decodes and hashes the REAL bytes in-stream, so
     // equality proves the codec + hash + stream-static join under
     // streaming execution.
     "q399_stream_phash_screen" ->
-      """WITH m AS (
-        |  SELECT doc_id, doc_id % 61 AS cid, (doc_id * 37) % 56 AS d,
-        |         4 + (doc_id % 61) % 5 AS w, 3 + (doc_id % 61) % 3 AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |px AS (SELECT doc_id, cid, d, w, h, p.i AS p,
-        |         ((p.i % 4) * w) // 4 AS sx, ((p.i // 4) * h) // 4 AS sy
-        |       FROM m, UNNEST(range(0, 16)) p(i)),
-        |g AS (SELECT doc_id, w, h, p,
-        |        (cid * 3 + sx * 29 + sy * 19) % 200
-        |      + (cid * 11 + sx * 17 + sy * 5) % 200
-        |      + (cid * 7 + sx * 13 + sy * 31) % 200 + 3 * d AS gray
-        |      FROM px),
-        |t AS (SELECT doc_id, w, h, p, gray,
-        |        SUM(gray) OVER (PARTITION BY doc_id) AS total FROM g),
-        |hh AS (SELECT doc_id, w, h,
-        |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
-        |       FROM t GROUP BY doc_id, w, h),
-        |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id FROM hh GROUP BY w, h, ahash)
-        |SELECT CAST(hh.w AS INT) AS w,
-        |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
-        |  CAST(SUM(CASE WHEN c.rep_id <> hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-        |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals
-        |FROM hh JOIN c USING (w, h, ahash)
-        |GROUP BY hh.w ORDER BY w""".stripMargin,
+      s"""${graft.pipeline.Ext.ahashCte},
+         |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id FROM hh GROUP BY w, h, ahash)
+         |SELECT CAST(hh.w AS INT) AS w,
+         |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+         |  CAST(SUM(CASE WHEN c.rep_id <> hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals
+         |FROM hh JOIN c USING (w, h, ahash)
+         |GROUP BY hh.w ORDER BY w""".stripMargin,
 
     // q290's exact decontamination oracle plus the source column — the
     // streaming side executes the identical gram join inside the drain, so

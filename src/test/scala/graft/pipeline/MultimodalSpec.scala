@@ -222,16 +222,10 @@ class MultimodalSpec extends SparkSpec {
     // shifts (0·37 % 56 = 0 vs 122·37 % 56 = 34); doc 2 is a different
     // content key. The hash must equate the first pair and (for these
     // fixtures) separate the third.
-    def ahash(id: Long): (Int, Int, Long) = {
-      val bytes = Multimodal.encodeBmpVariant(id)
-      val s = Multimodal.decodeBmp(bytes)
-      val t = Multimodal.resizeBmpNearest(bytes, 4, 4)
-      val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
-      val total = gray.sum
-      var h = 0L
-      for (p <- 0 until 16) if (16L * gray(p) > total) h |= 1L << p
-      (s.width, s.height, h)
-    }
+    // call the PRODUCTION hash (an inline restatement would drift silently
+    // if the bit rule changed — the DuckDB oracle is the independent check)
+    def ahash(id: Long): (Int, Int, Long) =
+      Multimodal.ahashOf(Multimodal.encodeBmpVariant(id))
     assert(ahash(0L) == ahash(122L)) // same content key, shift 0 vs 34
     assert(ahash(4L) == ahash(126L)) // cid 4, shift 36 vs 18
     assert(ahash(0L) != ahash(2L))   // different content keys
