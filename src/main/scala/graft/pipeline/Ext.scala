@@ -101,11 +101,18 @@ object Ext {
         .agg(
           sum(when(col("sp_a") =!= col("sp_b"), 1L).otherwise(0L)).cast("long").as("n_cross_pairs"),
           sum(when(col("spn_a") =!= col("spn_b"), 1L).otherwise(0L)).cast("long").as("n_cross_pairs_naive"))
-      docStats.join(pairStats, Seq("sp"), "left")
+      val out = docStats.join(pairStats, Seq("sp"), "left")
         .select(col("sp"), col("n_docs"), col("n_clusters"), col("n_moved"),
           coalesce(col("n_cross_pairs"), lit(0L)).as("n_cross_pairs"),
           coalesce(col("n_cross_pairs_naive"), lit(0L)).as("n_cross_pairs_naive"))
         .orderBy("sp")
+        // eager localCheckpoint materializes the 3-row result through the
+        // cached pair blocks, so the cache can be RELEASED before returning
+        // (the nearDupComponents discipline — a bare persist would pin the
+        // MinHash pair blocks in executor memory for the rest of the session)
+        .localCheckpoint()
+      pairs.unpersist()
+      out
     }),
     // [EXT] cluster-size law: the distribution of near-dup cluster sizes
     // over the verified components — the telemetry that distinguishes a
@@ -682,9 +689,6 @@ object Ext {
       |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
       |)""".stripMargin
 
-  /** DuckDB CTE computing the 48-bit SimHash per document with the same
-    * portable polynomial token hash as Dedup.simhash (list_reduce over a
-    * 0-prepended codepoint list = Spark's aggregate with 0 init). */
   /** DuckDB CTE chain rebuilding every variant BMP's (doc_id, w, h, ahash)
     * from the generator's closed form — shifted pixels (content keyed on
     * doc_id % 61 mod 200 plus the per-doc brightness shift), 4×4 floor-NN
@@ -711,6 +715,9 @@ object Ext {
       |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
       |       FROM t GROUP BY doc_id, w, h)""".stripMargin
 
+  /** DuckDB CTE computing the 48-bit SimHash per document with the same
+    * portable polynomial token hash as Dedup.simhash (list_reduce over a
+    * 0-prepended codepoint list = Spark's aggregate with 0 init). */
   private val simhashCte =
     s"""WITH toks AS (
        |  SELECT DISTINCT doc_id, tok FROM (

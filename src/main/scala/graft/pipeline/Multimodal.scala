@@ -573,13 +573,6 @@ object Multimodal {
       .toDF("doc_id", "w", "h", "ahash")
   }
 
-  /** The persisted canonical index a streaming ingest screen joins against:
-    * one row per occupied (w, h, ahash) cell with the cluster's
-    * representative (min doc_id). O(n) groupBy; index size ≤ corpus size. */
-  def imagePerceptualIndex(spark: SparkSession, dir: String): DataFrame =
-    imagePerceptualHashes(spark, dir)
-      .groupBy("w", "h", "ahash").agg(min("doc_id").as("rep_id"))
-
   /** DC-invariant audio fingerprint dedup (q397): decode every variant WAV's
     * REAL PCM16 samples, sum non-overlapping 8-sample frames, and fingerprint
     * the SIGN PATTERN of consecutive frame-sum differences (bit k set iff
@@ -634,12 +627,18 @@ object Multimodal {
     val batch = hashes.where(inBatch)
     val idx = corpus.groupBy("w", "h", "ahash").agg(min("doc_id").as("corpus_rep"))
     val batchRep = batch.groupBy("w", "h", "ahash").agg(min("doc_id").as("batch_rep"))
-    batch.join(idx, Seq("w", "h", "ahash"), "left")
+    val out = batch.join(idx, Seq("w", "h", "ahash"), "left")
       .join(batchRep, Seq("w", "h", "ahash"))
       .select(col("doc_id"),
         coalesce(col("corpus_rep"), col("batch_rep")).as("rep_id"),
         col("corpus_rep").isNull.as("is_new_cluster"))
       .orderBy("doc_id")
+      // eager localCheckpoint runs the single decode+hash pass through the
+      // cache and materializes the batch-sized result, so the cache can be
+      // RELEASED before returning (the nearDupComponents discipline)
+      .localCheckpoint()
+    hashes.unpersist()
+    out
   }
 
   /** Cross-modal batch manifest (q401): the first entry that JOINS decoded

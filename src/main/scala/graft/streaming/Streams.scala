@@ -315,15 +315,23 @@ object Streams {
     // image analogue of q371's text screen): each arriving even-id doc's
     // variant BMP payload is decoded and aHashed INSIDE the micro-batch
     // (typed map — the codec point under streaming execution), then
-    // stream-static joined against the batch-built canonical index on
+    // stream-static LEFT-joined against the batch-built canonical index on
     // (w, h, ahash); an arrival whose cluster representative is not itself
-    // is flagged as a perceptual duplicate at the door. Complete-mode
-    // per-width totals; every column is an order-invariant integer count,
-    // so the drain equals the batch rebuild at any partitioning, and the
-    // oracle re-derives hash, index, and counts from the variant
-    // generator's closed form. 20th real streaming entry.
+    // is flagged as a perceptual duplicate at the door. The index is
+    // deliberately PARTIAL — content keys < 55 only, q402's batch split —
+    // so the screen exercises the genuinely-new branch too: an arrival
+    // whose cell is absent from the index is COUNTED as new content
+    // (n_new), never silently dropped (ADVICE r11 — an inner join made new
+    // material invisible, contradicting the screen-at-the-door framing).
+    // Complete-mode per-width totals; every column is an order-invariant
+    // integer count, so the drain equals the batch rebuild at any
+    // partitioning, and the oracle re-derives hash, index, and all four
+    // counts from the variant generator's closed form. 20th real
+    // streaming entry.
     "q399_stream_phash_screen" -> ((s: SparkSession, d: String) => {
-      val idx = graft.pipeline.Multimodal.imagePerceptualIndex(s, d)
+      val idx = graft.pipeline.Multimodal.imagePerceptualHashes(s, d)
+        .where(col("doc_id") % 61 < 55)
+        .groupBy("w", "h", "ahash").agg(min("doc_id").as("rep_id"))
       drainDocs(s, d, "complete") { docs =>
         import s.implicits._
         docs.select(col("doc_id")).as[Long]
@@ -334,13 +342,15 @@ object Streams {
             (id, w, h, hash)
           }
           .toDF("doc_id", "w", "h", "ahash")
-          .join(idx, Seq("w", "h", "ahash"))
+          .join(idx, Seq("w", "h", "ahash"), "left")
           .groupBy("w")
           .agg(count(lit(1)).cast("long").as("n_arrivals"),
-            sum(when(col("rep_id") =!= col("doc_id"), 1L).otherwise(0L))
-              .cast("long").as("n_dups"),
+            sum(when(col("rep_id").isNotNull && col("rep_id") =!= col("doc_id"), 1L)
+              .otherwise(0L)).cast("long").as("n_dups"),
             sum(when(col("rep_id") === col("doc_id"), 1L).otherwise(0L))
-              .cast("long").as("n_canonicals"))
+              .cast("long").as("n_canonicals"),
+            sum(when(col("rep_id").isNull, 1L).otherwise(0L))
+              .cast("long").as("n_new"))
       }.orderBy("w")
     }),
 
@@ -944,19 +954,22 @@ object Streams {
 
     // The SHARED closed-form aHash CTE chain (graft.pipeline.Ext.ahashCte —
     // variant pixels incl. the brightness shift, 4x4 floor-NN resize, 16
-    // mean-relative bits, stated once for q396/q399/q402), then the
-    // canonical index and the per-width arrival/dup/canonical counts; the
-    // streaming side decodes and hashes the REAL bytes in-stream, so
-    // equality proves the codec + hash + stream-static join under
-    // streaming execution.
+    // mean-relative bits, stated once for q396/q399/q402), then the PARTIAL
+    // canonical index (content keys < 55 — q402's batch split) and the
+    // per-width arrival/dup/canonical/new counts; the streaming side
+    // decodes and hashes the REAL bytes in-stream, so equality proves the
+    // codec + hash + stream-static LEFT join (including the new-content
+    // branch) under streaming execution.
     "q399_stream_phash_screen" ->
       s"""${graft.pipeline.Ext.ahashCte},
-         |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id FROM hh GROUP BY w, h, ahash)
+         |c AS (SELECT w, h, ahash, MIN(doc_id) AS rep_id FROM hh
+         |      WHERE doc_id % 61 < 55 GROUP BY w, h, ahash)
          |SELECT CAST(hh.w AS INT) AS w,
          |  CAST(COUNT(*) AS BIGINT) AS n_arrivals,
-         |  CAST(SUM(CASE WHEN c.rep_id <> hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-         |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals
-         |FROM hh JOIN c USING (w, h, ahash)
+         |  CAST(SUM(CASE WHEN c.rep_id IS NOT NULL AND c.rep_id <> hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST(SUM(CASE WHEN c.rep_id = hh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonicals,
+         |  CAST(SUM(CASE WHEN c.rep_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM hh LEFT JOIN c USING (w, h, ahash)
          |GROUP BY hh.w ORDER BY w""".stripMargin,
 
     // q290's exact decontamination oracle plus the source column — the
