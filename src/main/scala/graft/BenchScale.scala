@@ -43,7 +43,25 @@ object BenchScale {
     * [[bound32x]], the same per-decade slope extended: 3.2x the 10x bound.
     * The first r11 deep run proved the point twice — q72b's ~8/bucket
     * candidate constant measured 91x and q301b's MIN(md5-string) sort-
-    * fallback measured 54x at 32x, both invisible at 10x, both fixed. */
+    * fallback measured 54x at 32x, both invisible at 10x, both fixed.
+    *
+    * fixture selects the scaled-dir FAMILY (round 12 — VERDICT r11 #1
+    * widened the catalog to the wall-clock-heavy tail, which needs two new
+    * fixture variants):
+    *  - "tpch"/"docs"/"emb"/"events": the standard disjoint-universe dirs;
+    *  - "retrieval": documents scaled WITHOUT the per-copy token salt
+    *    (plus standard embeddings) — BM25/RRF query terms are literals
+    *    ('hash','join','scan'), and the realistic retrieval scaling is the
+    *    SAME query over a k-fold corpus: postings and df grow k-fold, the
+    *    top-k stays k-invariant; the token salt would zero the postings and
+    *    time an empty ranking stage. No pair-explosion risk — BM25 has no
+    *    self-join, so disjointness isn't needed;
+    *  - "stream-events": events scaled WITHOUT the per-copy event_type salt
+    *    (id/user shifts only) — q259/q264 filter event_type = 'view'/'click'
+    *    literally and join strictly on the copy-disjoint user_id, so
+    *    matches and join-buffer state grow exactly k-fold. (The standard
+    *    events salt exists for q389b's LEAD PARTITION BY event_type, which
+    *    these entries don't use.) */
   final case class Entry(name: String, fixture: String, bound10x: Double, note: String,
       deep: Boolean = false) {
     def bound32x: Double = bound10x * 3.2
@@ -93,7 +111,41 @@ object BenchScale {
     Entry("q395_coreset_fps", "emb", 13.0, "FPS coreset: 8 rounds x (1-row broadcast + argmax); O(k*n) distances"),
     Entry("q396_image_phash_dedup", "docs", 13.0,
       "variant-media BMP decode + 16-bit aHash; pair-free window clustering on (w,h,ahash) — " +
-        "cluster SIZES grow with the corpus, output rows and shuffle stay O(n) (q397 shares the shape)"))
+        "cluster SIZES grow with the corpus, output rows and shuffle stay O(n) (q397 shares the shape)"),
+    // round-12 widening (VERDICT r11 #1): the wall-clock-heavy uncovered
+    // tail — stream-stream join state, retrieval ranking, media decode.
+    Entry("q259_stream_stream_join_drain", "stream-events", 13.0,
+      "stream-stream interval join across a checkpoint restart: watermark-evicted join buffers " +
+        "are the state-growth axis the 32x point exists to catch; matches k-fold (user_id copy-disjoint)",
+      deep = true),
+    Entry("q264_stream_stream_outer_drain", "stream-events", 13.0,
+      "stream-stream LEFT OUTER drain: adds null-emission on watermark eviction to q259's state shape",
+      deep = true),
+    Entry("q266_bm25_topk", "retrieval", 13.0,
+      "BM25 top-k: one tf groupBy over k-fold postings, broadcastable df/stats, distributed top-k"),
+    Entry("q342_chunk_bm25", "retrieval", 13.0,
+      "chunk-level BM25: 32/24-stride re-chunk explode (the dominant k-fold pass) + chunk-granular stats"),
+    Entry("q267_rrf_fusion", "retrieval", 13.0,
+      "RRF hybrid fusion: BM25 top-50 + int8 brute-force cosine top-50 (one k-fold corpus scan) + rank join"),
+    Entry("q377_maxsim_late_interaction", "emb", 13.0,
+      "MaxSim late interaction: 20 query token-slices x 4(kn) doc slices — one k-fold broadcastable pass"),
+    Entry("q265_bigram_lm_score", "docs", 13.0,
+      "char-bigram LM scoring: bounded-vocabulary model side (broadcast at any scale) + per-doc aggregate"),
+    Entry("q397_audio_fingerprint_dedup", "docs", 13.0,
+      "variant-media WAV decode + DC-invariant frame-sign fingerprint; q396's pair-free clustering shape",
+      deep = true),
+    Entry("q401_multimodal_manifest", "docs", 13.0,
+      "decoded-media dims x text token counts: O(n) decode + one equi-join + 15-group aggregate"),
+    Entry("q386_stream_media_decode", "docs", 13.0,
+      "in-stream WAV decode: codec pass executed by the micro-batch engine, per-doc integer summaries"),
+    Entry("q399_stream_phash_screen", "docs", 13.0,
+      "streaming perceptual ingest screen: in-stream BMP decode + stream-static LEFT join on the partial index"),
+    Entry("q400_stream_decontamination", "docs", 13.0,
+      "streaming decontamination: k-fold arrival grams vs the copy-salted eval gram set, matches within-copy"),
+    Entry("q403_semantic_decontamination", "emb", 13.0,
+      "semantic decontamination: adaptive LSH codes both sides, hamming-1 probes on the small eval side, " +
+        "(table, probe-code) equi-join candidates + exact verify — train-linear, never eval x train",
+      deep = true))
 
   private val scales = Seq(1, 4, 10)
   private val deepScaleK = 32
@@ -101,7 +153,7 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r11.json"
+    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r12.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,11 +177,26 @@ object BenchScale {
     // files — caught as FAILED_READ_FILE in the sf0.01 smoke run).
     val dirs: Map[Int, String] =
       scales.map(k => k -> synthesize(spark, sfDir, k, work.resolve(s"x$k").toString)).toMap
-    // The 32x fixture scales only the tables the deep cohort reads
-    // (documents + embeddings); facts/events stay symlinked at 1x.
-    val deepTables = Seq("documents", "embeddings")
+    // Round-12 fixture families (see Entry.fixture): retrieval = plain-text
+    // documents + standard embeddings; stream-events = unsalted event types.
+    val dirsRetrieval: Map[Int, String] =
+      scales.map(k => k -> synthesize(spark, sfDir, k, work.resolve(s"r$k").toString,
+        Seq("documents", "embeddings"), variant = "plain")).toMap
+    val dirsStream: Map[Int, String] =
+      scales.map(k => k -> synthesize(spark, sfDir, k, work.resolve(s"s$k").toString,
+        Seq("events"), variant = "stream")).toMap
+    // The 32x fixtures scale only the tables each deep cohort reads
+    // (documents + embeddings / events); the rest stays symlinked at 1x.
     val dir32 = synthesize(spark, sfDir, deepScaleK,
-      work.resolve(s"x$deepScaleK").toString, deepTables)
+      work.resolve(s"x$deepScaleK").toString, Seq("documents", "embeddings"))
+    val dir32Stream = synthesize(spark, sfDir, deepScaleK,
+      work.resolve(s"s$deepScaleK").toString, Seq("events"), variant = "stream")
+
+    def dirFor(e: Entry, k: Int): String = e.fixture match {
+      case "retrieval" => dirsRetrieval(k) // no 32x retrieval cohort
+      case "stream-events" => if (k == deepScaleK) dir32Stream else dirsStream(k)
+      case _ => if (k == deepScaleK) dir32 else dirs(k)
+    }
 
     // Untimed warmup on the 1x fixture: every entry's FIRST-ever execution
     // carries JIT/codegen compilation, which otherwise lands entirely in the
@@ -137,17 +204,16 @@ object BenchScale {
     // negative fitted exponents on the cheap entries).
     System.err.println(s"[scale] warmup pass on the 1x fixture")
     entries.foreach { e =>
-      try SparkEntry.queries(e.name)(spark, dirs(1)).queryExecution.toRdd.foreach(_ => ())
+      try SparkEntry.queries(e.name)(spark, dirFor(e, 1)).queryExecution.toRdd.foreach(_ => ())
       catch { case t: Throwable => System.err.println(s"[scale] warmup ${e.name} FAILED: $t") }
     }
     for (k <- scales) {
-      val dir = dirs(k)
-      System.err.println(s"[scale] ${k}x fixture at $dir")
+      System.err.println(s"[scale] ${k}x fixtures")
       // two passes over all entries (min absorbs one contention window;
       // pass 1 additionally counts rows to prove the work actually scaled)
       val pass1 = entries.map { e =>
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(e.name)(spark, dir).queryExecution.toRdd.count()
+        val rows = SparkEntry.queries(e.name)(spark, dirFor(e, k)).queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] ${k}x p1 ${e.name}%-36s $sec%8.3f s  rows=$rows")
         e.name -> (sec, rows)
@@ -155,7 +221,7 @@ object BenchScale {
       System.gc()
       val pass2 = entries.map { e =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(e.name)(spark, dir).queryExecution.toRdd.foreach(_ => ())
+        SparkEntry.queries(e.name)(spark, dirFor(e, k)).queryExecution.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] ${k}x p2 ${e.name}%-36s $sec%8.3f s")
         e.name -> sec
@@ -168,12 +234,13 @@ object BenchScale {
 
     // 32x deep pass, near-linear cohort only (VERDICT r10 #5)
     val deepEntries = entries.filter(_.deep)
-    System.err.println(s"[scale] ${deepScaleK}x deep fixture at $dir32 (${deepEntries.size} entries)")
+    System.err.println(s"[scale] ${deepScaleK}x deep pass (${deepEntries.size} entries)")
     for (pass <- 1 to 2) {
       System.gc()
       for (e <- deepEntries) {
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(e.name)(spark, dir32).queryExecution.toRdd.count()
+        val rows = SparkEntry.queries(e.name)(spark, dirFor(e, deepScaleK))
+          .queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] ${deepScaleK}x p$pass ${e.name}%-36s $sec%8.3f s  rows=$rows")
         val prior = timings(e.name).get(deepScaleK).map(_._1).getOrElse(Seq.empty)
@@ -238,7 +305,7 @@ object BenchScale {
     * held 4x*10 = 40x rows with colliding ids, inflating every ratio and
     * even the row counts). */
   private def synthesize(spark: SparkSession, sfDir: String, k: Int, outDir: String,
-      tables: Seq[String] = scaled): String = {
+      tables: Seq[String] = scaled, variant: String = "disjoint"): String = {
     def copies(name: String): DataFrame =
       spark.range(0, k).crossJoin(Tables.read(spark, sfDir, name))
 
@@ -259,13 +326,17 @@ object BenchScale {
     }
 
     if (tables.contains("documents")) {
-      val docs = copies("documents")
-        .withColumn("text", expr(
+      // "plain" (retrieval cohort): text unsalted — postings/df for literal
+      // query terms grow k-fold, the realistic same-query-bigger-corpus
+      // scaling; ids still shift so doc keys stay unique.
+      val salted =
+        if (variant == "plain") copies("documents")
+        else copies("documents").withColumn("text", expr(
           "concat_ws(' ', transform(split(lower(text), ' '), w -> concat('c', CAST(id AS STRING), '_', w)))"))
-        .select(
-          (col("doc_id") + col("id") * 1000000L).as("doc_id"),
-          col("text"), col("lang"), col("source"),
-          length(col("text")).cast("long").as("n_chars"))
+      val docs = salted.select(
+        (col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
       writeSingleFile(docs, "documents")
     }
 
@@ -280,12 +351,20 @@ object BenchScale {
     }
 
     if (tables.contains("events")) {
+      // "stream" (stream-stream join cohort): event_type unsalted — q259/
+      // q264 filter 'view'/'click' literally and join on the copy-disjoint
+      // user_id, so matches and join state grow exactly k-fold without the
+      // salt; the salt exists for q389b's LEAD PARTITION BY event_type,
+      // which never reads this family.
+      val tpe =
+        if (variant == "stream") col("event_type")
+        else concat(lit("c"), col("id"), lit("_"), col("event_type"))
       val ev = copies("events")
         .select(
           (col("event_id") + col("id") * 100000000L).as("event_id"),
           col("ts"),
           (col("user_id") + col("id") * 10000000L).as("user_id"),
-          concat(lit("c"), col("id"), lit("_"), col("event_type")).as("event_type"),
+          tpe.as("event_type"),
           col("value"), col("props"))
       writeSingleFile(ev, "events")
     }

@@ -151,6 +151,8 @@ object Ext {
     "q51d_lsh_planted_recall" -> ((s: SparkSession, d: String) => Similarity.lshPlantedRecall(s, d)),
     "q72b_embedding_neardup_scaled" ->
       ((s: SparkSession, d: String) => Similarity.prefilteredNearDup(s, d)),
+    "q403_semantic_decontamination" ->
+      ((s: SparkSession, d: String) => Similarity.semanticDecontamination(s, d)),
     // PLAN-REGISTRY float-agg q51e_kmeans_cells: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q51e_kmeans_cells" ->
       ((s: SparkSession, d: String) => Similarity.kmeansCells(s, d)),
@@ -1732,6 +1734,27 @@ object Ext {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.85
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Semantic decontamination vs the FULL exact eval x train join over the
+    // same train ∪ planted-twin universe (q72b's rational twin arithmetic,
+    // cross-set: eval = vec_id % 20 = 0, twins shifted +7e6 into train).
+    // Spark must reproduce the exact join from eval-side hamming-1 probes +
+    // LSH candidates + exact verify — recall AND scores cross-engine.
+    "q403_semantic_decontamination" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |           FROM embeddings),
+        |ev AS (SELECT vec_id, emb FROM e WHERE vec_id % 20 = 0),
+        |tw AS (SELECT vec_id + 7000000 AS tid,
+        |        list_transform(range(0, len(emb)), j ->
+        |          CAST(CAST(emb[j + 1] + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0
+        |               AS FLOAT) AS DOUBLE)) AS emb
+        |      FROM ev),
+        |tr AS (SELECT vec_id, emb FROM e WHERE vec_id % 20 <> 0
+        |       UNION ALL SELECT tid AS vec_id, emb FROM tw)
+        |SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+        |  ROUND(list_cosine_similarity(ev.emb, tr.emb), 4) AS cos_sim
+        |FROM ev JOIN tr ON ROUND(list_cosine_similarity(ev.emb, tr.emb), 4) >= 0.85
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     // Real-decoder check: Spark parses the ACTUAL container bytes (header
     // layout, row padding, little-endian PCM); the oracle recomputes every

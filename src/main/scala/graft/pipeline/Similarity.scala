@@ -419,6 +419,57 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** Semantic (embedding-space) decontamination (q403) — the VECTOR sibling
+    * of q290's exact-gram and q301's MinHash-gram screens: flag TRAIN
+    * vectors whose embedding clears the near-dup threshold against ANY
+    * EVAL vector — the benchmark-proximity filter a pipeline runs before a
+    * release when the leak is semantic (paraphrase, translation) and no
+    * surface gram survives. Eval set = vec_id % 20 == 0; contamination is
+    * PLANTED with q72b's exact-rational perturbation (train twin id =
+    * eval id + 7,000,000, cosine ~0.94) so both engines rebuild the twins
+    * bit-identically; natural cross pairs all sit in [0.4, 0.6).
+    *
+    * Scale shape: both sides are coded with the adaptive multi-table
+    * sign-LSH (dupBitsFor over the train+eval count); only the SMALL eval
+    * side expands to its hamming-1 probe set; candidates are one equi-join
+    * on (table, probe-code) — train-side-linear, never eval x train —
+    * and exact cosine verifies candidates only. At 100 TB the coded eval
+    * index is a broadcast table and the train side streams through it
+    * map-side. Oracle: DuckDB computes the FULL exact eval x train join at
+    * the threshold, so equality proves candidate recall and the scoring
+    * stage end to end. */
+  def semanticDecontamination(spark: SparkSession, dir: String,
+      threshold: Double = 0.85): DataFrame = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val evalSide = emb.where(col("vec_id") % 20 === 0)
+    val twins = evalSide
+      .select((col("vec_id") + lit(7000000L)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(x + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0 AS FLOAT))").as("embedding"))
+    val train = emb.where(col("vec_id") % 20 =!= 0).unionByName(twins)
+    val bits = dupBitsFor(train.count() + evalSide.count())
+    val codedTrain = train.select(col("vec_id").as("train_id"),
+      posexplode(dupCodes("embedding", bits)).as(Seq("t", "code")))
+    val evalProbes = evalSide
+      .select(col("vec_id").as("eval_id"),
+        posexplode(dupCodes("embedding", bits)).as(Seq("t", "code")))
+      .select(col("eval_id"), col("t"),
+        explode(expr(s"array_union(array(code), " +
+          s"transform(sequence(0, ${bits - 1}), b -> code ^ shiftleft(1, b)))")).as("pcode"))
+    val cand = evalProbes.as("e")
+      .join(codedTrain.as("tr"),
+        col("e.t") === col("tr.t") && col("e.pcode") === col("tr.code"))
+      .select(col("e.eval_id"), col("tr.train_id"))
+      .dropDuplicates("eval_id", "train_id")
+    cand
+      .join(evalSide.select(col("vec_id").as("eval_id"), col("embedding").as("e_emb")), "eval_id")
+      .join(train.select(col("vec_id").as("train_id"), col("embedding").as("t_emb")), "train_id")
+      .select(col("eval_id"), col("train_id"), cosine("e_emb", "t_emb").as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("eval_id", "train_id")
+  }
+
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     // Multi-table LSH: each vector posts one (table, code) key per hash
