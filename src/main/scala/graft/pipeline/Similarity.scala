@@ -362,6 +362,12 @@ object Similarity {
   private def dupCodes(embName: String, bits: Int = DupBits): Column =
     expr(s"lsh_codes($embName, 7, $DupTables, $bits, $Dim)")
 
+  /** The dupCodes expression as SQL text — for the STREAMING screen (q405),
+    * whose arrival-coding projection lives in graft.streaming but must use
+    * the identical seed/table/dim geometry as the batch index. */
+  private[graft] def dupCodesSql(embName: String, bits: Int): String =
+    s"lsh_codes($embName, 7, $DupTables, $bits, $Dim)"
+
   /** The q72b candidate generator, factored so the boundary-recall fixture
     * (SimilaritySpec) can drive it over a PLANTED threshold-boundary corpus
     * at chosen code lengths. Candidate generation runs on (id, table, code)
@@ -468,6 +474,31 @@ object Similarity {
       .select(col("eval_id"), col("train_id"), cosine("e_emb", "t_emb").as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("eval_id", "train_id")
+  }
+
+  /** Static side of the STREAMING semantic-decontamination screen (q405):
+    * the coded eval probe index — each eval vector's hamming-1-expanded
+    * (table, probe-code) keys carrying the eval embedding for the verify
+    * stage — plus the adaptive bit width, so the stream side codes
+    * arrivals with the SAME geometry. The bit width uses q403's exact
+    * universe count (train incl. twins + eval) so the batch and streaming
+    * screens share one code space. At 100 TB this index is the small
+    * broadcast side of the stream-static join. */
+  private[graft] def semanticEvalProbeIndex(spark: SparkSession, dir: String): (Int, DataFrame) = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val evalSide = emb.where(col("vec_id") % 20 === 0)
+    val n = emb.count()
+    val bits = dupBitsFor(n + evalSide.count()) // q403's train(+twins)+eval count
+    val idx = evalSide
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        // codes from the INPUT column, not the e_emb alias — a lateral
+        // column alias here is unresolvable under the streaming planner
+        posexplode(dupCodes("embedding", bits)).as(Seq("t", "code")))
+      .select(col("eval_id"), col("e_emb"), col("t"),
+        explode(expr(s"array_union(array(code), " +
+          s"transform(sequence(0, ${bits - 1}), b -> code ^ shiftleft(1, b)))")).as("pcode"))
+    (bits, idx)
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -74,6 +74,17 @@ object Streams {
     drain(spark, docs, mode, xform)
   }
 
+  /** Streaming drain over the EMBEDDINGS file (no time column). */
+  private def drainEmbeddings(spark: SparkSession, dir: String, mode: String)(
+      xform: DataFrame => DataFrame): DataFrame = {
+    Tables.register(spark, dir)
+    val schema = spark.read.option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir).schema
+    val emb = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    drain(spark, emb, mode, xform)
+  }
+
   /** Streaming drain over the EVENTS file with the normalized ts column. */
   private def drainEvents(spark: SparkSession, dir: String, mode: String)(
       xform: DataFrame => DataFrame): DataFrame = {
@@ -383,6 +394,42 @@ object Streams {
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).cast("long").as("n_shared_grams"))
       }.orderBy("doc_id")
+    }),
+
+    // Ingest-time SEMANTIC decontamination screen (q403's streaming
+    // sibling, completing the at-the-door decontamination pair with q400's
+    // exact-gram screen): the hamming-1-expanded eval probe index is built
+    // batch-side (the small static side a pipeline materializes per eval
+    // release); each arriving train vector is sign-LSH coded INSIDE the
+    // micro-batch by the native lsh_codes expression (same seed/table/bit
+    // geometry as the batch index, via Similarity.semanticEvalProbeIndex),
+    // stream-static joined on (table, code) and exact-cosine verified.
+    // A pair matching in several tables collapses in the complete-mode
+    // (eval_id, train_id) aggregation — MAX of identical rounded cosines —
+    // so the drain emits exactly q403's rows and shares its oracle (the
+    // FULL exact eval x train join). Planted twins are derived in-stream
+    // from the arriving eval rows with the same rational arithmetic.
+    // 22nd streaming entry.
+    "q405_stream_semantic_decontamination" -> ((s: SparkSession, d: String) => {
+      val (bits, idx) = graft.pipeline.Similarity.semanticEvalProbeIndex(s, d)
+      val codes = graft.pipeline.Similarity.dupCodesSql("embedding", bits)
+      drainEmbeddings(s, d, "complete") { emb =>
+        val train = emb.where(col("vec_id") % 20 =!= 0)
+          .select(col("vec_id").as("train_id"), col("embedding"))
+          .unionByName(emb.where(col("vec_id") % 20 === 0)
+            .select((col("vec_id") + lit(7000000L)).as("train_id"),
+              expr("transform(embedding, (x, j) -> " +
+                "CAST(x + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0 AS FLOAT))")
+                .as("embedding")))
+        train
+          .select(col("train_id"), col("embedding"),
+            posexplode(expr(codes)).as(Seq("ct", "code")))
+          .join(idx, col("ct") === idx("t") && col("code") === idx("pcode"))
+          .withColumn("cos_sim", round(expr("cosine_similarity(e_emb, embedding)"), 4))
+          .where(col("cos_sim") >= 0.85)
+          .groupBy("eval_id", "train_id")
+          .agg(max("cos_sim").as("cos_sim"))
+      }.orderBy("eval_id", "train_id")
     }),
 
     // Watermark + late data under the gate, as a phased drain: phase 1
@@ -971,6 +1018,14 @@ object Streams {
          |  CAST(SUM(CASE WHEN c.rep_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
          |FROM hh LEFT JOIN c USING (w, h, ahash)
          |GROUP BY hh.w ORDER BY w""".stripMargin,
+
+    // q403's exact eval x train oracle, shared VERBATIM (looked up from the
+    // batch catalog so the two screens cannot drift): the streaming side
+    // codes, joins, and verifies inside the drain, so equality proves the
+    // semantic screen — candidate recall AND scores — under streaming
+    // execution.
+    "q405_stream_semantic_decontamination" ->
+      graft.pipeline.Ext.oracles.toMap.apply("q403_semantic_decontamination"),
 
     // q290's exact decontamination oracle plus the source column — the
     // streaming side executes the identical gram join inside the drain, so
