@@ -145,7 +145,22 @@ object BenchScale {
     Entry("q403_semantic_decontamination", "emb", 13.0,
       "semantic decontamination: adaptive LSH codes both sides, hamming-1 probes on the small eval side, " +
         "(table, probe-code) equi-join candidates + exact verify — train-linear, never eval x train",
-      deep = true))
+      deep = true),
+    // round-12 session-2 widening: the remaining stateful-streaming cohort
+    // plus the streaming semantic screen
+    Entry("q256_stream_watermark_drain", "events", 13.0,
+      "phased windowed agg under a 30-min watermark: state = open windows (constant per copy — copies " +
+        "share timestamps), input and per-window counts k-fold"),
+    Entry("q257_stream_stateful_sessions", "events", 13.0,
+      "flatMapGroupsWithState per-user session machine across a checkpoint restart: state rows k-fold " +
+        "(copy-disjoint users), per-key work constant"),
+    Entry("q283_stream_cdc_apply", "stream-events", 13.0,
+      "streaming CDC apply: per-key upsert/delete state k-fold; literal 'error' deletes need unsalted types"),
+    Entry("q285_stream_tws_totals", "stream-events", 13.0,
+      "transformWithState (RocksDB) running totals over 'click' arrivals: per-user state k-fold"),
+    Entry("q405_stream_semantic_decontamination", "emb", 13.0,
+      "streaming semantic screen: q403's candidate geometry executed by the micro-batch engine — " +
+        "broadcastable eval probe index, in-stream lsh_codes projection, complete-mode pair collapse"))
 
   private val scales = Seq(1, 4, 10)
   private val deepScaleK = 32
