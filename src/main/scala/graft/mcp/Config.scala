@@ -43,6 +43,11 @@ final case class SourceDef(name: String, kind: String, options: Map[String, Stri
 
 final case class ToolboxConfig(sources: Seq[SourceDef], tools: Seq[ToolDef]) {
 
+  /** The dataset-dir source's path, if declared — `spark-pipeline` tools
+    * hand it to their operator as the fixture/table directory. */
+  def datasetDir: Option[String] =
+    sources.find(_.kind == "dataset-dir").flatMap(_.options.get("path")).filter(_.nonEmpty)
+
   /** Registers every source's tables as temp views on the session. */
   def registerSources(spark: SparkSession): Unit = sources.foreach { src =>
     def path: String = src.options.get("path").filter(_.nonEmpty).getOrElse(

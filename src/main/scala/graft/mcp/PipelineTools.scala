@@ -1,0 +1,64 @@
+package graft.mcp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named Spark pipeline operators a YAML tool can expose declaratively
+  * (`kind: spark-pipeline`, `statement: <pipeline name>`) — the extension
+  * path for the flagship capabilities that are NOT expressible as one SQL
+  * statement (reference extension model: CONTRIBUTING.md:218-248; its
+  * non-SQL tool kinds dispatch to backend-native operations the same way,
+  * e.g. the dataplex search tools). The YAML side still owns the contract
+  * — name, description, typed parameters — while the implementation is the
+  * same oracle-gated Scala operator the catalog runs, so the tool can never
+  * drift from the verified semantics (ProtocolSpec pins exact-row equality
+  * at each catalog operating point).
+  *
+  * Typed arguments arrive pre-validated from [[McpServer]]'s JSON-Schema
+  * conversion (integer → Long etc.); domain violations (an unknown
+  * modality, a non-square image hash width) throw IllegalArgumentException,
+  * which the server surfaces as a structured isError result. */
+object PipelineTools {
+
+  def run(pipeline: String, spark: SparkSession, dir: String,
+      args: Map[String, Any]): DataFrame = pipeline match {
+    case "media_dedup" => mediaDedup(spark, dir, args)
+    case other =>
+      throw new IllegalArgumentException(s"unknown pipeline '$other' " +
+        s"(available: media_dedup)")
+  }
+
+  private def stringArg(args: Map[String, Any], name: String): String =
+    args.get(name) match {
+      case Some(s: String) => s
+      case Some(other) => other.toString
+      case None => throw new IllegalArgumentException(s"missing parameter '$name'")
+    }
+
+  private def intArg(args: Map[String, Any], name: String): Int =
+    args.get(name) match {
+      case Some(l: Long) => l.toInt
+      case Some(i: Int) => i
+      case Some(s: String) if s.trim.toLongOption.isDefined => s.trim.toInt
+      case Some(other) =>
+        throw new IllegalArgumentException(s"parameter '$name' expects integer, got: $other")
+      case None => throw new IllegalArgumentException(s"missing parameter '$name'")
+    }
+
+  /** Perceptual media dedup — q396 (image, brightness-invariant grid
+    * average-hash) / q397 (audio, DC-invariant frame-sign fingerprint) with
+    * a caller-chosen hash width. hash_bits: image = thumbnail cell count
+    * (perfect square ≤ 64; 16 is the q396 operating point), audio =
+    * fingerprint bit cap (≥ 14 is the exact q397 fingerprint on the
+    * fixture's ≤ 15-frame payloads). */
+  private def mediaDedup(spark: SparkSession, dir: String,
+      args: Map[String, Any]): DataFrame = {
+    val bits = intArg(args, "hash_bits")
+    stringArg(args, "modality") match {
+      case "image" => graft.pipeline.Multimodal.imagePerceptualDedup(spark, dir, bits)
+      case "audio" => graft.pipeline.Multimodal.audioFingerprintDedup(spark, dir, bits)
+      case other =>
+        throw new IllegalArgumentException(
+          s"modality must be 'image' or 'audio', got '$other'")
+    }
+  }
+}

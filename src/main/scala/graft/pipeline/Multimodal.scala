@@ -536,37 +536,63 @@ object Multimodal {
     * rather than assumed), recomputes the same resize and 16 bits, and
     * reproduces every cluster assignment. */
   def imagePerceptualDedup(spark: SparkSession, dir: String): DataFrame =
-    clusterByKey(imagePerceptualHashes(spark, dir), "w", "h", "ahash")
+    imagePerceptualDedup(spark, dir, 16)
 
-  /** The 16-bit average-hash of a BMP payload's REAL bytes: decode, 4×4
-    * floor-NN resize, bit p set iff 16·gray_p > Σ gray (integer-exact,
-    * brightness-shift-invariant — see [[imagePerceptualDedup]]). Returns
-    * (width, height, hash); shared by the batch dedup and the streaming
-    * ingest screen so the hash definition is stated once. */
-  def ahashOf(bytes: Array[Byte]): (Int, Int, Long) = {
-    val t = resizeBmpNearest(bytes, 4, 4) // validates the container + dims
+  /** [[imagePerceptualDedup]] at a caller-chosen hash width (the
+    * `media_dedup` MCP tool's hash_bits knob): `bits` must be a perfect
+    * square ≤ 64 — 16 = the q396 4×4 operating point, 64 = an 8×8
+    * thumbnail that splits clusters the coarser hash merges. The
+    * brightness-invariance proof is width-independent (a uniform shift d
+    * adds 3d to every gray and 3d·cells to the total, so
+    * cells·gray_p > Σ gray is unchanged). */
+  def imagePerceptualDedup(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    clusterByKey(imagePerceptualHashes(spark, dir, gridOf(bits)), "w", "h", "ahash")
+
+  /** hash_bits → thumbnail grid side, validating perfect-square ≤ 64. */
+  def gridOf(bits: Int): Int = {
+    val grid = math.sqrt(bits.toDouble).toInt
+    require(grid >= 2 && grid * grid == bits && bits <= 64,
+      s"image hash_bits must be a perfect square in [4, 64] (e.g. 16, 64), got $bits")
+    grid
+  }
+
+  /** The grid²-bit average-hash of a BMP payload's REAL bytes: decode,
+    * grid×grid floor-NN resize, bit p set iff cells·gray_p > Σ gray
+    * (integer-exact, brightness-shift-invariant — see
+    * [[imagePerceptualDedup]]). Returns (width, height, hash); shared by
+    * the batch dedup and the streaming ingest screen so the hash
+    * definition is stated once. */
+  def ahashOf(bytes: Array[Byte], grid: Int): (Int, Int, Long) = {
+    val cells = grid * grid
+    val t = resizeBmpNearest(bytes, grid, grid) // validates the container + dims
     // dims from the (just-validated) header directly — decodeBmp would
     // re-scan every pixel for channel means this path discards
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val w = b.getInt(18)
     val h = b.getInt(22)
-    val gray = Array.tabulate(16)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
+    val gray = Array.tabulate(cells)(i => t(3 * i) + t(3 * i + 1) + t(3 * i + 2))
     val total = gray.sum
     var hash = 0L
     var p = 0
-    while (p < 16) { if (16L * gray(p) > total) hash |= 1L << p; p += 1 }
+    while (p < cells) { if (cells.toLong * gray(p) > total) hash |= 1L << p; p += 1 }
     (w, h, hash)
   }
 
+  /** The q396 operating point: 16 bits from the 4×4 thumbnail. */
+  def ahashOf(bytes: Array[Byte]): (Int, Int, Long) = ahashOf(bytes, 4)
+
   /** Per-variant-BMP (doc_id, w, h, ahash) rows — the hashing pass shared
     * by [[imagePerceptualDedup]] and the q399 canonical index. */
-  def imagePerceptualHashes(spark: SparkSession, dir: String): DataFrame = {
+  def imagePerceptualHashes(spark: SparkSession, dir: String): DataFrame =
+    imagePerceptualHashes(spark, dir, 4)
+
+  def imagePerceptualHashes(spark: SparkSession, dir: String, grid: Int): DataFrame = {
     import spark.implicits._
     variantMediaTable(spark, dir)
       .filter(col("format") === "bmp").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, hash) = ahashOf(r.media)
+          val (w, h, hash) = ahashOf(r.media, grid)
           (r.doc_id, w, h, hash)
         }
       }
@@ -582,7 +608,18 @@ object Multimodal {
     * fingerprint); same linear pair-free clustering. Oracle: DuckDB rebuilds
     * the offset samples from the closed form and recomputes frames, signs,
     * and clusters. */
-  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprintDedup(spark, dir, 63)
+
+  /** [[audioFingerprintDedup]] with the fingerprint capped at `maxBits`
+    * sign bits (the `media_dedup` tool's hash_bits knob): bits beyond the
+    * cap are dropped, so a smaller width clusters on a coarser prefix of
+    * the frame-sign pattern. The variant fixture's payloads carry ≤ 15
+    * frames, so any maxBits ≥ 14 is the exact q397 fingerprint; the DC
+    * invariance holds at every width (the offset cancels per difference
+    * before any bit is kept). */
+  def audioFingerprintDedup(spark: SparkSession, dir: String, maxBits: Int): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 63, s"audio hash_bits must be in [1, 63], got $maxBits")
     import spark.implicits._
     val hashed = variantMediaTable(spark, dir)
       .filter(col("format") === "wav").as[MediaRow]
@@ -598,7 +635,8 @@ object Multimodal {
           }
           var fp = 0L
           var k = 0
-          while (k < nf - 1) { if (fs(k + 1) > fs(k)) fp |= 1L << k; k += 1 }
+          val nBits = math.min(nf - 1, maxBits)
+          while (k < nBits) { if (fs(k + 1) > fs(k)) fp |= 1L << k; k += 1 }
           (r.doc_id, s.length, fp)
         }
       }

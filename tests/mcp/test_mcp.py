@@ -224,6 +224,50 @@ def test_typed_yaml_tool(initialized):
     assert "missing required parameter(s) min_chars" in missing["result"]["content"][0]["text"]
 
 
+def test_builtin_int_param_native(initialized):
+    """search_catalog.page_size advertises integer and binds a native JSON
+    int end-to-end — the reference's dataplex analogue takes an int
+    (tests/dataplex/test_mcp.py:160-166)."""
+    listed = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/list", "params": {}, "id": 13})
+    sc = next(t for t in listed["result"]["tools"] if t["name"] == "search_catalog")
+    assert sc["inputSchema"]["properties"]["page_size"]["type"] == "integer", sc
+    resp = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "search_catalog",
+                   "arguments": {"query": "orderkey", "page_size": 4}},
+        "id": 14})
+    assert "result" in resp and not resp["result"].get("isError", False), resp
+    rows = [json.loads(c["text"]) for c in resp["result"]["content"]]
+    assert 0 < len(rows) <= 4
+    assert all("orderkey" in r["column_name"] for r in rows)
+
+
+def test_media_dedup_pipeline_tool(initialized):
+    """The spark-pipeline tool kind: media_dedup drives the perceptual image
+    dedup through the declarative surface; a bad modality is a structured
+    tool error."""
+    resp = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "media_dedup",
+                   "arguments": {"modality": "image", "hash_bits": 16}},
+        "id": 15}, timeout=120)
+    assert "result" in resp and not resp["result"].get("isError", False), resp
+    rows = [json.loads(c["text"]) for c in resp["result"]["content"]]
+    assert rows and all(
+        set(r) == {"doc_id", "rep_id", "cluster_size", "is_canonical"} for r in rows)
+    canon = [r for r in rows if r["is_canonical"]]
+    assert canon and all(r["rep_id"] == r["doc_id"] for r in canon)
+
+    bad = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "media_dedup",
+                   "arguments": {"modality": "video", "hash_bits": 16}},
+        "id": 16})
+    assert bad["result"].get("isError") is True
+    assert "modality" in bad["result"]["content"][0]["text"]
+
+
 # ============================================================================
 # NEGATIVE CONFIG MATRIX (tests/snowflake/test_mcp.py:525-592 shape:
 # bad launch configs must exit non-zero with a diagnostic, fast)
