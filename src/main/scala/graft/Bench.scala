@@ -86,8 +86,29 @@ object Bench {
         name -> sec
       }
     }
+    // Streaming drains schedule micro-batches (phased checkpoint restarts,
+    // file-source listing, watermark commits) whose wall-clock varies across
+    // contention windows far more than batch plans do — the r12 record read
+    // q256 at 15.1 s while the same-day A/B window measured 4.2 s (VERDICT
+    // r12 #6), a swing wide enough to mask a real 2x regression. Give the
+    // streaming cohort one extra best-of pass so one noisy window can't
+    // write the record.
+    val streamingNames = names.filter(_.contains("stream"))
+    val streamingPass: Map[String, Double] = {
+      System.gc()
+      streamingNames.map { name =>
+        val t0 = System.nanoTime()
+        val sec =
+          try {
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        System.err.println(f"[bench] ps $name%-24s ${sec}%8.3f s")
+        name -> sec
+      }.toMap
+    }
     val results: Seq[(String, Double)] = names.map { name =>
-      val ts = passes.flatMap(_.get(name)).filter(_ >= 0)
+      val ts = (passes.flatMap(_.get(name)) ++ streamingPass.get(name)).filter(_ >= 0)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     def jmap(rs: Seq[(String, Double)]): String =

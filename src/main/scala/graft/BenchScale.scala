@@ -160,15 +160,34 @@ object BenchScale {
       "transformWithState (RocksDB) running totals over 'click' arrivals: per-user state k-fold"),
     Entry("q405_stream_semantic_decontamination", "emb", 13.0,
       "streaming semantic screen: q403's candidate geometry executed by the micro-batch engine — " +
-        "broadcastable eval probe index, in-stream lsh_codes projection, complete-mode pair collapse"))
+        "broadcastable eval probe index, in-stream lsh_codes projection, complete-mode pair collapse"),
+    // round-13 widening (VERDICT r12 #3): the decode-heavy media screens
+    // and the incremental perceptual dedup — the last flagship entries with
+    // plan-shape arguments only.
+    Entry("q372_image_histogram", "docs", 13.0,
+      "per-image BMP decode + 4-bucket channel histogram: O(n) codec pass, one doc-keyed aggregate"),
+    Entry("q378_image_gradient", "docs", 13.0,
+      "per-image BMP decode + forward-difference gradient energy: O(n pixels) codec pass"),
+    Entry("q382_audio_silence_runs", "docs", 13.0,
+      "per-clip WAV decode + gaps-and-islands silence runs: O(n samples) codec pass"),
+    Entry("q402_incremental_phash_dedup", "docs", 13.0,
+      "incremental perceptual dedup: one decode+hash pass (persisted), corpus index groupBy + two " +
+        "16-bit-keyed equi-joins; the fixture keeps both branches live at every scale (asserted)"))
 
   private val scales = Seq(1, 4, 10)
   private val deepScaleK = 32
 
+  // ADVICE r12: the retrieval family deliberately has no 32x fixture —
+  // enforce the invariant structurally instead of by comment, so a future
+  // deep-marked retrieval entry fails here, not as a NoSuchElementException
+  // inside dirFor.
+  require(entries.forall(e => !(e.fixture == "retrieval" && e.deep)),
+    "retrieval-fixture entries cannot be deep: no 32x retrieval cohort is synthesized")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r12.json"
+    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r13.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -425,6 +444,50 @@ object BenchScale {
       if (key.nonEmpty)
         require(df.select(key).distinct().count() == n,
           s"$t at ${k}x: $key collides across copies")
+    }
+
+    // Family-liveness assertions (VERDICT r12 #8): the unsalted fixture
+    // variants exist so literal-matching entries see k-fold work — a silent
+    // revert to the salted transform would zero their match volume and make
+    // every alpha trivially flat while the row-count checks above still
+    // pass. Pin the matched volume: non-zero and growing EXACTLY k-fold
+    // (copies are verbatim replicas of the matched axis).
+    if (variant == "plain" && tables.contains("documents")) {
+      def postings(df: DataFrame): Long = df
+        .selectExpr("explode(split(lower(text), ' ')) AS tok")
+        .where(col("tok").isin("hash", "join", "scan")).count()
+      val base = postings(Tables.read(spark, sfDir, "documents"))
+      val got = postings(spark.read.parquet(s"$outDir/documents.parquet"))
+      require(base > 0 && got == k * base,
+        s"retrieval fixture at ${k}x: $got query-term postings, expected ${k * base} " +
+          "(token salt regressed onto the plain variant?)")
+    }
+    if (variant == "stream" && tables.contains("events")) {
+      def matches(df: DataFrame): Long =
+        df.where(col("event_type").isin("view", "click")).count()
+      val base = matches(Tables.read(spark, sfDir, "events"))
+      val got = matches(spark.read.parquet(s"$outDir/events.parquet"))
+      require(base > 0 && got == k * base,
+        s"stream-events fixture at ${k}x: $got view/click events, expected ${k * base} " +
+          "(event_type salt regressed onto the stream variant?)")
+    }
+    // q402's incremental split must keep BOTH branches live at every scale:
+    // non-empty batch and corpus slices on the BMP side, plus at least one
+    // batch doc resampling a corpus content key (cid = doc_id % 61 fully
+    // determines the variant payload, so cid overlap = inheritable
+    // representatives) and at least one batch-only cid (new clusters).
+    if (variant == "disjoint" && tables.contains("documents")) {
+      val bmp = spark.read.parquet(s"$outDir/documents.parquet")
+        .where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") % 61).as("cid"),
+          ((col("doc_id") % 61 >= 55) || (col("doc_id") % 5 === 4)).as("in_batch"))
+      val batchCids = bmp.where(col("in_batch")).select("cid").distinct()
+      val corpusCids = bmp.where(!col("in_batch")).select("cid").distinct()
+      val nBatch = batchCids.count(); val nCorpus = corpusCids.count()
+      val shared = batchCids.intersect(corpusCids).count()
+      require(nBatch > 0 && nCorpus > 0 && shared > 0 && shared < nBatch,
+        s"q402 split at ${k}x: batch cids=$nBatch corpus cids=$nCorpus shared=$shared — " +
+          "the incremental fixture must exercise both the inherit and new-cluster branches")
     }
     outDir
   }

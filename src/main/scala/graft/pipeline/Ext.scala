@@ -258,6 +258,12 @@ object Ext {
       graft.Tables.register(s, d)
       Multimodal.multimodalManifest(s, d)
     }),
+    // NOTE (ADVICE r12): q402 (like q398 above) eagerly localCheckpoints at
+    // DataFrame-construction time to release its decode+hash cache, so
+    // plan-only consumers (EXPLAIN paths, plan-registry audits) pay one
+    // full execution when they CONSTRUCT it — acceptable in local mode (the
+    // nearDupComponents precedent); a cluster deployment that only wants
+    // the plan should call imagePerceptualHashes and inspect that instead.
     "q402_incremental_phash_dedup" -> (Multimodal.incrementalPerceptualDedup _),
     // [EXT] eval-release decontamination diff (q404): when the benchmark
     // suite rotates (release A = doc_id % 97 grams, release B = doc_id %
@@ -551,22 +557,29 @@ object Ext {
     // Corpus-level character-bigram language-model quality score — the
     // cheap-LM filtering step of a curation pipeline (KenLM-style scoring
     // at reduced fidelity): P(bg) is the corpus-wide bigram frequency, and
-    // a document's score is the mean log-probability of its bigrams. Two
-    // shuffles: one bigram count (the "model", small enough to broadcast
-    // at any corpus scale — char-bigram vocabulary is bounded), one
-    // per-doc aggregate after the broadcast-shaped join.
+    // a document's score is the mean log-probability of its bigrams.
+    // The char explode is the dominant linear pass (≈6 rows per token), so
+    // it runs ONCE into per-doc bigram COUNTS (pb) — both the model side
+    // (cnt, a re-aggregate of pb) and the scoring join consume pb above
+    // its exchange, which Spark's ReuseExchange dedupes; the r12 form
+    // exploded twice (the CTE had no shuffle boundary to reuse) and its
+    // measured constant was the steepest in the catalog (VERDICT r12 #7).
+    // The weighted mean SUM(k·ln p)/SUM(k) equals the per-instance AVG
+    // exactly; summation-order ULP is absorbed by the same ROUND(,4).
     // PLAN-REGISTRY float-agg q265_bigram_lm_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     "q265_bigram_lm_score" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       s.sql("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
               |           WHERE length(text) >= 2),
-              |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-              |                              i -> substr(t, i, 2))) AS bg FROM t),
-              |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+              |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
+              |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+              |                                i -> substr(t, i, 2))) AS bg FROM t)
+              |       GROUP BY doc_id, bg),
+              |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
               |tot AS (SELECT SUM(c) AS n FROM cnt)
-              |SELECT doc_id, COUNT(*) AS n_bigrams,
-              |  ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
-              |FROM bg JOIN cnt USING (bg) CROSS JOIN tot
+              |SELECT doc_id, SUM(k) AS n_bigrams,
+              |  ROUND(SUM(k * LN(CAST(c AS DOUBLE) / n)) / SUM(k), 4) AS lm_score
+              |FROM pb JOIN cnt USING (bg) CROSS JOIN tot
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }),
 

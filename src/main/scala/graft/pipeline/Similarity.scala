@@ -446,15 +446,12 @@ object Similarity {
     * stage end to end. */
   def semanticDecontamination(spark: SparkSession, dir: String,
       threshold: Double = 0.85): DataFrame = {
-    Tables.register(spark, dir)
-    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
-    val evalSide = emb.where(col("vec_id") % 20 === 0)
+    val (emb, evalSide, bits) = semanticEvalSplit(spark, dir)
     val twins = evalSide
       .select((col("vec_id") + lit(7000000L)).as("vec_id"),
         expr("transform(embedding, (x, j) -> " +
           "CAST(x + 0.05 * ((((vec_id + j) * 7) % 11) - 5) / 5.0 AS FLOAT))").as("embedding"))
-    val train = emb.where(col("vec_id") % 20 =!= 0).unionByName(twins)
-    val bits = dupBitsFor(train.count() + evalSide.count())
+    val train = emb.where(!semanticEvalPred).unionByName(twins)
     val codedTrain = train.select(col("vec_id").as("train_id"),
       posexplode(dupCodes("embedding", bits)).as(Seq("t", "code")))
     val evalProbes = evalSide
@@ -476,6 +473,26 @@ object Similarity {
       .orderBy("eval_id", "train_id")
   }
 
+  /** The q403/q405 shared code-space geometry (ADVICE r12): the eval-slice
+    * predicate and the universe count both screens size their sign-LSH
+    * codes from live HERE, once — the batch screen and the streaming probe
+    * index derive bits from the same expression, so they can never silently
+    * diverge in code width if the eval modulus or twin construction
+    * changes. */
+  private val semanticEvalPred = col("vec_id") % 20 === 0
+
+  /** (embeddings, eval slice, adaptive code bits). The code-space universe
+    * is q403's train + eval population: train = (n − e) originals + e
+    * planted twins = n rows, plus e eval rows — i.e. n + e, computed from
+    * the base table so the streaming screen needs no twin materialization. */
+  private def semanticEvalSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame, Int) = {
+    Tables.register(spark, dir)
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val evalSide = emb.where(semanticEvalPred)
+    val bits = dupBitsFor(emb.count() + evalSide.count())
+    (emb, evalSide, bits)
+  }
+
   /** Static side of the STREAMING semantic-decontamination screen (q405):
     * the coded eval probe index — each eval vector's hamming-1-expanded
     * (table, probe-code) keys carrying the eval embedding for the verify
@@ -485,11 +502,7 @@ object Similarity {
     * screens share one code space. At 100 TB this index is the small
     * broadcast side of the stream-static join. */
   private[graft] def semanticEvalProbeIndex(spark: SparkSession, dir: String): (Int, DataFrame) = {
-    Tables.register(spark, dir)
-    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding"))
-    val evalSide = emb.where(col("vec_id") % 20 === 0)
-    val n = emb.count()
-    val bits = dupBitsFor(n + evalSide.count()) // q403's train(+twins)+eval count
+    val (_, evalSide, bits) = semanticEvalSplit(spark, dir)
     val idx = evalSide
       .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
         // codes from the INPUT column, not the e_emb alias — a lateral

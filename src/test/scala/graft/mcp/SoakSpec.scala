@@ -40,10 +40,12 @@ class SoakSpec extends SparkSpec {
     Tables.register(spark, sfDir)
     val expectedLineitem = spark.table("lineitem").count()
 
-    val pool = Executors.newFixedThreadPool(nClients + 1)
+    val pool = Executors.newFixedThreadPool(nClients + 3)
     val start = new CountDownLatch(1)
     val failures = new ConcurrentLinkedQueue[String]()
     val opSeconds = new ConcurrentLinkedQueue[java.lang.Double]()
+    val heavySeconds = new ConcurrentLinkedQueue[java.lang.Double]()
+    val cancels = new java.util.concurrent.atomic.AtomicInteger()
 
     // One streaming drain thread sharing the SparkContext with the client
     // load: two AvailableNow drains (windowed agg + KMV sketch state) must
@@ -57,6 +59,70 @@ class SoakSpec extends SparkSpec {
             if (rows <= 0) failures.add(s"streaming $name drained 0 rows under load")
           }
         } catch { case t: Throwable => failures.add(s"streaming drain died: $t") }
+      }
+    })
+
+    // HEAVY LANE (VERDICT r11 #8 / r12 #4): one client looping the
+    // multi-second corpus_funnel YAML tool against the canary readers —
+    // the contention shape SOAK_r12 never measured (every op there was
+    // sub-second). Its latencies land in a separate histogram so the
+    // interactive lane's percentiles stay meaningful.
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          start.await()
+          val sess = spark.newSession()
+          val text = Config.substituteEnv(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get("examples/tools.yaml"))),
+            Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+          val config = Config.parse(text)
+          config.registerSources(sess)
+          val server = new McpServer(sess, config)
+          val heavyRounds = math.max(2, rounds / 4)
+          for (r <- 1 to heavyRounds) {
+            val t0 = System.nanoTime()
+            val resp = mapper.readTree(server.handleLine(
+              """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"corpus_funnel","arguments":{"threshold_x1e4":5000,"budget":200}}}""").get)
+            val sec = (System.nanoTime() - t0) / 1e9
+            heavySeconds.add(sec)
+            if (resp.at("/result/isError").asBoolean(false))
+              failures.add(s"heavy lane round $r errored: $resp")
+            val stages = resp.at("/result/content").size()
+            if (stages != 5) failures.add(s"heavy lane round $r: $stages stages (want 5)")
+          }
+        } catch { case t: Throwable => failures.add(s"heavy lane died: $t") }
+      }
+    })
+
+    // CANCEL LANE: a --query-timeout-ms server firing a runaway query
+    // (three-way fact cross join) INSIDE the soak window — the cancellation
+    // must kill the job group and leave the session serviceable while every
+    // other lane keeps running (the shared-server contract the flag exists
+    // for). Runs several rounds so the cancel path itself is soaked.
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          start.await()
+          val sess = spark.newSession()
+          Tables.register(sess, sfDir)
+          val server = new McpServer(sess, ToolboxConfig(Nil, Nil), queryTimeoutMs = 1500L)
+          for (r <- 1 to 3) {
+            val runaway = mapper.readTree(server.handleLine(
+              """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT count(*) AS n FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c WHERE a.l_orderkey + b.l_orderkey + c.l_orderkey = -1"}}}""").get)
+            if (!runaway.at("/result/isError").asBoolean(false))
+              failures.add(s"cancel lane round $r: runaway query was not cancelled: $runaway")
+            else if (!runaway.at("/result/content/0/text").asText().contains("cancelled"))
+              failures.add(s"cancel lane round $r: unexpected error text: $runaway")
+            else cancels.incrementAndGet()
+            // the session must stay healthy immediately after the cancel
+            val after = mapper.readTree(server.handleLine(
+              """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"execute_sql","arguments":{"sql":"SELECT count(*) AS n FROM region"}}}""").get)
+            if (after.at("/result/isError").asBoolean(false) ||
+                mapper.readTree(after.at("/result/content/0/text").asText()).get("n").asLong() != 5L)
+              failures.add(s"cancel lane round $r: session unhealthy after cancel: $after")
+          }
+        } catch { case t: Throwable => failures.add(s"cancel lane died: $t") }
       }
     })
 
@@ -118,6 +184,11 @@ class SoakSpec extends SparkSpec {
     // p50 sanity (informational ceiling far above normal: collapse detector)
     val p50 = ops(ops.size / 2)
     assert(p50 < 30.0, f"median MCP op latency $p50%.1f s — serialization collapse")
+    // both new lanes actually ran: the heavy tool completed its loops and
+    // at least one timeout cancellation fired under load
+    val heavy = heavySeconds.asScala.map(_.doubleValue()).toSeq.sorted
+    assert(heavy.size >= 2, s"heavy lane ran only ${heavy.size} ops")
+    assert(cancels.get() >= 1, "no --query-timeout-ms cancellation fired under soak")
 
     // Tagged manual-soak artifact (VERDICT r10 #7): with GRAFT_SOAK_OUT set,
     // record the window as JSON — per-op latency histogram + percentiles,
@@ -130,12 +201,21 @@ class SoakSpec extends SparkSpec {
       val histo = (Seq(0.0) ++ edges).zip(edges ++ Seq(Double.MaxValue)).map {
         case (lo, hi) => s""""[${lo}s,${if (hi == Double.MaxValue) "inf" else hi + "s"})":${ops.count(s => s >= lo && s < hi)}"""
       }
+      def hpct(p: Double) = heavy(math.min(heavy.size - 1, (p * heavy.size).toInt))
+      val heavyHisto = (Seq(0.0) ++ edges).zip(edges ++ Seq(Double.MaxValue)).map {
+        case (lo, hi) => s""""[${lo}s,${if (hi == Double.MaxValue) "inf" else hi + "s"})":${heavy.count(s => s >= lo && s < hi)}"""
+      }
       val json =
         s"""{"metric":"mcp_soak","clients":$nClients,"rounds":$rounds,""" +
         s""""sf_dir":"$sfDir","n_ops":${ops.size},"n_failures":${failures.size},""" +
         f""""p50_sec":${pct(0.50)}%.4f,"p90_sec":${pct(0.90)}%.4f,"p99_sec":${pct(0.99)}%.4f,""" +
         f""""max_sec":${ops.last}%.4f,"per_op_ceiling_sec":$perOpCeilingSec,""" +
         s""""histogram":{${histo.mkString(",")}},""" +
+        s""""heavy_lane":{"tool":"corpus_funnel","n_ops":${heavy.size},""" +
+        f""""p50_sec":${hpct(0.50)}%.4f,"max_sec":${heavy.last}%.4f,""" +
+        s""""histogram":{${heavyHisto.mkString(",")}}},""" +
+        s""""cancel_lane":{"query_timeout_ms":1500,"n_cancelled":${cancels.get()},""" +
+        s""""post_cancel_health_checks":"every cancel followed by a correct aggregate on the same session"},""" +
         s""""ops_per_round_per_client":"canary read + client-pinned aggregate + shared aggregate (every 3rd) + denied DROP"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       System.err.println(s"[soak] wrote $out")
