@@ -3104,14 +3104,20 @@ object Queries {
     // PLAN-REGISTRY global-window q286_perplexity_buckets: post-aggregate small spine: the DECLARED sf-pinned global-NTILE twin of q286b
     // PLAN-REGISTRY float-agg q286_perplexity_buckets: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q286_perplexity_buckets",
+      // scoring stage shares q265's single-explode factoring (the pinned
+      // part of this twin is the global NTILE, not the explode): per-doc
+      // bigram counts once, model + scoring reuse the exchange
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
-        |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-        |                              i -> substr(t, i, 2))) AS bg FROM t),
-        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
+        |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+        |                                i -> substr(t, i, 2))) AS bg FROM t)
+        |       GROUP BY doc_id, bg),
+        |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
         |tot AS (SELECT SUM(c) AS n FROM cnt),
-        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
-        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |         ROUND(SUM(k * LN(CAST(c AS DOUBLE) / n)) / SUM(k), 4) AS lm_score
+        |       FROM pb JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
         |b AS (SELECT doc_id, lm_score,
         |        NTILE(3) OVER (ORDER BY lm_score DESC, doc_id) AS t3 FROM sc)
         |SELECT doc_id, lm_score,
@@ -3143,14 +3149,22 @@ object Queries {
     // bit-for-bit. q286 stays as the sf-pinned exact-tertile oracle. ----
     // PLAN-REGISTRY float-agg q286b_perplexity_buckets_at_scale: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
     q2("q286b_perplexity_buckets_at_scale",
+      // the char explode (the dominant linear pass) runs ONCE into per-doc
+      // bigram counts; the model (cnt) and the scoring join both consume
+      // that aggregate above its exchange, which ReuseExchange dedupes —
+      // the q265 rewrite (VERDICT r12 #7); the weighted mean equals the
+      // per-instance AVG exactly, ULP absorbed by the same ROUND(,4)
       """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
-        |bg AS (SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-        |                              i -> substr(t, i, 2))) AS bg FROM t),
-        |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+        |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
+        |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
+        |                                i -> substr(t, i, 2))) AS bg FROM t)
+        |       GROUP BY doc_id, bg),
+        |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
         |tot AS (SELECT SUM(c) AS n FROM cnt),
-        |sc AS (SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
-        |       FROM bg JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |         ROUND(SUM(k * LN(CAST(c AS DOUBLE) / n)) / SUM(k), 4) AS lm_score
+        |       FROM pb JOIN cnt USING (bg) CROSS JOIN tot GROUP BY doc_id),
         |cut AS (SELECT percentile(lm_score, 1.0/3) AS c_lo,
         |               percentile(lm_score, 2.0/3) AS c_hi FROM sc)
         |SELECT doc_id, lm_score,

@@ -22,9 +22,10 @@ object PipelineTools {
   def run(pipeline: String, spark: SparkSession, dir: String,
       args: Map[String, Any]): DataFrame = pipeline match {
     case "media_dedup" => mediaDedup(spark, dir, args)
+    case "semantic_decontaminate" => semanticDecontaminate(spark, dir, args)
     case other =>
       throw new IllegalArgumentException(s"unknown pipeline '$other' " +
-        s"(available: media_dedup)")
+        s"(available: media_dedup, semantic_decontaminate)")
   }
 
   private def stringArg(args: Map[String, Any], name: String): String =
@@ -43,6 +44,20 @@ object PipelineTools {
         throw new IllegalArgumentException(s"parameter '$name' expects integer, got: $other")
       case None => throw new IllegalArgumentException(s"missing parameter '$name'")
     }
+
+  /** Semantic (embedding-space) decontamination — the q403 operator at a
+    * caller-chosen cosine threshold (integer micro-units, 8500 = the q403
+    * operating point 0.85). The LSH candidate geometry is threshold-
+    * independent; the threshold gates only the exact-cosine verify, so a
+    * stricter value returns exactly the thresholded subset. */
+  private def semanticDecontaminate(spark: SparkSession, dir: String,
+      args: Map[String, Any]): DataFrame = {
+    val thr = intArg(args, "threshold_x1e4")
+    if (thr < 0 || thr > 10000)
+      throw new IllegalArgumentException(
+        s"threshold_x1e4 must be in [0, 10000], got $thr")
+    graft.pipeline.Similarity.semanticDecontamination(spark, dir, thr / 10000.0)
+  }
 
   /** Perceptual media dedup — q396 (image, brightness-invariant grid
     * average-hash) / q397 (audio, DC-invariant frame-sign fingerprint) with

@@ -513,6 +513,7 @@ class ProtocolSpec extends SparkSpec {
       ("split_leakage", "val_pct", "integer"),
       ("split_leakage", "threshold_x1e4", "integer"),
       ("media_dedup", "hash_bits", "integer"),
+      ("semantic_decontaminate", "threshold_x1e4", "integer"),
       ("privacy_scan", "k", "integer")),
       s"advertised non-string params drifted: $nonString")
 
@@ -761,6 +762,47 @@ class ProtocolSpec extends SparkSpec {
     // the server stays serviceable after pipeline-tool errors
     val pong = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":74,"method":"ping"}""").get)
     assert(pong.has("result"))
+  }
+
+  test("semantic_decontaminate spark-pipeline tool drives the q403 screen declaratively") {
+    // Second spark-pipeline tool: the q403 vector screen with a declarative
+    // threshold. Same drift discipline — at the catalog operating point
+    // (8500 micro-units = 0.85) the tool must emit EXACTLY q403's rows; a
+    // stricter threshold is exactly the thresholded subset (the LSH
+    // candidate geometry is threshold-independent).
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    def drive(thrX1e4: Int): Seq[(Long, Long, Double)] = {
+      val r = mapper.readTree(srv.handleLine(
+        s"""{"jsonrpc":"2.0","id":75,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":$thrX1e4}}}""").get)
+      assert(!r.at("/result/isError").asBoolean(false), s"semantic_decontaminate($thrX1e4) errored: $r")
+      (0 until r.at("/result/content").size())
+        .map(i => mapper.readTree(r.at("/result/content").get(i).get("text").asText()))
+        .map(n => (n.get("eval_id").asLong(), n.get("train_id").asLong(),
+          math.rint(n.get("cos_sim").asDouble() * 1e6) / 1e6))
+    }
+    val got = drive(8500)
+    val q403raw = graft.SparkEntry.queries("q403_semantic_decontamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def rounded(rows: Seq[(Long, Long, Double)]) =
+      rows.map { case (e, t, c) => (e, t, math.rint(c * 1e6) / 1e6) }
+    assert(got == rounded(q403raw), s"semantic_decontaminate(8500) diverged from q403")
+    // stricter threshold = exactly the thresholded subset (filter on the
+    // RAW catalog cosines, so 6-dp display rounding can't flip a boundary)
+    val strict = drive(9900)
+    assert(strict == rounded(q403raw.filter(_._3 >= 0.99)),
+      "semantic_decontaminate(9900) is not the thresholded subset of (8500)")
+    // out-of-range threshold is a structured error
+    val bad = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":76,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":10001}}}""").get)
+    assert(bad.at("/result/isError").asBoolean(false))
+    assert(bad.at("/result/content").get(0).get("text").asText().contains("[0, 10000]"))
   }
 
   test("env substitution in config text") {
