@@ -32,7 +32,8 @@ final case class ToolDef(
     kind: String,
     description: String,
     params: Seq[ParamDef],
-    statement: String) {
+    statement: String,
+    source: String = "") {
   /** execute-sql tools take the whole statement from the caller (A2/A4). */
   def isPassthrough: Boolean =
     kind.endsWith("-execute-sql") || kind == "execute_sql" ||
@@ -47,6 +48,24 @@ final case class ToolboxConfig(sources: Seq[SourceDef], tools: Seq[ToolDef]) {
     * hand it to their operator as the fixture/table directory. */
   def datasetDir: Option[String] =
     sources.find(_.kind == "dataset-dir").flatMap(_.options.get("path")).filter(_.nonEmpty)
+
+  /** The dataset-dir path a specific tool runs against. A tool that names a
+    * `source:` gets THAT source (ADVICE r13: a config with two dataset-dir
+    * sources must not silently run a pipeline tool against whichever one
+    * parses first); it must exist and be dataset-dir kind. A tool without
+    * one falls back to the config's single dataset-dir source. */
+  def datasetDirFor(tool: ToolDef): Option[String] =
+    if (tool.source.isEmpty) datasetDir
+    else sources.find(_.name == tool.source) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"tool '${tool.name}' names source '${tool.source}', which is not declared")
+      case Some(src) if src.kind != "dataset-dir" =>
+        throw new IllegalArgumentException(
+          s"tool '${tool.name}' is a spark-pipeline tool and needs a dataset-dir " +
+            s"source, but '${tool.source}' has kind '${src.kind}'")
+      case Some(src) => src.options.get("path").filter(_.nonEmpty)
+    }
 
   /** Registers every source's tables as temp views on the session. */
   def registerSources(spark: SparkSession): Unit = sources.foreach { src =>
@@ -152,8 +171,24 @@ object Config {
         m.getOrElse("kind", "spark-sql").toString,
         m.getOrElse("description", "").toString,
         params,
-        m.getOrElse("statement", "").toString)
+        m.getOrElse("statement", "").toString,
+        source = Option(m.getOrElse("source", null)).map(_.toString).getOrElse(""))
     }.toSeq
+
+    // spark-pipeline statements name registered Scala operators, not SQL —
+    // an unknown name is a config typo that would otherwise load cleanly
+    // and fail only on first call (VERDICT r13 #2): reject it at load with
+    // the same structured-error family as an unsupported parameter type.
+    tools.filter(_.kind == "spark-pipeline").foreach { t =>
+      val p = t.statement.trim
+      if (!PipelineTools.Known(p))
+        throw new IllegalArgumentException(
+          s"tool '${t.name}' names unknown pipeline '$p' " +
+            s"(available: ${PipelineTools.Known.toSeq.sorted.mkString(", ")})")
+      if (t.source.nonEmpty && !sources.exists(_.name == t.source))
+        throw new IllegalArgumentException(
+          s"tool '${t.name}' names source '${t.source}', which is not declared")
+    }
 
     ToolboxConfig(sources, tools)
   }

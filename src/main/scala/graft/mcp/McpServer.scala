@@ -260,15 +260,22 @@ final class McpServer(
       return response(id, errorContent(
         s"missing required parameter(s) ${missingRequired.sorted.mkString(", ")} for tool $name"))
     try {
-      val df =
+      // DataFrame CONSTRUCTION is deferred into the collectRows timeout
+      // scope below (ADVICE r13): pipeline operators run eager Spark
+      // actions (counts, localCheckpoints) while building their plan, and
+      // q403-style screens spend real work there — outside the job-group
+      // wrapper, --query-timeout-ms could never cancel that portion. Gate
+      // checks and binding stay out here: they are driver-side parsing and
+      // their denials are structured early returns, not query work.
+      val buildDf: () => org.apache.spark.sql.DataFrame =
         if (tool.kind == "spark-pipeline") {
           // statement names a registered Spark pipeline operator — the
           // extension path for capabilities one SQL statement can't express
           // (media decode + perceptual clustering). No caller SQL executes,
           // so the statement gate doesn't apply.
-          val dir = config.datasetDir.getOrElse(throw new IllegalArgumentException(
+          val dir = config.datasetDirFor(tool).getOrElse(throw new IllegalArgumentException(
             s"tool $name is a spark-pipeline tool and needs a dataset-dir source in the config"))
-          PipelineTools.run(tool.statement.trim, spark, dir, args)
+          () => PipelineTools.run(tool.statement.trim, spark, dir, args)
         } else {
           val bound = Params.bind(tool.statement, args, tool.params)
           // Gate caller-supplied SQL: passthrough tools always; any tool whose
@@ -279,10 +286,10 @@ final class McpServer(
               case None =>
             }
           }
-          if (bound.args.nonEmpty) spark.sql(bound.sql, bound.args)
-          else spark.sql(bound.sql)
+          () => if (bound.args.nonEmpty) spark.sql(bound.sql, bound.args)
+                else spark.sql(bound.sql)
         }
-      val rows = collectRows(name, df.toJSON.take(maxRows)) match {
+      val rows = collectRows(name, buildDf().toJSON.take(maxRows)) match {
         case Left(reason) => return response(id, errorContent(reason))
         case Right(r) => r
       }
@@ -327,6 +334,12 @@ final class McpServer(
       case "array" =>
         if (node.isArray && node.elements().asScala.forall(e => !e.isContainerNode))
           Right(node.elements().asScala.map(_.asText()).toArray)
+        else if (node.isTextual)
+          // CSV-encoded list ("8500,9200") — the array analogue of the
+          // string-encoded scalar leniency above (ADVICE r13: CLI clients
+          // that quote everything sent this form before the param went
+          // array-typed; rejecting it would be a silent break).
+          Right(node.asText().split(",").map(_.trim).filter(_.nonEmpty))
         else bad
       case _ => // string: scalars via asText; containers keep their JSON rendering
         Right(if (node.isContainerNode) node.toString else node.asText())

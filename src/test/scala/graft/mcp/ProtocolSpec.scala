@@ -404,6 +404,19 @@ class ProtocolSpec extends SparkSpec {
     assert(sweepRows == q358,
       s"dedup_threshold_sweep diverged from q358:\n yaml=$sweepRows\n q358=$q358")
 
+    // the CSV-encoded form of the same list binds identically through the
+    // array branch's textual leniency (ADVICE r13: the pre-typed-param
+    // client shape must keep working, not silently break)
+    val rsCsv = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":34,"method":"tools/call","params":{"name":"dedup_threshold_sweep","arguments":{"thresholds_x1e4":"8500, 9200,9700,9900"}}}""").get)
+    assert(!rsCsv.at("/result/isError").asBoolean(false), s"CSV-encoded array errored: $rsCsv")
+    val sweepRowsCsv = (0 until rsCsv.at("/result/content").size())
+      .map(i => mapper.readTree(rsCsv.at("/result/content").get(i).get("text").asText()))
+      .map(n => (n.get("thr").asLong(), n.get("n_pairs").asLong(),
+        n.get("n_dropped").asLong(), n.get("dropped_tokens").asLong()))
+    assert(sweepRowsCsv == q358,
+      s"CSV-encoded thresholds diverged from the JSON-array form:\n csv=$sweepRowsCsv\n q358=$q358")
+
     // corpus_novelty at q368's operating point (10 batches): exactly its
     // rows — the same drift-guard discipline (only q368 is DuckDB-gated).
     val rn = mapper.readTree(srv.handleLine(
@@ -587,10 +600,22 @@ class ProtocolSpec extends SparkSpec {
       """{"jsonrpc":"2.0","id":66,"method":"tools/call","params":{"name":"typed_probe","arguments":{"lo":1,"strict":"yes","tags":[]}}}""").get)
     assert(badBool.at("/result/content").get(0).get("text").asText()
       .contains("parameter 'strict' expects boolean"), s"bad bool: $badBool")
+    // a CSV-encoded string is the array analogue of "5"-for-integer and
+    // binds leniently (ADVICE r13); a structurally non-array node (an
+    // object, or an array of containers) stays a shape violation
+    val csvArr = mapper.readTree(srv2.handleLine(
+      """{"jsonrpc":"2.0","id":67,"method":"tools/call","params":{"name":"typed_probe","arguments":{"lo":1,"strict":false,"tags":"a, b"}}}""").get)
+    assert(!csvArr.at("/result/isError").asBoolean(false), s"CSV array should bind: $csvArr")
+    assert(mapper.readTree(csvArr.at("/result/content").get(0).get("text").asText())
+      .get("has_b").asBoolean(), s"CSV 'a, b' should contain b: $csvArr")
     val badArr = mapper.readTree(srv2.handleLine(
-      """{"jsonrpc":"2.0","id":67,"method":"tools/call","params":{"name":"typed_probe","arguments":{"lo":1,"tags":"a,b"}}}""").get)
+      """{"jsonrpc":"2.0","id":68,"method":"tools/call","params":{"name":"typed_probe","arguments":{"lo":1,"tags":{"a":1}}}}""").get)
     assert(badArr.at("/result/content").get(0).get("text").asText()
       .contains("parameter 'tags' expects array"), s"bad array: $badArr")
+    val nestedArr = mapper.readTree(srv2.handleLine(
+      """{"jsonrpc":"2.0","id":69,"method":"tools/call","params":{"name":"typed_probe","arguments":{"lo":1,"tags":[["a"]]}}}""").get)
+    assert(nestedArr.at("/result/content").get(0).get("text").asText()
+      .contains("parameter 'tags' expects array"), s"nested array: $nestedArr")
 
     // (d) an unsupported declared type is a loud config error, not a
     // silently-string param

@@ -33,6 +33,32 @@ class TimeoutSpec extends SparkSpec {
     assert(mapper.readTree(ok.at("/result/content/0/text").asText()).get("n").asLong() == 5L)
   }
 
+  test("a spark-pipeline tool's eager plan-construction work is inside the timeout scope") {
+    // ADVICE r13: pipeline operators run eager Spark actions (counts,
+    // localCheckpoints) while BUILDING their DataFrame — before this fix
+    // that work ran outside the collectRows job-group wrapper, so
+    // --query-timeout-ms could never cancel it. A 1 ms ceiling cannot be
+    // met by any Spark job, so this call only passes if the construction
+    // phase itself is cancellable.
+    Tables.register(spark, sfDir)
+    val pipelineConfig = ToolboxConfig(
+      Seq(SourceDef("testdata", "dataset-dir", Map("path" -> sfDir))),
+      Seq(ToolDef("semantic_decontaminate", "spark-pipeline", "q403 screen",
+        Seq(ParamDef("threshold_x1e4", "integer", "", required = true)),
+        "semantic_decontaminate", source = "testdata")))
+    val strict = new McpServer(spark, pipelineConfig, queryTimeoutMs = 1)
+    val call = """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":8500}}}"""
+    val resp = mapper.readTree(strict.handleLine(call).get)
+    assert(resp.at("/result/isError").asBoolean(false), resp.toString)
+    assert(resp.at("/result/content/0/text").asText().contains("cancelled"), resp.toString)
+    // the cancel must not poison the session: the same call on an
+    // unlimited server still produces rows
+    val open = new McpServer(spark, pipelineConfig)
+    val ok = mapper.readTree(open.handleLine(call).get)
+    assert(!ok.at("/result/isError").asBoolean(false), ok.toString)
+    assert(ok.at("/result/content").size() > 0, ok.toString)
+  }
+
   test("timeout 0 means unlimited (default posture unchanged)") {
     Tables.register(spark, sfDir)
     val server = new McpServer(spark, ToolboxConfig(Nil, Nil))
