@@ -107,8 +107,31 @@ object Bench {
         name -> sec
       }.toMap
     }
-    val results: Seq[(String, Double)] = names.map { name =>
+    // The same discipline for the heavy BATCH tail (VERDICT r13 #4): the
+    // >3 s entries are exactly the band where one noisy window both hides a
+    // real 1.5x regression and fakes one (r13's q281 read 4.07 s in the
+    // final window vs 1.88 s same-day A/B). One extra best-of pass over the
+    // entries still reading >3 s after the main passes.
+    val interim: Map[String, Double] = names.map { name =>
       val ts = (passes.flatMap(_.get(name)) ++ streamingPass.get(name)).filter(_ >= 0)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
+    }.toMap
+    val heavyNames = names.filter(n => interim(n) > 3.0 && !streamingNames.contains(n))
+    val heavyPass: Map[String, Double] = {
+      System.gc()
+      heavyNames.map { name =>
+        val t0 = System.nanoTime()
+        val sec =
+          try {
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        System.err.println(f"[bench] ph $name%-24s ${sec}%8.3f s")
+        name -> sec
+      }.toMap
+    }
+    val results: Seq[(String, Double)] = names.map { name =>
+      val ts = (Seq(interim(name)) ++ heavyPass.get(name)).filter(_ >= 0)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }
     def jmap(rs: Seq[(String, Double)]): String =
@@ -122,7 +145,10 @@ object Bench {
     // totals plus the 20 slowest queries — so it always parses.
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_full_latest.json"), full + "\n")
-    System.err.println(full)
+    // Do NOT echo the full record to stderr: the driver's ~2000-char tail
+    // capture interleaves it right before the final stdout line, embedding
+    // a truncated JSON fragment in BENCH_r*.json.tail (VERDICT r12/r13 nit).
+    System.err.println(s"[bench] full per-query record -> BENCH_full_latest.json (${results.size} queries)")
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(top)},"n_queries":${results.size},"failed":$failed,"queries_full":"BENCH_full_latest.json","sf":"$sfDir"}""")
     spark.stop()

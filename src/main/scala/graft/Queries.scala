@@ -3102,7 +3102,7 @@ object Queries {
     // cut (percentile cutoffs, no global window) for corpus scale. ----
     // SCALE-AUDIT: q286_perplexity_buckets -> q286b_perplexity_buckets_at_scale
     // PLAN-REGISTRY global-window q286_perplexity_buckets: post-aggregate small spine: the DECLARED sf-pinned global-NTILE twin of q286b
-    // PLAN-REGISTRY float-agg q286_perplexity_buckets: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
+    // PLAN-REGISTRY float-agg q286_perplexity_buckets: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY). BOUNDARY HAZARD (ADVICE r13): the r13 rewrite from per-instance AVG(LN p) to SUM(k*LN p)/SUM(k) changes float summation order vs the oracle; ROUND(,4) absorbs ULP except within ~1 ULP of a 0.00005 rounding boundary — a future oracle mismatch here (or an NTILE order flip) is a rounding artifact, triage to this note before suspecting logic.
     q2("q286_perplexity_buckets",
       // scoring stage shares q265's single-explode factoring (the pinned
       // part of this twin is the global NTILE, not the explode): per-doc
@@ -3147,7 +3147,7 @@ object Queries {
     // 100 TB swap in approx_percentile unchanged. Both engines use the
     // same (n-1)p linear interpolation, so cutoffs and buckets agree
     // bit-for-bit. q286 stays as the sf-pinned exact-tertile oracle. ----
-    // PLAN-REGISTRY float-agg q286b_perplexity_buckets_at_scale: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
+    // PLAN-REGISTRY float-agg q286b_perplexity_buckets_at_scale: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY). BOUNDARY HAZARD (ADVICE r13): SUM(k*LN p)/SUM(k) summation-order note — see q286's registry line; mismatches within 1 ULP of a 0.00005 boundary are rounding, not logic.
     q2("q286b_perplexity_buckets_at_scale",
       // the char explode (the dominant linear pass) runs ONCE into per-doc
       // bigram counts; the model (cnt) and the scoring join both consume

@@ -566,7 +566,7 @@ object Ext {
     // measured constant was the steepest in the catalog (VERDICT r12 #7).
     // The weighted mean SUM(k·ln p)/SUM(k) equals the per-instance AVG
     // exactly; summation-order ULP is absorbed by the same ROUND(,4).
-    // PLAN-REGISTRY float-agg q265_bigram_lm_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY)
+    // PLAN-REGISTRY float-agg q265_bigram_lm_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY). BOUNDARY HAZARD (ADVICE r13): the r13 single-explode factoring scores via SUM(k*LN p)/SUM(k) — different float summation order than the oracle's per-instance AVG(LN p); ROUND(,4) absorbs ULP except within ~1 ULP of a 0.00005 boundary, so a future fixture mismatch here is rounding, not logic.
     "q265_bigram_lm_score" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       s.sql("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
