@@ -3679,13 +3679,21 @@ object Queries {
     // generate_series is empty, so unguarded <3-word docs would emit
     // phantom shingles (VERDICT r7 #6). ----
     // SCALE-AUDIT: q301_fuzzy_decontamination -> q301b_fuzzy_decontamination_capped
+    // The 16-slot signature hashes each shingle ONCE (one md5 -> 48-bit
+    // base h) and derives slot i's value by the affine universal family
+    // (2i+1)*h + i*c mod p (p = the portable-hash prime < 2^53, products
+    // <= 31*2^48 so no BIGINT overflow) — the q286b single-explode
+    // discipline applied to hashing (VERDICT r13 #6): the md5 work drops
+    // 16x and the explode carries only integer arithmetic. Both dialects
+    // state the identical integer map, so the estimate stays oracle-exact.
     q2("q301_fuzzy_decontamination",
       """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(CAST(CONV(SUBSTR(md5(concat(g, '#', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS mh
-        |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
+        |hv AS (SELECT doc_id, CAST(CONV(SUBSTR(md5(g), 1, 12), 16, 10) AS BIGINT) AS h FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((2*i + 1) * h + i * 1000003) % 9007199254740881) AS mh
+        |       FROM hv LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
         |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
         |      FROM mh e JOIN mh t ON e.i = t.i
@@ -3700,8 +3708,9 @@ object Queries {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(('0x' || substr(md5(concat(g, '#', CAST(i AS VARCHAR))), 1, 12))::BIGINT) AS mh
-        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((2*i + 1) * h + i * 1000003) % 9007199254740881) AS mh
+        |       FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
         |p AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
         |        SUM(CASE WHEN e.mh = t.mh THEN 1 ELSE 0 END) AS matches
         |      FROM mh e JOIN mh t ON e.i = t.i
@@ -3734,8 +3743,9 @@ object Queries {
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(CAST(CONV(SUBSTR(md5(concat(g, '#', CAST(i AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS mh
-        |       FROM sh LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
+        |hv AS (SELECT doc_id, CAST(CONV(SUBSTR(md5(g), 1, 12), 16, 10) AS BIGINT) AS h FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((2*i + 1) * h + i * 1000003) % 9007199254740881) AS mh
+        |       FROM hv LATERAL VIEW explode(sequence(0, 15)) s AS i GROUP BY doc_id, i),
         |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
         |       GROUP BY i, mh HAVING COUNT(*) <= 32),
         |hit AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS matches
@@ -3753,8 +3763,9 @@ object Queries {
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(2, len(w) - 1),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE len(w) >= 3),
-        |mh AS (SELECT doc_id, i, MIN(('0x' || substr(md5(concat(g, '#', CAST(i AS VARCHAR))), 1, 12))::BIGINT) AS mh
-        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM sh),
+        |mh AS (SELECT doc_id, i, MIN(((2*i + 1) * h + i * 1000003) % 9007199254740881) AS mh
+        |       FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s GROUP BY doc_id, i),
         |tb AS (SELECT i, mh FROM mh WHERE doc_id % 97 <> 0
         |       GROUP BY i, mh HAVING COUNT(*) <= 32),
         |hit AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS matches
