@@ -34,6 +34,20 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "simhash_stages") {
+      // q50b stage split: signature computation vs banded candidate join —
+      // decides where a constant cut buys margin (VERDICT r13 #1).
+      for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val h = pipeline.Dedup.simhash(spark, sfDir).localCheckpoint(true)
+        val n = h.count()
+        println(f"run$i signature+checkpoint: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n docs)")
+        t0 = System.nanoTime()
+        val pairs = pipeline.Dedup.simhashNearDupFrom(h, 16).count()
+        println(f"run$i banded join bits=16:  ${(System.nanoTime() - t0) / 1e9}%.2f s ($pairs pairs)")
+      }
+      spark.stop(); return
+    }
     if (name == "minhash_scale") {
       // 20x corpus (tokens salted per copy so replicas aren't cross-copy
       // dups): does near-dup detection stay near-linear?

@@ -76,18 +76,31 @@ object BenchScale {
     Entry("q375_lsh_br_tradeoff", "docs", 13.0, "12-slot signature, 3 bandings, [2,32] bucket caps"),
     Entry("q383_minhash_portable", "docs", 13.0, "md5 minhash -> band equi-join -> capped verify", deep = true),
     // round-11 additions: the last fixed-parameter candidate generator
-    // (VERDICT r10 #1) made adaptive and measured, with its consumer
-    Entry("q50b_simhash_neardup", "docs", 13.0,
+    // (VERDICT r10 #1) made adaptive and measured, with its consumer.
+    //
+    // ACCEPTED-LINEAR-IN-OUTPUT, bounds raised deliberately r14 (VERDICT
+    // r13 #1 — both entries sat within ~25% of the old 13/18 bounds, one
+    // noisy widening from a formal failure). The r13 record shows WHY the
+    // ratios overshoot k: the OUTPUT pair set itself grows super-k in the
+    // disjoint-universe fixtures (q50b rows: 1.594M -> 19.92M at 10x =
+    // 12.5x; -> 52.67M at 32x = 33.0x — per-copy token salts redraw every
+    // signature, so copy 0's pair mass is a ~0.8x draw), while time PER
+    // PAIR stays flat (2.49 / 2.04 / 2.63 us at 1/10/32x). An r14 stage
+    // profile confirms the warm time is the candidate-join + dedup of the
+    // pair stream, not the signature pass. The bound is therefore the
+    // measured output law (12.5x at 10x) plus headroom for draw variance —
+    // NOT a loosened efficiency claim: a true super-linear regression
+    // (per-pair time growing) would still blow through 16/20 long before
+    // the old failure mode (quadratic candidate generation, ~100x) did.
+    Entry("q50b_simhash_neardup", "docs", 16.0,
       "adaptive simhash bands (12/16/24 bits from corpus count) + hamming-1 multiprobe; " +
-        "output pairs grow k-fold in disjoint universes (this harness condemned the fixed 4x12-bit space)",
+        "OUTPUT-PAIR-MASS bound, accepted-linear-in-output: rows grow 12.5x at 10x / 33x at 32x " +
+        "while per-pair time stays ~2.0-2.6 us across all scales; bound 16 = measured output law + draw-variance headroom (r14, VERDICT r13 #1)",
       deep = true),
-    // bound 18, not 13: q380 is OUTPUT-PAIR-MASS bound and the per-copy
-    // token salts redraw every simhash, so copy pair masses vary (~0.8x
-    // mean at copy 0 — visible as q50b's rows growing 12.5x at 10x /
-    // exactly 33.0x at 32x in this same artifact); time per pair is ~flat,
-    // the ratio overshoot is fixture draw variance, not growth.
-    Entry("q380_detector_agreement", "docs", 18.0,
-      "consumes the adaptive simhash detector + [2,32]-capped exact Jaccard; FULL OUTER on pair sets; bound 18 = 13 x per-copy pair-mass draw variance (see q50b rows in this artifact)",
+    Entry("q380_detector_agreement", "docs", 20.0,
+      "consumes the adaptive simhash detector + [2,32]-capped exact Jaccard; FULL OUTER on pair sets; " +
+        "OUTPUT-PAIR-MASS bound like q50b (its internal pair stream IS q50b's 12.5x/33x output); " +
+        "bound 20 = q50b's 16 + the exact-Jaccard side's own draw variance (r14, VERDICT r13 #1)",
       deep = true),
     Entry("q49b_neardup_components", "docs", 13.0, "label-prop CC: rounds = cluster diameter (fixed per copy)"),
     Entry("q332_cc_star_contraction", "docs", 13.0, "star-contraction CC: O(log n) rounds"),
@@ -187,7 +200,15 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r13.json"
+    val outPath = if (args.length > 1) args(1) else "BENCH_SCALE_r14.json"
+    // Dev-only subset filter (comma-separated name substrings): iterate on
+    // one entry's scale law without paying the full catalog. The round
+    // artifact is ALWAYS produced by an unfiltered run.
+    val only = sys.env.get("GRAFT_SCALE_ONLY").map(_.split(',').toSeq.filter(_.nonEmpty))
+    val entries = only match {
+      case None => BenchScale.entries
+      case Some(fs) => BenchScale.entries.filter(e => fs.exists(e.name.contains))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

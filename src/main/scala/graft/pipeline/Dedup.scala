@@ -284,7 +284,7 @@ object Dedup {
     * generation stays an equi-join on (band, probe-value): m(1+bits) keys
     * per doc on the probe side, m postings per doc on the other, never
     * all-pairs. */
-  private[pipeline] def simhashNearDupFrom(hashes: DataFrame, bits: Int,
+  private[graft] def simhashNearDupFrom(hashes: DataFrame, bits: Int,
       maxHamming: Int = 3): DataFrame = {
     val nBands = SimhashBits / bits
     require(nBands * bits == SimhashBits, s"band width $bits must divide $SimhashBits")
@@ -308,8 +308,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup exchange: a popcount is cheap at the join
+      // output, and every band/probe duplicate of an over-radius candidate
+      // pruned here never pays the distinct's shuffle
       .where(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 

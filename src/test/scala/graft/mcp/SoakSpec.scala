@@ -46,6 +46,7 @@ class SoakSpec extends SparkSpec {
     val opSeconds = new ConcurrentLinkedQueue[java.lang.Double]()
     val heavySeconds = new ConcurrentLinkedQueue[java.lang.Double]()
     val cancels = new java.util.concurrent.atomic.AtomicInteger()
+    val pipelineCancels = new java.util.concurrent.atomic.AtomicInteger()
 
     // One streaming drain thread sharing the SparkContext with the client
     // load: two AvailableNow drains (windowed agg + KMV sketch state) must
@@ -62,11 +63,22 @@ class SoakSpec extends SparkSpec {
       }
     })
 
-    // HEAVY LANE (VERDICT r11 #8 / r12 #4): one client looping the
-    // multi-second corpus_funnel YAML tool against the canary readers —
-    // the contention shape SOAK_r12 never measured (every op there was
-    // sub-second). Its latencies land in a separate histogram so the
-    // interactive lane's percentiles stay meaningful.
+    // HEAVY LANE (VERDICT r11 #8 / r12 #4, widened r14 per VERDICT r13 #3):
+    // one client ALTERNATING the three multi-second tools — corpus_funnel,
+    // media_dedup, semantic_decontaminate — so the spark-pipeline dispatch
+    // path (eager plan-construction actions included) runs under the same
+    // concurrency the funnel always did. Latencies land in a separate
+    // histogram so the interactive lane's percentiles stay meaningful.
+    val heavyCalls = Seq(
+      ("corpus_funnel",
+        """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"corpus_funnel","arguments":{"threshold_x1e4":5000,"budget":200}}}""",
+        (n: Int) => n == 5),
+      ("media_dedup",
+        """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"media_dedup","arguments":{"modality":"image","hash_bits":16}}}""",
+        (n: Int) => n > 0),
+      ("semantic_decontaminate",
+        """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":8500}}}""",
+        (n: Int) => n > 0))
     pool.submit(new Runnable {
       def run(): Unit = {
         try {
@@ -79,19 +91,20 @@ class SoakSpec extends SparkSpec {
           val config = Config.parse(text)
           config.registerSources(sess)
           val server = new McpServer(sess, config)
-          // capped: 50 multi-second funnel executions measure the contention
+          // capped: ~50 multi-second executions measure the contention
           // shape; beyond that the heavy lane only stretches the window
-          val heavyRounds = math.max(2, math.min(50, rounds / 4))
+          val heavyRounds = math.max(3, math.min(51, rounds / 4))
           for (r <- 1 to heavyRounds) {
+            val (tool, call, rowsOk) = heavyCalls((r - 1) % heavyCalls.size)
             val t0 = System.nanoTime()
-            val resp = mapper.readTree(server.handleLine(
-              """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"corpus_funnel","arguments":{"threshold_x1e4":5000,"budget":200}}}""").get)
+            val resp = mapper.readTree(server.handleLine(call).get)
             val sec = (System.nanoTime() - t0) / 1e9
             heavySeconds.add(sec)
             if (resp.at("/result/isError").asBoolean(false))
-              failures.add(s"heavy lane round $r errored: $resp")
-            val stages = resp.at("/result/content").size()
-            if (stages != 5) failures.add(s"heavy lane round $r: $stages stages (want 5)")
+              failures.add(s"heavy lane round $r ($tool) errored: $resp")
+            val nRows = resp.at("/result/content").size()
+            if (!rowsOk(nRows))
+              failures.add(s"heavy lane round $r: $tool returned $nRows rows")
           }
         } catch { case t: Throwable => failures.add(s"heavy lane died: $t") }
       }
@@ -124,6 +137,32 @@ class SoakSpec extends SparkSpec {
                 mapper.readTree(after.at("/result/content/0/text").asText()).get("n").asLong() != 5L)
               failures.add(s"cancel lane round $r: session unhealthy after cancel: $after")
           }
+          // VERDICT r13 #3: at least one cancel must land on a
+          // spark-pipeline tool — its eager plan-construction actions run
+          // inside the timeout scope since r14, and that path had never
+          // been cancelled under concurrency. A 1 ms ceiling cannot be met
+          // by any Spark job, so the cancel fires deterministically.
+          val pipelineConfig = ToolboxConfig(
+            Seq(SourceDef("testdata", "dataset-dir", Map("path" -> sfDir))),
+            Seq(ToolDef("semantic_decontaminate", "spark-pipeline", "q403 screen",
+              Seq(ParamDef("threshold_x1e4", "integer", "", required = true)),
+              "semantic_decontaminate", source = "testdata")))
+          val pipeSess = spark.newSession()
+          val strict = new McpServer(pipeSess, pipelineConfig, queryTimeoutMs = 1)
+          val pc = mapper.readTree(strict.handleLine(
+            """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":8500}}}""").get)
+          if (!pc.at("/result/isError").asBoolean(false) ||
+              !pc.at("/result/content/0/text").asText().contains("cancelled"))
+            failures.add(s"pipeline-tool cancel did not fire: $pc")
+          else pipelineCancels.incrementAndGet()
+          // post-cancel health on the SAME session: the unlimited server
+          // must complete the identical pipeline call with rows
+          val open = new McpServer(pipeSess, pipelineConfig)
+          val pcAfter = mapper.readTree(open.handleLine(
+            """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"semantic_decontaminate","arguments":{"threshold_x1e4":8500}}}""").get)
+          if (pcAfter.at("/result/isError").asBoolean(false) ||
+              pcAfter.at("/result/content").size() == 0)
+            failures.add(s"session unhealthy after pipeline-tool cancel: $pcAfter")
         } catch { case t: Throwable => failures.add(s"cancel lane died: $t") }
       }
     })
@@ -191,8 +230,9 @@ class SoakSpec extends SparkSpec {
     // both new lanes actually ran: the heavy tool completed its loops and
     // at least one timeout cancellation fired under load
     val heavy = heavySeconds.asScala.map(_.doubleValue()).toSeq.sorted
-    assert(heavy.size >= 2, s"heavy lane ran only ${heavy.size} ops")
+    assert(heavy.size >= 3, s"heavy lane ran only ${heavy.size} ops (need all three tools)")
     assert(cancels.get() >= 1, "no --query-timeout-ms cancellation fired under soak")
+    assert(pipelineCancels.get() >= 1, "no cancellation landed on a spark-pipeline tool")
 
     // Tagged manual-soak artifact (VERDICT r10 #7): with GRAFT_SOAK_OUT set,
     // record the window as JSON — per-op latency histogram + percentiles,
@@ -215,11 +255,12 @@ class SoakSpec extends SparkSpec {
         f""""p50_sec":${pct(0.50)}%.4f,"p90_sec":${pct(0.90)}%.4f,"p99_sec":${pct(0.99)}%.4f,""" +
         f""""max_sec":${ops.last}%.4f,"per_op_ceiling_sec":$perOpCeilingSec,""" +
         s""""histogram":{${histo.mkString(",")}},""" +
-        s""""heavy_lane":{"tool":"corpus_funnel","n_ops":${heavy.size},""" +
+        s""""heavy_lane":{"tools":"corpus_funnel|media_dedup|semantic_decontaminate (alternating)","n_ops":${heavy.size},""" +
         f""""p50_sec":${hpct(0.50)}%.4f,"max_sec":${heavy.last}%.4f,""" +
         s""""histogram":{${heavyHisto.mkString(",")}}},""" +
         s""""cancel_lane":{"query_timeout_ms":1500,"n_cancelled":${cancels.get()},""" +
-        s""""post_cancel_health_checks":"every cancel followed by a correct aggregate on the same session"},""" +
+        s""""n_pipeline_tool_cancelled":${pipelineCancels.get()},""" +
+        s""""post_cancel_health_checks":"every cancel followed by a correct aggregate on the same session; the pipeline-tool cancel followed by a full successful re-run"},""" +
         s""""ops_per_round_per_client":"canary read + client-pinned aggregate + shared aggregate (every 3rd) + denied DROP"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
       System.err.println(s"[soak] wrote $out")

@@ -4,6 +4,13 @@ keys). Writes LEAKCHECK.json with scan evidence — file count, LoC, and a
 UTC timestamp — so a re-run is distinguishable from a manual round bump.
 
 Usage: leakcheck.py <round>
+       leakcheck.py --merge    # re-emit the provenance form over whatever is
+                               # on disk, preserving its round number — the
+                               # round-close self-heal (VERDICT r13 #5: the
+                               # driver's post-commit scan overwrites the
+                               # worktree artifact without provenance; running
+                               # this as the last builder action re-scans and
+                               # restores the evidenced form)
 """
 import datetime
 import json
@@ -77,5 +84,16 @@ def main(rnd):
     return 0 if out["n_hits"] == 0 else 1
 
 
+def merged_round():
+    """Round number from the existing LEAKCHECK.json, whatever its shape."""
+    p = pathlib.Path(__file__).resolve().parent.parent / "LEAKCHECK.json"
+    try:
+        return int(json.loads(p.read_text()).get("round", 0))
+    except (OSError, ValueError, json.JSONDecodeError):
+        return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--merge":
+        sys.exit(main(merged_round()))
     sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 0))
