@@ -22,12 +22,13 @@ object PipelineTools {
   /** Registered pipeline names — [[Config.parse]] rejects a YAML tool whose
     * statement names anything else at LOAD time (VERDICT r13 #2), so the
     * run-time default below is unreachable from a loaded config. */
-  val Known: Set[String] = Set("media_dedup", "semantic_decontaminate")
+  val Known: Set[String] = Set("media_dedup", "semantic_decontaminate", "stream_decontaminate")
 
   def run(pipeline: String, spark: SparkSession, dir: String,
       args: Map[String, Any]): DataFrame = pipeline match {
     case "media_dedup" => mediaDedup(spark, dir, args)
     case "semantic_decontaminate" => semanticDecontaminate(spark, dir, args)
+    case "stream_decontaminate" => streamDecontaminate(spark, dir, args)
     case other =>
       throw new IllegalArgumentException(s"unknown pipeline '$other' " +
         s"(available: ${Known.toSeq.sorted.mkString(", ")})")
@@ -63,6 +64,28 @@ object PipelineTools {
         s"threshold_x1e4 must be in [0, 10000], got $thr")
     graft.pipeline.Similarity.semanticDecontamination(spark, dir, thr / 10000.0)
   }
+
+  /** Ingest-time decontamination screens as a declarative STREAMING tool
+    * (VERDICT r13 #8 — the first `tools/list`-advertised streaming
+    * operator): a bounded AvailableNow drain of the exact-gram screen
+    * (q400: arriving train docs' 3-grams stream-static joined against the
+    * eval gram set) or the semantic screen (q405: arriving train vectors
+    * sign-LSH coded in-micro-batch against the hamming-1 eval probe
+    * index, exact-cosine verified). Both dispatch to the SAME catalog
+    * entries the driver oracle-gates, so the tool cannot drift from the
+    * verified semantics; the drain's eager awaitTermination runs inside
+    * the server's timeout scope like every other pipeline construction. */
+  private def streamDecontaminate(spark: SparkSession, dir: String,
+      args: Map[String, Any]): DataFrame =
+    stringArg(args, "mode") match {
+      case "exact" =>
+        graft.SparkEntry.queries("q400_stream_decontamination")(spark, dir)
+      case "semantic" =>
+        graft.SparkEntry.queries("q405_stream_semantic_decontamination")(spark, dir)
+      case other =>
+        throw new IllegalArgumentException(
+          s"mode must be 'exact' or 'semantic', got '$other'")
+    }
 
   /** Perceptual media dedup — q396 (image, brightness-invariant grid
     * average-hash) / q397 (audio, DC-invariant frame-sign fingerprint) with

@@ -120,7 +120,7 @@ class ConfigMatrixSpec extends SparkSpec {
     }
     assert(e.getMessage ===
       "tool 'broken' names unknown pipeline 'no_such_pipeline' " +
-        "(available: media_dedup, semantic_decontaminate)")
+        "(available: media_dedup, semantic_decontaminate, stream_decontaminate)")
   }
 
   test("a spark-pipeline tool naming an undeclared source is rejected at config load") {

@@ -830,6 +830,50 @@ class ProtocolSpec extends SparkSpec {
     assert(bad.at("/result/content").get(0).get("text").asText().contains("[0, 10000]"))
   }
 
+  test("stream_decontaminate spark-pipeline tool drains the q400/q405 streaming screens declaratively") {
+    // VERDICT r13 #8: the first tools/list-advertised STREAMING operator.
+    // Both modes dispatch to the exact catalog entries the driver
+    // oracle-gates, so the drift pin is row equality against them.
+    val text = Config.substituteEnv(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("examples/tools.yaml"))),
+      Map("SPARK_GRAFT_SF_DIR" -> sfDir))
+    val config = Config.parse(text)
+    config.registerSources(spark)
+    val srv = new McpServer(spark, config)
+
+    def drive(mode: String): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+      val r = mapper.readTree(srv.handleLine(
+        s"""{"jsonrpc":"2.0","id":80,"method":"tools/call","params":{"name":"stream_decontaminate","arguments":{"mode":"$mode"}}}""").get)
+      assert(!r.at("/result/isError").asBoolean(false), s"stream_decontaminate($mode) errored: $r")
+      (0 until r.at("/result/content").size())
+        .map(i => mapper.readTree(r.at("/result/content").get(i).get("text").asText()))
+    }
+    // exact-gram screen == q400's rows
+    val exact = drive("exact")
+      .map(n => (n.get("doc_id").asLong(), n.get("source").asText(), n.get("n_shared_grams").asLong()))
+    val q400 = graft.SparkEntry.queries("q400_stream_decontamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(exact == q400, s"stream_decontaminate(exact) diverged from q400:\n tool=$exact\n q400=$q400")
+    assert(exact.nonEmpty, "q400 screen drained no rows")
+    // semantic screen == q405's rows (6-dp normalize like the q403 pin)
+    val sem = drive("semantic")
+      .map(n => (n.get("eval_id").asLong(), n.get("train_id").asLong(),
+        math.rint(n.get("cos_sim").asDouble() * 1e6) / 1e6))
+    val q405 = graft.SparkEntry.queries("q405_stream_semantic_decontamination")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e6) / 1e6)).toSeq
+    assert(sem == q405, s"stream_decontaminate(semantic) diverged from q405")
+    assert(sem.nonEmpty, "q405 screen drained no rows")
+    // unknown mode is a structured tool error and the server stays alive
+    val bad = mapper.readTree(srv.handleLine(
+      """{"jsonrpc":"2.0","id":81,"method":"tools/call","params":{"name":"stream_decontaminate","arguments":{"mode":"fuzzy"}}}""").get)
+    assert(bad.at("/result/isError").asBoolean(false))
+    assert(bad.at("/result/content").get(0).get("text").asText()
+      .contains("mode must be 'exact' or 'semantic'"))
+    val pong = mapper.readTree(srv.handleLine("""{"jsonrpc":"2.0","id":82,"method":"ping"}""").get)
+    assert(pong.has("result"))
+  }
+
   test("env substitution in config text") {
     val out = Config.substituteEnv("path: ${GRAFT_TEST_HOME}/x", Map("GRAFT_TEST_HOME" -> "/data"))
     assert(out == "path: /data/x")
