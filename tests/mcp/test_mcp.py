@@ -208,11 +208,23 @@ def test_typed_yaml_tool(initialized):
     sub = [json.loads(c["text"]) for c in one["result"]["content"]]
     assert len(sub) == 1 and sub[0] == rows[0], f"array filter drift: {sub} vs {rows[0]}"
 
+    # a CSV-encoded string binds leniently through the array branch
+    # (ADVICE r13 — the array analogue of "5"-for-integer), producing the
+    # same rows as the equivalent JSON list; a structurally non-array node
+    # (an object) stays a shape violation
+    csv_form = rpc_roundtrip(initialized, {
+        "jsonrpc": "2.0", "method": "tools/call",
+        "params": {"name": "source_mix",
+                   "arguments": {"sources": rows[0]["source"], "min_chars": 0}},
+        "id": 11})
+    csv_rows = [json.loads(c["text"]) for c in csv_form["result"]["content"]]
+    assert csv_rows == sub, f"CSV-encoded array drifted from JSON list: {csv_rows} vs {sub}"
+
     bad = rpc_roundtrip(initialized, {
         "jsonrpc": "2.0", "method": "tools/call",
         "params": {"name": "source_mix",
-                   "arguments": {"sources": "src0", "min_chars": 0}},
-        "id": 11})
+                   "arguments": {"sources": {"a": 1}, "min_chars": 0}},
+        "id": 14})
     assert bad["result"].get("isError") is True
     assert "parameter 'sources' expects array" in bad["result"]["content"][0]["text"]
 
