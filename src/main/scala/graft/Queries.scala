@@ -490,31 +490,11 @@ object Queries {
     //      adjacent id, array_intersect per pair) shuffles fewer rows but
     //      measured ~20% slower at sf0.1 — codegen'd hash agg absorbs the
     //      row volume; see BenchOne `ngram_explode_vs_array`. ----
-    q2("q46_ngram_jaccard",
-      """WITH ds AS (
-        |  SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
-        |                                                  i -> substr(text, i, 3)))) AS g
-        |  FROM documents WHERE length(text) >= 3),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-        |  FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
-        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
-        |ORDER BY i.a_id""".stripMargin,
-      """WITH ds AS (
-        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
-        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
-        |        FROM documents WHERE length(text) >= 3) x),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-        |  FROM ds a JOIN ds b ON a.g = b.g AND b.doc_id = a.doc_id + 1
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT i.a_id, i.b_id, ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
-        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id JOIN sizes sb ON sb.doc_id = i.b_id
-        |ORDER BY i.a_id""".stripMargin),
+    // q46_ngram_jaccard moved to pipeline/Ext.scala (round 14 optimization):
+    // the one-statement form re-executed the `ds` char-trigram explode three
+    // times (sizes + both self-join sides shuffle on different keys, so no
+    // exchange reuse); the Ext form materializes it once. Same SQL text per
+    // stage, same DuckDB oracle (Ext.oracles).
 
     // ---- streaming surface, batch-verifiable: 10-min tumbling window agg.
     //      (The same aggregation runs as a Structured Streaming query in
@@ -5098,100 +5078,16 @@ object Queries {
     // 1,127,406 candidate pairs to ~241 with the identical 236 drops, and
     // the stage from ~12 s to ~2.3 s. The DuckDB oracle stays UNPRUNED, so
     // the gate independently re-proves the bound's soundness on every run. ----
-    q2("q340_pipeline_funnel",
-      """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
-        |             size(split(text, ' ')) AS wc, n_chars, text FROM documents),
-        |ex AS (SELECT d0.* FROM d0
-        |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
-        |         ON d0.h = g.h AND d0.doc_id = g.kid),
-        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(ws, i, 3)) AS gram FROM
-        |       (SELECT doc_id, split(lt, ' ') AS ws FROM ex WHERE size(split(lt, ' ')) >= 3) t
-        |       LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
-        |cp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
-        |       FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |hotg AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 32),
-        |hz AS (SELECT doc_id, COUNT(*) AS hn FROM sh JOIN hotg USING (gram) GROUP BY doc_id),
-        |cand AS (SELECT cp.a_id, cp.b_id FROM cp
-        |         JOIN sz na ON cp.a_id = na.doc_id JOIN sz nb ON cp.b_id = nb.doc_id
-        |         LEFT JOIN hz ha ON cp.a_id = ha.doc_id
-        |         LEFT JOIN hz hb ON cp.b_id = hb.doc_id
-        |         WHERE 29999 * (cp.ic + LEAST(COALESCE(ha.hn, 0), COALESCE(hb.hn, 0)))
-        |               >= 9999 * (na.n + nb.n)),
-        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
-        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
-        |          GROUP BY c.a_id, c.b_id),
-        |drops AS (SELECT DISTINCT i.b_id FROM inter i
-        |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
-        |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
-        |nd AS (SELECT ex.* FROM ex LEFT ANTI JOIN drops ON ex.doc_id = drops.b_id),
-        |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
-        |        CAST(nd.wc AS BIGINT) * nd.wc - 300 * nd.wc + 50 * nd.n_chars
-        |        + 200 * size(filter(split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
-        |        + 300 * size(array_distinct(split(nd.text, ' '))) > 0),
-        |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
-        |tw AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS t FROM sq),
-        |qt AS (SELECT sq.source,
-        |         CAST(FLOOR(ROUND(200 * POWER(CAST(sq.n AS DOUBLE), 0.7) / tw.t, 9)) AS BIGINT) AS quota
-        |       FROM sq CROSS JOIN tw),
-        |mx AS (SELECT q.doc_id, q.wc FROM
-        |       (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.source
-        |          ORDER BY md5(CAST(q.doc_id AS STRING)), q.doc_id) AS rk FROM q) q
-        |       JOIN qt ON q.source = qt.source WHERE q.rk <= qt.quota)
-        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
-        |FROM (
-        |  SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs, SUM(wc) AS n_tokens FROM d0
-        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(wc) FROM ex
-        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(wc) FROM nd
-        |  UNION ALL SELECT 4, 'quality', COUNT(*), SUM(wc) FROM q
-        |  UNION ALL SELECT 5, 'mixed', COUNT(*), SUM(wc) FROM mx
-        |) ORDER BY ord""".stripMargin,
-      """WITH d0 AS (SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
-        |             len(string_split(text, ' ')) AS wc, n_chars, text FROM documents),
-        |ex AS (SELECT d0.* FROM d0
-        |       JOIN (SELECT h, MIN(doc_id) AS kid FROM d0 GROUP BY h) g
-        |         ON d0.h = g.h AND d0.doc_id = g.kid),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM
-        |       (SELECT doc_id, string_split(lt, ' ') AS ws FROM ex
-        |        WHERE len(string_split(lt, ' ')) >= 3) t,
-        |       UNNEST(range(1, len(ws) - 1)) AS x(i)),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |gc AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM sh a JOIN gc USING (gram) JOIN sh b USING (gram)
-        |         WHERE a.doc_id < b.doc_id),
-        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
-        |          FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.gram = sb.gram
-        |          GROUP BY c.a_id, c.b_id),
-        |drops AS (SELECT DISTINCT i.b_id FROM inter i
-        |          JOIN sz na ON i.a_id = na.doc_id JOIN sz nb ON i.b_id = nb.doc_id
-        |          WHERE ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 4) >= 0.5),
-        |nd AS (SELECT ex.* FROM ex ANTI JOIN drops ON ex.doc_id = drops.b_id),
-        |q AS (SELECT nd.* FROM nd WHERE nd.wc > 0 AND
-        |        CAST(nd.wc AS BIGINT) * nd.wc - 300 * nd.wc + 50 * nd.n_chars
-        |        + 200 * len(list_filter(string_split(nd.text, ' '), w -> w = 'the' OR w = 'a'))
-        |        + 300 * len(list_distinct(string_split(nd.text, ' '))) > 0),
-        |sq AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
-        |tw AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS t FROM sq),
-        |qt AS (SELECT sq.source,
-        |         CAST(FLOOR(ROUND(200 * POWER(CAST(sq.n AS DOUBLE), 0.7) / tw.t, 9)) AS BIGINT) AS quota
-        |       FROM sq CROSS JOIN tw),
-        |mx AS (SELECT q.doc_id, q.wc FROM
-        |       (SELECT q.*, ROW_NUMBER() OVER (PARTITION BY q.source
-        |          ORDER BY md5(CAST(q.doc_id AS VARCHAR)), q.doc_id) AS rk FROM q) q
-        |       JOIN qt ON q.source = qt.source WHERE q.rk <= qt.quota)
-        |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
-        |FROM (
-        |  SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs, SUM(wc) AS n_tokens FROM d0
-        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(wc) FROM ex
-        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(wc) FROM nd
-        |  UNION ALL SELECT 4, 'quality', COUNT(*), SUM(wc) FROM q
-        |  UNION ALL SELECT 5, 'mixed', COUNT(*), SUM(wc) FROM mx
-        |) ORDER BY ord""".stripMargin),
+    // q340_pipeline_funnel's Spark side moved to pipeline/Ext.scala (round
+    // 14 optimization): the one-statement form re-executed `sh` (the
+    // distinct trigram explode) up to seven times and the near-dup drops
+    // chain several times — 286 parquet scans in the executed plan. The Ext
+    // form materializes d0/ex/sh/drops/q once each (eager localCheckpoint),
+    // with stage SQL text unchanged. The DuckDB oracle below is identical
+    // to the pre-move spec (oracle now declared via Ext.oracles,
+    // Ext.funnelOracle).
+    // (q340's implementation + its unchanged DuckDB oracle now live in
+    // pipeline/Ext.scala — entry in Ext.queries, oracle in Ext.oracles.)
 
     // ---- [EXT] normalization-sensitivity dedup report: how many extra
     // duplicate docs a canonicalization pass (lowercase, punctuation
@@ -7334,12 +7230,20 @@ object Queries {
     // bitwise. Output = the selected ids in selection order with the
     // covering gain (the maximized min-d²) each selection achieved —
     // monotonically non-increasing by construction. ----
-    q2("q395_coreset_fps", fpsSql(duck = false), fpsSql(duck = true)),
+    // q395_coreset_fps moved to pipeline/Ext.scala (round 14): the unrolled
+    // single-statement CTE chain planned 748 parquet scans (Spark inlines
+    // multiply-referenced CTEs, and each FPS round references the previous
+    // round twice — top-1 pick and min-dist update — so the tree doubles
+    // per round); the Ext implementation materializes each round once with
+    // an eager localCheckpoint, identical integer arithmetic, same DuckDB
+    // oracle (fpsSql(duck = true) below).
   )
 
   /** Unrolled farthest-point-sampling rounds (q395) in either dialect —
-    * seed = vec_id 0, `rounds` further selections, incremental min-dist. */
-  private def fpsSql(duck: Boolean, rounds: Int = 7): String = {
+    * seed = vec_id 0, `rounds` further selections, incremental min-dist.
+    * The duck side remains q395's oracle (Ext.oracles); the spark side is
+    * retained for the BenchOne A/B harness. */
+  private[graft] def fpsSql(duck: Boolean, rounds: Int = 7): String = {
     def d2(a: String, b: String): String =
       if (duck)
         s"CAST(list_sum(list_transform(range(1, len($a) + 1), j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) AS BIGINT)"

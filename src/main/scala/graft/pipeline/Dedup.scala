@@ -107,12 +107,20 @@ object Dedup {
     * in a verified pair (cluster_size >= 2 by construction). */
   def nearDupComponents(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
     val pairs = minhashNearDup(spark, dir).select("a_id", "b_id")
+    // Eager localCheckpoint, NOT persist (the starContract lesson applied
+    // here too): persist caches blocks but leaves the logical lineage
+    // intact, so after N propagation rounds the returned DataFrame's plan
+    // nests the whole MinHash pipeline once per round per reference — the
+    // executed q49b plan carried ~1350 parquet scan nodes and q343 (which
+    // joins this output) re-analyzed the same tree. Checkpointing truncates
+    // the plan each round; the algorithm (min-label propagation, diameter
+    // rounds — the declared audit contract vs q332) is unchanged.
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).persist()
+      .withColumn("lbl", col("doc_id")).localCheckpoint(true)
     // Convergence check without a per-round comparison join: labels only
     // ever move by taking a MIN, so any change strictly DECREASES some lbl
     // and the total sum — sum(lbl) unchanged ⟺ a fixed point. Decimal(38,0)
@@ -131,19 +139,15 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      val s = lblSum(next) // one action: materializes next AND checks the sum
+        .localCheckpoint(true) // materializes next AND truncates its plan
+      val s = lblSum(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
-      labels.unpersist()
       labels = next
       it += 1
     }
     require(!changed,
       s"near-dup component propagation did not converge in $maxIters rounds")
-    // final labels are materialized (the convergence count ran them);
-    // the edge cache is no longer needed downstream
-    edges.unpersist()
     val comp = labels.withColumnRenamed("lbl", "canonical_id")
     val sizes = comp.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "canonical_id")
