@@ -485,6 +485,43 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "zorder_profile") {
+      // q260 stage split: quantile sketch vs bucket+shuffle+write vs readback.
+      import org.apache.spark.sql.functions._
+      val df = spark.table("events").select("event_id", "user_id", "event_type", "value")
+      for (i <- 1 to 2) {
+        val out = java.nio.file.Files.createTempDirectory("graft_zorder_prof").toString
+        var t0 = System.nanoTime()
+        val probs = (1 until 64).map(_.toDouble / 64).toArray // matches zorderWriteN
+        val qs = df.stat.approxQuantile(Array("user_id", "value"), probs, 0.001)
+        println(f"run$i approxQuantile: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        pipeline.Ops.zorderWrite(df, out, "user_id", "value", nFiles = 16)
+        println(f"run$i full zorderWrite: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        // finer: z-eval only, then repartition+sort to noop, then write-only
+        t0 = System.nanoTime()
+        val zdf = pipeline.Ops.zorderFrame(df, Seq("user_id", "value"), qs)
+        zdf.queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i z-eval pass: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        zdf.repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+          .write.format("noop").mode("overwrite").save()
+        println(f"run$i range+sort->noop: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        zdf.repartitionByRange(16, col("__z")).sortWithinPartitions("__z").drop("__z")
+          .write.mode("overwrite").parquet(out + "_w")
+        println(f"run$i range+sort->parquet: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        spark.read.parquet(out)
+          .where(col("user_id").between(10, 40) && col("value").between(50, 150))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+          .orderBy("event_type")
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i readback+agg: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

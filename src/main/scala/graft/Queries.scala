@@ -2933,8 +2933,10 @@ object Queries {
     // plan is one equi-join (ranks x edges) + one groupBy(dst) — the
     // scale-safe iterative-graph shape (same as q49b's label propagation);
     // nothing is collected, the rank vector stays distributed. ----
-    // PLAN-REGISTRY global-window q276_pagerank: post-aggregate small spine: final rank over 25 node scores
-    q2("q276_pagerank", pagerankSql("DIV"), pagerankSql("//")),
+    // (q276's implementation now lives in pipeline/Ext.scala — each
+    // unrolled PageRank step referenced the previous rank table twice, so
+    // the inlined tree doubled per round; Ext materializes each round
+    // once. Oracle unchanged: Ext.oracles uses Queries.pagerankSql("//").)
 
     // ---- [EXT] SCD2 snapshot lookup: LEAD builds (valid_from, valid_to]
     // intervals over each user's event stream, then 3 fixed snapshot times
@@ -7402,7 +7404,7 @@ object Queries {
 
   /** Integer-arithmetic PageRank SQL, identical in both dialects except the
     * integer-division operator (`DIV` in Spark, `//` in DuckDB). */
-  private def pagerankSql(d: String): String = {
+  private[graft] def pagerankSql(d: String): String = {
     def step(rin: String, rout: String): String =
       s"""$rout AS (
          |  SELECT n.id,

@@ -652,6 +652,51 @@ object Ext {
         .orderBy("o_orderstatus")
     }),
 
+    // [EXT] PageRank (q276), moved here from the one-statement Queries
+    // spec in round 14 (optimization): each unrolled step referenced the
+    // previous rank table TWICE (dangling-mass aggregate + incoming-mass
+    // join), so the inlined tree doubled per round — 101 parquet scans
+    // planned for 3 rounds — and every copy re-derived the edge list from
+    // the events LEAD window. Edges/nodes/outdeg and each round's rank
+    // table (all tiny) are now materialized once. Same integer fixed-point
+    // arithmetic; oracle unchanged (Queries.pagerankSql("//") via
+    // Ext.oracles).
+    // PLAN-REGISTRY global-window q276_pagerank: post-aggregate small spine: final rank over 25 node scores
+    "q276_pagerank" -> ((s: SparkSession, d: String) => {
+      graft.Tables.register(s, d)
+      s.sql(
+        """WITH s AS (SELECT event_type, user_id, ts, event_id,
+          |     LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |   FROM events)
+          |SELECT DISTINCT user_id AS src, nxt AS dst FROM s
+          |WHERE nxt IS NOT NULL AND nxt <> user_id""".stripMargin)
+        .localCheckpoint(true).createOrReplaceTempView("edges_g276")
+      s.sql("SELECT DISTINCT user_id AS id FROM events")
+        .localCheckpoint(true).createOrReplaceTempView("nodes_g276")
+      s.sql("SELECT src, COUNT(*) AS deg FROM edges_g276 GROUP BY src")
+        .localCheckpoint(true).createOrReplaceTempView("outdeg_g276")
+      s.sql("SELECT id, 1000000000000 DIV (SELECT COUNT(*) FROM nodes_g276) AS r FROM nodes_g276")
+        .localCheckpoint(true).createOrReplaceTempView("r0_g276")
+      for (r <- 1 to 3) {
+        s.sql(
+          s"""SELECT n.id,
+             |  base.b + (85 * (COALESCE(inc.m, 0) + dang.share)) DIV 100 AS r
+             |FROM nodes_g276 n
+             |CROSS JOIN (SELECT (1000000000000 DIV (SELECT COUNT(*) FROM nodes_g276)) * 15 DIV 100 AS b) base
+             |CROSS JOIN (SELECT COALESCE(CAST(SUM(r.r) AS BIGINT), 0) DIV (SELECT COUNT(*) FROM nodes_g276) AS share
+             |            FROM r${r - 1}_g276 r LEFT JOIN outdeg_g276 o ON r.id = o.src WHERE o.src IS NULL) dang
+             |LEFT JOIN (SELECT e.dst AS id, CAST(SUM(r.r DIV o.deg) AS BIGINT) AS m
+             |           FROM edges_g276 e JOIN r${r - 1}_g276 r ON e.src = r.id
+             |           JOIN outdeg_g276 o ON e.src = o.src
+             |           GROUP BY e.dst) inc ON n.id = inc.id""".stripMargin)
+          .localCheckpoint(true).createOrReplaceTempView(s"r${r}_g276")
+      }
+      s.sql(
+        """SELECT id AS user_id, r AS pr_u,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id) AS INT) AS rnk
+          |FROM r3_g276 ORDER BY rnk, user_id""".stripMargin)
+    }),
+
     // [EXT] end-to-end pipeline funnel (q340), moved here from the
     // single-statement Queries spec in round 14 (optimization): Spark
     // inlines multiply-referenced CTEs, so the one-statement form
@@ -1040,6 +1085,8 @@ object Ext {
     // Spark side was restructured (materialized FPS rounds, identical
     // integer arithmetic), the DuckDB side re-proves the same result.
     "q395_coreset_fps" -> graft.Queries.fpsSql(duck = true),
+    // q276's oracle, likewise unchanged from its pre-round-14 Queries spec.
+    "q276_pagerank" -> graft.Queries.pagerankSql("//"),
     // q46's oracle, likewise unchanged from its pre-round-14 Queries spec.
     "q46_ngram_jaccard" ->
       """WITH ds AS (
