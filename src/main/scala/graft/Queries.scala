@@ -2897,17 +2897,27 @@ object Queries {
     // (identical summation order cross-engine, so doubles match bitwise),
     // stays in whole-stage codegen, and shrinks downstream shuffle width 8x.
     // ----
+    // Round 14 (optimization): the ±1 sign matrix depends only on (j, k) —
+    // 8×64 = 512 md5 draws — but the previous formulation re-derived it
+    // inside the per-vector fold, i.e. n·8·64 ≈ 1M md5 calls per run. The
+    // 8-row sign table is now built once and broadcast; the per-vector fold
+    // is a zip_with multiply + the SAME left-to-right sum (addends
+    // sign_k·emb_k in identical order from an identical 0 init), so every
+    // double is bit-identical and the DuckDB oracle is unchanged.
     q2("q274_jl_projection",
       """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |           FROM embeddings),
-        |p AS (
-        |  SELECT vec_id, j,
-        |    aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) ->
-        |      acc + (CASE WHEN CAST(conv(substr(md5(concat(CAST(j AS STRING), '_',
+        |sg AS (
+        |  SELECT j, transform(sequence(1, 64), k ->
+        |      CASE WHEN CAST(conv(substr(md5(concat(CAST(j AS STRING), '_',
         |                                 CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
-        |                  THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
-        |            * element_at(emb, k)) / SQRT(CAST(8 AS DOUBLE)) AS pv
-        |  FROM e LATERAL VIEW explode(sequence(0, 7)) t AS j)
+        |           THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) AS sgn
+        |  FROM (SELECT explode(sequence(0, 7)) AS j)),
+        |p AS (
+        |  SELECT /*+ BROADCAST(sg) */ vec_id, j,
+        |    aggregate(zip_with(sgn, emb, (s, x) -> s * x), CAST(0 AS DOUBLE),
+        |              (acc, v) -> acc + v) / SQRT(CAST(8 AS DOUBLE)) AS pv
+        |  FROM e CROSS JOIN sg)
         |SELECT vec_id, CAST(j AS INT) AS dim, ROUND(pv, 4) AS val
         |FROM p ORDER BY vec_id, dim""".stripMargin,
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -6532,14 +6542,23 @@ object Queries {
         |        size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
         |        size(array_distinct(w)) AS uniq FROM wd),
         |sc AS (SELECT * FROM f WHERE wc > 0),
+        |-- Round 14 (optimization): unpivot via one stack() generator pass.
+        |-- The previous 5-way UNION ALL re-scanned `sc` — and re-evaluated
+        |-- the filter/array_distinct feature expressions — once per branch
+        |-- (no exchange below it, so nothing was reusable). Same (feature,
+        |-- doc_id, score) multiset, all-integer; the feat consumer is a
+        |-- GROUP BY, so branch-order vs row-major emission is invisible.
+        |-- The DuckDB oracle keeps the UNION ALL formulation.
         |feat AS (
-        |  SELECT 'chars_per_word' AS feature, doc_id, CAST(n_chars AS BIGINT) * 100 DIV wc AS score FROM sc
-        |  UNION ALL SELECT 'stopword_rate', doc_id, CAST(stops AS BIGINT) * 10000 DIV wc FROM sc
-        |  UNION ALL SELECT 'distinct_ratio', doc_id, CAST(uniq AS BIGINT) * 10000 DIV wc FROM sc
-        |  UNION ALL SELECT 'word_count', doc_id, CAST(wc AS BIGINT) FROM sc
-        |  UNION ALL SELECT 'full_logit', doc_id,
-        |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
-        |      DIV wc FROM sc),
+        |  SELECT feature, doc_id, score FROM sc
+        |  LATERAL VIEW stack(5,
+        |    'chars_per_word', CAST(n_chars AS BIGINT) * 100 DIV wc,
+        |    'stopword_rate', CAST(stops AS BIGINT) * 10000 DIV wc,
+        |    'distinct_ratio', CAST(uniq AS BIGINT) * 10000 DIV wc,
+        |    'word_count', CAST(wc AS BIGINT),
+        |    'full_logit',
+        |      (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
+        |        DIV wc) t AS feature, score),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
         |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
         |       WHERE size(w) >= 8),

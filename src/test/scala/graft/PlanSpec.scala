@@ -222,6 +222,7 @@ class PlanSpec extends SparkSpec {
       "q271_ivf_kmeans_topk", // same Lloyd assignment + 5 queries x k-centroid probe
       "q51c_ann_recall",  // exact-top10 audit: 5 broadcast query vectors x corpus
       "q51f_quantized_topk", // 5 broadcast quantized queries x corpus (brute-force verifier)
+      "q274_jl_projection", // 8-row sign-matrix broadcast (constant by construction)
       "q265_bigram_lm_score", // CROSS JOIN with the 1-row corpus-total aggregate
       "q266_bm25_topk",   // CROSS JOIN with the 1-row corpus-stats aggregate
       "q267_rrf_fusion",  // contains the q51f + q266 shapes above
