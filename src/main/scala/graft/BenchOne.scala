@@ -522,6 +522,79 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "hof_cost") {
+      // Round-14 §4 profiling: higher-order functions (transform/aggregate
+      // with lambdas) are CodegenFallback — every per-element lambda step is
+      // an interpreted expression-tree eval. Isolate that cost against the
+      // same work expressed through codegen'd operators.
+      val p = 9007199254740881L // Dedup.HashPrime (private[pipeline])
+      val cases = Seq(
+        "scan+len       " -> "SELECT SUM(LENGTH(text)) FROM documents",
+        "tok explode    " -> ("SELECT COUNT(tok), SUM(length(tok)) FROM (SELECT doc_id, " +
+          "explode(array_distinct(split(lower(text), ' '))) AS tok FROM documents) WHERE tok <> ''"),
+        "tok fold HOF   " -> (s"SELECT SUM(h % 1000000) FROM (SELECT aggregate(split(tok, ''), 0L, " +
+          s"(acc, c) -> (acc * 131 + ascii(c)) % $p) AS h FROM (SELECT " +
+          "explode(array_distinct(split(lower(text), ' '))) AS tok FROM documents) WHERE tok <> '')"),
+        "bigram HOF     " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)"),
+        "bigram posexpl " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, substr(t, i, 2) AS bg FROM (SELECT doc_id, lower(text) AS t FROM documents " +
+          "WHERE length(text) >= 2) LATERAL VIEW explode(sequence(1, length(t) - 1)) x AS i) GROUP BY doc_id, bg)"),
+        "3gram HOF      " -> ("SELECT COUNT(*) FROM (SELECT doc_id, " +
+          "explode(array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g " +
+          "FROM (SELECT doc_id, split(lower(text), ' ') AS w FROM documents) WHERE size(w) >= 3)"),
+        "3gram posexpl  " -> ("SELECT COUNT(*) FROM (SELECT DISTINCT doc_id, concat_ws(' ', w[i-1], w[i], w[i+1]) AS g " +
+          "FROM (SELECT doc_id, split(lower(text), ' ') AS w FROM documents " +
+          "WHERE size(split(lower(text), ' ')) >= 3) d " +
+          "LATERAL VIEW explode(sequence(1, size(w) - 2)) x AS i)"),
+        // Single-row-group scans make everything below the first exchange a
+        // 1-task straggler; REPARTITION(N, key) fans the per-row work out.
+        // N must be explicit: AQE coalesces a no-N repartition of a ~1.5 MB
+        // input right back to one partition.
+        "bigram HOF rep " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT /*+ REPARTITION(32, doc_id) */ doc_id, explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)"),
+        "bigram norep   " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT /*+ REPARTITION(doc_id) */ doc_id, explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)"),
+        "tok fold rep   " -> (s"SELECT SUM(h % 1000000) FROM (SELECT aggregate(split(tok, ''), 0L, " +
+          s"(acc, c) -> (acc * 131 + ascii(c)) % $p) AS h FROM (SELECT /*+ REPARTITION(32, doc_id) */ doc_id, " +
+          "explode(array_distinct(split(lower(text), ' '))) AS tok FROM documents) WHERE tok <> '')"),
+        "bg expl only   " -> ("SELECT COUNT(bg) FROM (SELECT doc_id, " +
+          "explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2))"),
+        "bg gb nodoc    " -> ("SELECT COUNT(*) FROM (SELECT bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2)) GROUP BY bg)"),
+        "positions only " -> ("SELECT SUM(i) FROM (SELECT doc_id, lower(text) AS t FROM documents " +
+          "WHERE length(text) >= 2) d LATERAL VIEW explode(sequence(1, length(t) - 1)) x AS i"),
+        "bigram int key " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, ascii(substr(t, i, 1)) * 256 + ascii(substr(t, i + 1, 1)) AS bg " +
+          "FROM (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2) d " +
+          "LATERAL VIEW explode(sequence(1, length(t) - 1)) x AS i) GROUP BY doc_id, bg)"),
+        // O(L) bigrams: split the text into a char array ONCE, index O(1) —
+        // substr(t,i,2) scans from the string start (O(i) per call, O(L^2)
+        // per doc). Inner-block repartition distributes the explode itself.
+        "bigram splitO(L)" -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, explode(transform(sequence(1, size(cs) - 1), i -> concat(cs[i-1], cs[i]))) AS bg " +
+          "FROM (SELECT doc_id, split(lower(text), '') AS cs FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)"),
+        "bigram split+rep" -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, explode(transform(sequence(1, size(cs) - 1), i -> concat(cs[i-1], cs[i]))) AS bg " +
+          "FROM (SELECT /*+ REPARTITION(32, doc_id) */ doc_id, split(lower(text), '') AS cs " +
+          "FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)"),
+        "bigram sub+rep " -> ("SELECT COUNT(*), SUM(k) FROM (SELECT doc_id, bg, COUNT(*) AS k FROM (" +
+          "SELECT doc_id, explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg " +
+          "FROM (SELECT /*+ REPARTITION(32, doc_id) */ doc_id, lower(text) AS t " +
+          "FROM documents WHERE length(text) >= 2)) GROUP BY doc_id, bg)")
+      )
+      for (i <- 1 to 3; (label, q) <- cases) {
+        val t0 = System.nanoTime()
+        val r = spark.sql(q).collect()
+        println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%6.3f s  ${r.head}")
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     def time(label: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()

@@ -3098,8 +3098,11 @@ object Queries {
     q2("q286_perplexity_buckets",
       // scoring stage shares q265's single-explode factoring (the pinned
       // part of this twin is the global NTILE, not the explode): per-doc
-      // bigram counts once, model + scoring reuse the exchange
-      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+      // bigram counts once, model + scoring reuse the exchange.
+      // REPARTITION(__NP__, doc_id): single-row-group scan = 1 task; the
+      // bigram explode must run distributed (round-14 §2, 2.5 -> 0.4 s)
+      """WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+        |             lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
         |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
         |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
@@ -3145,8 +3148,10 @@ object Queries {
       // bigram counts; the model (cnt) and the scoring join both consume
       // that aggregate above its exchange, which ReuseExchange dedupes —
       // the q265 rewrite (VERDICT r12 #7); the weighted mean equals the
-      // per-instance AVG exactly, ULP absorbed by the same ROUND(,4)
-      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+      // per-instance AVG exactly, ULP absorbed by the same ROUND(,4).
+      // REPARTITION(__NP__, doc_id): distribute the 1-task explode (r14 §2)
+      """WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+        |             lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
         |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
         |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),

@@ -574,7 +574,12 @@ object Ext {
     // PLAN-REGISTRY float-agg q265_bigram_lm_score: 6-dp-rounded ranking score or LN of exact integer ratios (rounded before ORDER BY). BOUNDARY HAZARD (ADVICE r13): the r13 single-explode factoring scores via SUM(k*LN p)/SUM(k) — different float summation order than the oracle's per-instance AVG(LN p); ROUND(,4) absorbs ULP except within ~1 ULP of a 0.00005 boundary, so a future fixture mismatch here is rounding, not logic.
     "q265_bigram_lm_score" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
-      s.sql("""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents
+      // REPARTITION(np, doc_id): the single-row-group scan is one task, so
+      // the bigram explode ran single-threaded (round-14 §2: 2.5 -> 0.4 s
+      // distributed). np follows the session's shuffle-partition setting.
+      val np = Ops.sessionPartitions(s)
+      s.sql(s"""WITH t AS (SELECT /*+ REPARTITION($np, doc_id) */ doc_id,
+              |             lower(text) AS t FROM documents
               |           WHERE length(text) >= 2),
               |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
               |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Session-scaled explicit partition count for repartition-before-explode
+    * sites (round-14 §2): the fixtures are single-row-group parquet files,
+    * so every scan is ONE task and per-row work below the first exchange is
+    * a one-core straggler. An EXPLICIT count is required — AQE coalesces a
+    * no-N repartition of a ~MB input back to one partition. Follows the
+    * session's shuffle-partition setting (the SPARK_GRAFT_CPUS-derived
+    * knob), never a constant, so the driver's core-count scaling
+    * measurement is undisturbed; at production scale (many input files)
+    * the same repartition is a load-balancing no-op before the expansion. */
+  def sessionPartitions(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
   /** As-of join: for every left row, the single latest right row with
     * `right.timeCol <= left.timeCol`, matched on `keyCol`.
     *
