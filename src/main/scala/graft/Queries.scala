@@ -464,7 +464,7 @@ object Queries {
     // same portable polynomial ((acc*131 + codepoint) mod 1e9+7) that the
     // SimHash oracle recomputes; DuckDB folds with list_reduce. ----
     q2("q45b_rolling_fp",
-      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(lower(text), ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, explode(transform(sequence(1, size(ws) - 2),
         |                                        i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))) AS g
         |       FROM w WHERE size(ws) >= 3),
@@ -609,7 +609,11 @@ object Queries {
     // win as dimensionality grows; see BenchOne dot_hoist_vs_fused)
     // SCALE-AUDIT: q72_embedding_neardup -> q72b_embedding_neardup_scaled
     q2("q72_embedding_neardup",
-      """WITH e AS (SELECT vec_id, embedding,
+      // REPARTITION(__NP__, vec_id): the BNLJ streams its probe side out of
+      // the single-row-group scan task — ~2M exact dot_products on one core
+      // without it. The audit still scores every ordered pair (the declared
+      // exact ground-truth contract); only the task fan-out changes.
+      """WITH e AS (SELECT /*+ REPARTITION(__NP__, vec_id) */ vec_id, embedding,
         |  SQRT(dot_product(embedding, embedding)) AS nrm FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm), 4) AS cos_sim
@@ -2821,7 +2825,7 @@ object Queries {
     // scale-linear in corpus size. Complements q146 (type-token ratio):
     // these catch boilerplate/looping text that distinct-word ratios miss. ----
     q2("q272_gopher_repetition",
-      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(lower(text), ' ') AS ws FROM documents),
         |big AS (SELECT doc_id, explode(transform(sequence(1, size(ws) - 1),
         |                                         i -> concat(ws[i-1], ' ', ws[i]))) AS g
         |        FROM w WHERE size(ws) >= 2),
@@ -3191,7 +3195,7 @@ object Queries {
     // freq, gram) tie-break is deterministic. ----
     // PLAN-REGISTRY global-window q287_boilerplate_ngrams: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
     q2("q287_boilerplate_ngrams",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
         |        concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]) AS g
         |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
@@ -3224,7 +3228,7 @@ object Queries {
     q2("q288_bpe_tokenize",
       s"""WITH $bpeSparkCtes,
          |wdd AS (SELECT doc_id, word, COUNT(*) AS c
-         |        FROM (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+         |        FROM (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, explode(split(text, ' ')) AS word FROM documents)
          |        WHERE word <> '' GROUP BY doc_id, word)
          |SELECT d.doc_id,
          |  CAST(SUM(d.c) AS BIGINT) AS n_words,
@@ -3260,7 +3264,7 @@ object Queries {
     // standard gaps-and-islands window. ----
     // PLAN-REGISTRY global-window q289_dup_spans: corpus-ranking window sees only TakeOrderedAndProject survivors (<=50 rows, plan-audited)
     q2("q289_dup_spans",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, i,
         |        concat_ws(' ', ws[i-1], ws[i], ws[i+1], ws[i+2], ws[i+3]) AS g
         |      FROM (SELECT * FROM w WHERE size(ws) >= 5) w
@@ -3684,7 +3688,7 @@ object Queries {
     // 16x and the explode carries only integer arithmetic. Both dialects
     // state the identical integer map, so the estimate stays oracle-exact.
     q2("q301_fuzzy_decontamination",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
@@ -3736,7 +3740,7 @@ object Queries {
     // whose every slot is boilerplate simply emit no rows (a 0-match
     // filler row carries no decontamination signal). ----
     q2("q301b_fuzzy_decontamination_capped",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
@@ -3814,7 +3818,7 @@ object Queries {
     // handled by q287, so the pair fan-out is O(32·dup), never O(k²));
     // exact 3-shingle containment is then computed on candidates only. ----
     q2("q303_containment_neardup",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
         |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
         |       WHERE size(w) >= 8),
@@ -3988,7 +3992,7 @@ object Queries {
     // candidates only, split labels equi-joined back — corpus-linear
     // end to end. ----
     q2("q312_split_leakage",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
         |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
         |       WHERE size(w) >= 8),
@@ -4092,7 +4096,7 @@ object Queries {
     q2("q314_tokenizer_fertility",
       s"""WITH $bpeSparkCtes,
          |wds AS (SELECT s.source, s.word, COUNT(*) AS c
-         |        FROM (SELECT source, explode(split(text, ' ')) AS word FROM documents) s
+         |        FROM (SELECT /*+ REPARTITION(__NP__, doc_id) */ source, doc_id, explode(split(text, ' ')) AS word FROM documents) s
          |        WHERE s.word <> '' GROUP BY s.source, s.word)
          |SELECT d.source,
          |  CAST(SUM(d.c) AS BIGINT) AS n_words,
@@ -4587,7 +4591,7 @@ object Queries {
     // feed the same banded equi-join shape as q45b's rolling hashes for
     // cross-doc matching. ----
     q2("q326_winnowing",
-      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      """WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, i, md5(concat_ws(' ', slice(ws, i, 3))) AS h
         |      FROM t LATERAL VIEW explode(sequence(1, size(ws) - 2)) x AS i
         |      WHERE size(ws) >= 3),
@@ -5340,7 +5344,7 @@ object Queries {
     // discipline: every output is integer arithmetic ((x - lo)·10 DIV
     // span, SUM·10⁴ DIV COUNT) — no double anywhere. ----
     q2("q351_quality_calibration",
-      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+      """WITH wd AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
         |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      DIV wc AS mlogit
@@ -5496,7 +5500,10 @@ object Queries {
     // signature pass is semi-joined to candidate docs BEFORE hashing, so
     // non-candidate docs (the overwhelming majority) never pay it. ----
     q2("q354_minhash_error_law",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      // REPARTITION(__NP__, doc_id): distribute the gram explodes + the
+      // 16-slot md5 signature pass off the 1-task scan (round-14 §2)
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+        |             split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
         |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
         |       WHERE size(w) >= 8),
@@ -5630,7 +5637,7 @@ object Queries {
     // product/partial sum is an integer < 2⁵³ — no rounding ever occurs,
     // so the double-typed dot equals the BIGINT fold bit for bit. ----
     q2("q357_knn_label_agreement",
-      """WITH e AS (SELECT vec_id, label,
+      """WITH e AS (SELECT /*+ REPARTITION(__NP__, vec_id) */ vec_id, label,
         |    transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
         |  FROM embeddings),
         |s AS (SELECT vec_id AS cell, q AS sq FROM e WHERE vec_id < 8),
@@ -5717,7 +5724,7 @@ object Queries {
     // J in [0.80, 1.00]) — all from the SAME verified pair set, so
     // sweeping costs one extra aggregation, not four dedup runs. ----
     q2("q358_dedup_threshold_sweep",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
         |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
         |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w
         |       WHERE size(w) >= 8),
@@ -5793,7 +5800,7 @@ object Queries {
     // Label: doc carries a [2,32]-shared 8-gram (q351's). ----
     // PLAN-REGISTRY global-window q361_ranking_auc: post-aggregate small spine: cumulative negatives over distinct logit values
     q2("q361_ranking_auc",
-      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+      """WITH wd AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |sc AS (SELECT doc_id,
         |    (10 * CAST(CAST(wc AS BIGINT) * wc - 300 * wc + 50 * n_chars + 200 * stops + 300 * uniq AS BIGINT))
         |      DIV wc AS mlogit
@@ -5866,7 +5873,7 @@ object Queries {
     // quadratic in hot grams); the split assignment is a map-side hash.
     // All-integer output. ----
     q2("q363_split_leakage",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w,
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w,
         |    CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 80 THEN 'train'
         |         WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'val'
         |         ELSE 'test' END AS sp
@@ -6360,7 +6367,11 @@ object Queries {
     // buckets otherwise grow with corpus size), so the pass stays linear;
     // the oracle applies the identical cap. ----
     q2("q375_lsh_br_tradeoff",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      // REPARTITION(__NP__, doc_id): the hv stage evaluates 12 md5s per
+      // shingle (~2.8M at sf0.1) inside the single-row-group scan task
+      // without it (round-14 §2 straggler note)
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+        |             split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
         |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w
         |       WHERE size(w) >= 3),
@@ -6542,7 +6553,7 @@ object Queries {
     // scores (5x docs rows), one groupBy per (feature, score) level, one
     // window PARTITIONED BY FEATURE (never global), all-integer output. ----
     q2("q379_feature_ablation_auc",
-      """WITH wd AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents),
+      """WITH wd AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, n_chars, split(text, ' ') AS w FROM documents),
         |f AS (SELECT doc_id, n_chars, size(w) AS wc,
         |        size(filter(w, x -> x = 'the' OR x = 'a')) AS stops,
         |        size(array_distinct(w)) AS uniq FROM wd),
@@ -6671,7 +6682,10 @@ object Queries {
     // shape: one partial-aggregating shuffle for signatures, equi-join
     // candidates, never all-pairs. Integer micro-unit output. ----
     q2("q383_minhash_portable",
-      """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents
+      // REPARTITION(__NP__, doc_id): distribute the 8 md5-per-gram
+      // signature mins off the 1-task scan (round-14 §2)
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+        |             split(lower(text), ' ') AS w FROM documents
         |           WHERE size(split(lower(text), ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, g FROM (
         |         SELECT doc_id, explode(transform(sequence(1, size(w) - 2),
@@ -7118,7 +7132,7 @@ object Queries {
     // existing corpus (q371's ingest near-dup screen, batch-scoped). All
     // candidate work is gram equi-joins against the batch side only. ----
     q2("q393_dataset_diff",
-      """WITH w AS (SELECT doc_id, split(text, ' ') AS w, doc_id % 10 = 0 AS is_new
+      """WITH w AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, split(text, ' ') AS w, doc_id % 10 = 0 AS is_new
         |           FROM documents),
         |base AS (SELECT CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         |           CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
@@ -7191,7 +7205,7 @@ object Queries {
     q2("q394_dsir_selection",
       """WITH toks AS (
         |  SELECT doc_id, lang, t FROM (
-        |    SELECT doc_id, lang, explode(split(lower(text), ' ')) AS t FROM documents) x
+        |    SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id, lang, explode(split(lower(text), ' ')) AS t FROM documents) x
         |  WHERE t <> ''),
         |hb AS (
         |  SELECT doc_id, lang,

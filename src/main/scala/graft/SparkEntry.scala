@@ -18,11 +18,9 @@ object SparkEntry {
     * pipeline (quality filter -> exact dedup -> deterministic split ->
     * per-split stats) — one statement chaining the [EXT] operators that
     * make this engine more than a SQL proxy. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    Tables.register(spark, dir)
-    spark.sql(Queries.byName("q180_pipeline_e2e").spark)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    // through `queries` so `__NP__` repartition placeholders resolve
+    queries("q180_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** Session-scaled partition count for `__NP__` placeholders in Spark-side
     * SQL: the fixtures are single-row-group parquet files, so every scan is

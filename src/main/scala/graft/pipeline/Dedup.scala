@@ -20,9 +20,13 @@ object Dedup {
   private val NumHashes = 32
   private val Bands = 8 // 8 bands x 4 rows; P(collision | J=0.9) ~ 1 - (1-0.9^4)^8 ~ 0.999
 
-  /** doc_id -> exploded distinct word-3-shingles ("a b c"). */
+  /** doc_id -> exploded distinct word-3-shingles ("a b c").
+    * The explicit repartition distributes the explode itself: the fixture
+    * parquet is a single row group, so without it the shingle build and the
+    * 32-min partial aggregation run in ONE scan task (round-14 §2). */
   private def shingles(docs: DataFrame): DataFrame =
     docs
+      .repartition(Ops.sessionPartitions(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(
@@ -338,6 +342,9 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Tables.register(spark, dir)
     val toks = spark.table("documents")
+      // distribute the token explode + 48-sum partial agg off the single
+      // row-group scan task (round-14 §2)
+      .repartition(Ops.sessionPartitions(spark), col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"), portableHash("tok").as("h"))

@@ -314,8 +314,12 @@ object Ext {
     "q380_detector_agreement" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       Dedup.simhashNearDup(s, d).createOrReplaceTempView("simhash_pairs_g380")
+      // REPARTITION(np, doc_id): distribute the g8/s3 gram explodes off the
+      // single-row-group scan task (round-14 §2); np = session setting.
+      val np = Ops.sessionPartitions(s)
       s.sql(
-        """WITH w AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents),
+        s"""WITH w AS (SELECT /*+ REPARTITION($np, doc_id) */ doc_id,
+          |             split(lower(text), ' ') AS w FROM documents),
           |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
           |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w WHERE size(w) >= 8),
           |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
@@ -362,8 +366,10 @@ object Ext {
     "q362_dataset_card" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
       Multimodal.mediaFormats(s, d).createOrReplaceTempView("media_fmt")
+      val np = Ops.sessionPartitions(s)
       s.sql(
-        """WITH wd AS (SELECT doc_id, source, n_chars, split(text, ' ') AS w, text
+        s"""WITH wd AS (SELECT /*+ REPARTITION($np, doc_id) */ doc_id, source,
+          |             n_chars, split(text, ' ') AS w, text
           |            FROM documents),
           |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
           |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM wd
@@ -717,6 +723,12 @@ object Ext {
     // the cap). Measured sf0.1 warm: 4.9 -> ~1.5 s.
     "q340_pipeline_funnel" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
+      // (round-14 §2 note: an inner-subquery REPARTITION on d0 — the
+      // single-row-group straggler fix that won elsewhere — measured
+      // SLOWER here, 3.86 -> 4.70 s same-window A/B: the staged chain's
+      // six checkpoint/broadcast stages pay 32-task scheduling per stage
+      // while each stage's per-row work is too small to amortize it.
+      // Left single-task deliberately.)
       s.sql(
         """SELECT doc_id, source, md5(text) AS h, lower(text) AS lt,
           |       size(split(text, ' ')) AS wc, n_chars, text FROM documents""".stripMargin)
@@ -777,10 +789,16 @@ object Ext {
     // otherwise identical, as is the DuckDB oracle.
     "q46_ngram_jaccard" -> ((s: SparkSession, d: String) => {
       graft.Tables.register(s, d)
+      // inner-subquery REPARTITION: substr(text,i,3) scans from the string
+      // start (O(i) per call), and the single-row-group scan would run the
+      // whole O(L^2) trigram build in one task (round-14 §2). The hint must
+      // sit BELOW the explode's block — a hint in the explode's own block
+      // repartitions that block's output, above the Generate.
       s.sql(
-        """SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
+        s"""SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
           |                                                i -> substr(text, i, 3)))) AS g
-          |FROM documents WHERE length(text) >= 3""".stripMargin)
+          |FROM (SELECT /*+ REPARTITION(${Ops.sessionPartitions(s)}, doc_id) */ doc_id, text
+          |      FROM documents WHERE length(text) >= 3) d""".stripMargin)
         .localCheckpoint(true).createOrReplaceTempView("ds_g46")
       s.sql(
         """WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds_g46 GROUP BY doc_id),

@@ -283,7 +283,10 @@ object Streams {
     // drain equals the batch rebuild exactly and DuckDB re-derives it.
     "q371_stream_neardup_index" -> ((s: SparkSession, d: String) => {
       Tables.register(s, d)
+      // distribute the batch-side index explode off the single-row-group
+      // scan task (round-14 §2); the streaming side is per-micro-batch
       val w = s.table("documents")
+        .repartition(graft.pipeline.Ops.sessionPartitions(s), col("doc_id"))
         .selectExpr("doc_id", "split(text, ' ') AS w").where("size(w) >= 8")
       val g8 = w.selectExpr("doc_id",
         "explode(array_distinct(transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8))))) AS g")

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("every SQL query's plan contains a codegen stage") {
     val noCodegen = Queries.specs.flatMap { spec =>
-      val df = { Tables.register(spark, sfDir); spark.sql(spec.spark) }
+      // through SparkEntry so `__NP__` repartition placeholders resolve
+      val df = SparkEntry.queries(spec.name)(spark, sfDir)
       df.queryExecution.toRdd.foreach(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       val ok = raw"\*\(\d+\)".r.findFirstIn(plan).isDefined ||
