@@ -231,10 +231,17 @@ object Ext {
       val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
       val ot = s"g_orders_bkt_$tag"
       val lt = s"g_lineitem_bkt_$tag"
-      s.table("orders").select("o_orderkey", "o_orderstatus").write
+      // repartition(16, key) before the bucketed write: same murmur3+pmod
+      // as the bucket id, so each of the 16 tasks holds exactly one
+      // bucket's rows — the write parallelizes 16x (it ran in the single
+      // row-group scan task, round-14 §2) and still emits ONE file per
+      // bucket, keeping the per-bucket sorted guarantee for the readback.
+      s.table("orders").select("o_orderkey", "o_orderstatus")
+        .repartition(16, col("o_orderkey")).write
         .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(ot)
-      s.table("lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice").write
+      s.table("lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .repartition(16, col("l_orderkey")).write
         .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(lt)
       s.sql(
