@@ -152,7 +152,7 @@ object BenchOne {
         val lsh = pipeline.Similarity.lshTopK(spark, sfDir).count()
         println(f"run$i lsh topk: ${(System.nanoTime() - t0) / 1e9}%.2f s ($lsh rows)")
         t0 = System.nanoTime()
-        val brute = spark.sql(Queries.byName("q48_cosine_topk").spark).count()
+        val brute = spark.sql(Queries.byName("q48_cosine_topk").sparkSql(spark)).count()
         println(f"run$i brute topk: ${(System.nanoTime() - t0) / 1e9}%.2f s ($brute rows)")
       }
       spark.stop(); return
@@ -216,8 +216,8 @@ object BenchOne {
       // Near-linear growth = the plan survives a scale-up; superlinear
       // growth would flag a shuffle or build side that stops fitting.
       import org.apache.spark.sql.functions._
-      val q1 = Queries.byName("q21_tpch_q1").spark
-      val q5 = Queries.byName("q93_tpch_q5").spark
+      val q1 = Queries.byName("q21_tpch_q1").sparkSql(spark)
+      val q5 = Queries.byName("q93_tpch_q5").sparkSql(spark)
       def run(label: String): Unit =
         for (i <- 1 to 2; (n, q) <- Seq("q1" -> q1, "q5" -> q5)) {
           val t0 = System.nanoTime()
@@ -285,7 +285,9 @@ object BenchOne {
       val docs = spark.table("documents")
       def run(label: String): Unit = for (i <- 1 to 2) {
         var t0 = System.nanoTime()
-        val n46 = spark.sql(Queries.byName("q46_ngram_jaccard").spark).count()
+        // q46 lives in pipeline/Ext.scala; route through the catalog so the
+        // lookup resolves and the __NP__ repartition placeholder substitutes
+        val n46 = SparkEntry.queries("q46_ngram_jaccard")(spark, sfDir).count()
         println(f"$label run$i q46 trigram jaccard: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n46 rows)")
         t0 = System.nanoTime()
         val nsh = pipeline.Dedup.simhashNearDup(spark, sfDir).count()
@@ -314,7 +316,7 @@ object BenchOne {
         val np = pipeline.Similarity.prefilteredNearDup(spark, sfDir).count()
         println(f"$label run$i prefiltered+verify: ${(System.nanoTime() - t0) / 1e9}%.2f s ($np pairs)")
         t0 = System.nanoTime()
-        val ne = spark.sql(Queries.byName("q72_embedding_neardup").spark).count()
+        val ne = spark.sql(Queries.byName("q72_embedding_neardup").sparkSql(spark)).count()
         println(f"$label run$i exact all-pairs:    ${(System.nanoTime() - t0) / 1e9}%.2f s ($ne pairs)")
       }
       println(s"1x vectors: ${emb.count()}")
@@ -360,7 +362,7 @@ object BenchOne {
         (col("doc_id") + col("id") * 1000000L).as("doc_id"), col("text"))
       big.createOrReplaceTempView("documents") // shadow with the big corpus
       println(s"docs: ${big.count()}")
-      val twoLevel = Queries.byName("q292_shard_packing").spark
+      val twoLevel = Queries.byName("q292_shard_packing").sparkSql(spark)
       val naive =
         """WITH tok AS (SELECT doc_id, size(split(text, ' ')) AS n_tok,
           |             md5(CAST(doc_id AS STRING)) AS h FROM documents),
@@ -592,6 +594,49 @@ object BenchOne {
         val t0 = System.nanoTime()
         val r = spark.sql(q).collect()
         println(f"run$i $label: ${(System.nanoTime() - t0) / 1e9}%6.3f s  ${r.head}")
+      }
+      spark.stop(); return
+    }
+    if (name.startsWith("stream_profile:")) {
+      // Per-batch + per-job attribution for a streaming drain entry: where
+      // does the wall-clock go — micro-batch execution (addBatch), offset/
+      // commit WAL writes, query planning, or gaps between jobs (driver-side
+      // setup, writeHalf batch jobs, cut computation)?
+      val qname = name.stripPrefix("stream_profile:")
+      val t00 = System.nanoTime()
+      def rel: Double = (System.nanoTime() - t00) / 1e9
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+          println(f"[sq] $rel%7.3f START   ${e.id}")
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dm = p.durationMs
+          println(f"[sq] $rel%7.3f batch=${p.batchId}%2d rows=${p.numInputRows}%7d " +
+            f"trigger=${dm.getOrDefault("triggerExecution", -1L)}%5d addBatch=${dm.getOrDefault("addBatch", -1L)}%5d " +
+            f"getBatch=${dm.getOrDefault("getBatch", -1L)}%4d latestOffset=${dm.getOrDefault("latestOffset", -1L)}%4d " +
+            f"walCommit=${dm.getOrDefault("walCommit", -1L)}%4d commitOffsets=${dm.getOrDefault("commitOffsets", -1L)}%4d " +
+            f"planning=${dm.getOrDefault("queryPlanning", -1L)}%4d")
+          p.stateOperators.foreach { so =>
+            println(f"[sq]         state op=${so.operatorName} commitMs=${so.allUpdatesTimeMs + so.commitTimeMs}%d " +
+              f"rowsTotal=${so.numRowsTotal} memUsed=${so.memoryUsedBytes}")
+          }
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          println(f"[sq] $rel%7.3f END     ${e.id}")
+      })
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(e.jobId, System.nanoTime())
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val dur = Option(starts.remove(e.jobId)).map(s => (System.nanoTime() - s) / 1e9).getOrElse(-1.0)
+          println(f"[job] $rel%7.3f job=${e.jobId}%3d dur=$dur%6.3f")
+        }
+      })
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(qname)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        println(f"[sq] run$i total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
       spark.stop(); return
     }

@@ -22,7 +22,14 @@ package graft
   *    rounds); Tables.read normalizes each to µs TimestampType branched on
   *    the file's ACTUAL schema, matching DuckDB's scan of the same file.
   */
-final case class QuerySpec(name: String, spark: String, oracle: Option[String])
+final case class QuerySpec(name: String, spark: String, oracle: Option[String]) {
+  /** `spark` is a TEMPLATE: heavy-explode specs carry a `__NP__` repartition
+    * placeholder (see SparkEntry/Ops.sessionPartitions) that is invalid SQL
+    * until substituted. Execute specs through this accessor (or
+    * SparkEntry.queries), never via raw `spark.sql(spec.spark)`. */
+  def sparkSql(session: org.apache.spark.sql.SparkSession): String =
+    spark.replace("__NP__", pipeline.Ops.sessionPartitions(session).toString)
+}
 
 object Queries {
 

@@ -22,26 +22,15 @@ object SparkEntry {
     // through `queries` so `__NP__` repartition placeholders resolve
     queries("q180_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
-  /** Session-scaled partition count for `__NP__` placeholders in Spark-side
-    * SQL: the fixtures are single-row-group parquet files, so every scan is
-    * ONE task and all per-row work below the first exchange runs on one
-    * core (round-14 profiling: the q265 bigram pass measured 2.5 s
-    * single-task vs 0.4 s distributed). Heavy explode CTEs carry an
-    * explicit `REPARTITION(__NP__, key)` hint — explicit because AQE
-    * coalesces a no-N repartition of a ~MB-sized input straight back to
-    * one partition. The value follows the session's shuffle-partition
-    * setting (the driver's SPARK_GRAFT_CPUS-derived knob), never a
-    * constant, so the core-count scaling measurement stays undisturbed. */
-  private def numPartitions(spark: SparkSession): Int =
-    spark.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(spark.sparkContext.defaultParallelism)
-
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Heavy-explode
+    * specs carry a `__NP__` repartition placeholder resolved per session by
+    * QuerySpec.sparkSql (the fixtures are single-row-group parquet files, so
+    * every scan is ONE task; see Ops.sessionPartitions for the rationale). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val sqlQueries = Queries.specs.map { spec =>
       spec.name -> { (spark: SparkSession, dir: String) =>
         Tables.register(spark, dir)
-        spark.sql(spec.spark.replace("__NP__", numPartitions(spark).toString))
+        spark.sql(spec.sparkSql(spark))
       }
     }
     ListMap((sqlQueries ++ pipeline.Ext.queries ++ streaming.Streams.queries): _*)
