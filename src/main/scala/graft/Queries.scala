@@ -6958,43 +6958,11 @@ object Queries {
     // carry; at 100 TB the standard remedy (hub cap / degree bucketing)
     // applies unchanged. ----
     // SCALE-AUDIT: q389_link_prediction -> q389b_link_prediction_capped
-    q2("q389_link_prediction",
-      """WITH s AS (SELECT event_type, user_id, ts, event_id,
-        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
-        |  FROM events),
-        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
-        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
-        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
-        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
-        |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
-        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
-        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
-        |       GROUP BY x.v, y.v),
-        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
-        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
-        |j AS (SELECT a, b, i, da.d + db.d - i AS un
-        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
-        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
-        |  CAST((20000 * i + un) DIV (2 * un) AS BIGINT) AS cn_jaccard_x1e4
-        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin,
-      """WITH s AS (SELECT event_type, user_id, ts, event_id,
-        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
-        |  FROM events),
-        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
-        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
-        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
-        |sym AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
-        |deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
-        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
-        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
-        |       GROUP BY x.v, y.v),
-        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
-        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
-        |j AS (SELECT a, b, i, da.d + db.d - i AS un
-        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
-        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
-        |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
-        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
+    // q389_link_prediction moved to pipeline/Ext.scala (round 15
+    // optimization): the one-statement form re-executed the `ed` edge
+    // subtree (LEAD window + two DISTINCTs) 18 times; the Ext form
+    // materializes it once. Same scoring statement, same DuckDB oracle
+    // (Ext.oracles).
 
     // ---- [EXT] q389's at-scale sibling (the q286b/q72b pattern): link
     // scores from DETERMINISTICALLY CAPPED adjacency — each node's list is
@@ -7008,49 +6976,9 @@ object Queries {
     // uncapped) — documented estimator semantics, and the oracle applies
     // the identical cap, so the estimate itself is oracle-exact. The cap
     // is a node-partitioned ROW_NUMBER window (never global). ----
-    q2("q389b_link_prediction_capped",
-      """WITH s AS (SELECT event_type, user_id, ts, event_id,
-        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
-        |  FROM events),
-        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
-        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
-        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
-        |sym0 AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
-        |sym AS (SELECT u, v FROM (SELECT u, v,
-        |          ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM sym0)
-        |        WHERE rk <= 32),
-        |deg AS (SELECT v AS u, COUNT(*) AS d FROM sym GROUP BY v),
-        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
-        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
-        |       GROUP BY x.v, y.v),
-        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
-        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
-        |j AS (SELECT a, b, i, da.d + db.d - i AS un
-        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
-        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
-        |  CAST((20000 * i + un) DIV (2 * un) AS BIGINT) AS cn_jaccard_x1e4
-        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin,
-      """WITH s AS (SELECT event_type, user_id, ts, event_id,
-        |    LEAD(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
-        |  FROM events),
-        |e0 AS (SELECT DISTINCT user_id AS a, nxt AS b FROM s
-        |       WHERE nxt IS NOT NULL AND nxt <> user_id),
-        |ed AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
-        |sym0 AS (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed),
-        |sym AS (SELECT u, v FROM (SELECT u, v,
-        |          ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk FROM sym0) z
-        |        WHERE rk <= 32),
-        |deg AS (SELECT v AS u, COUNT(*) AS d FROM sym GROUP BY v),
-        |cn AS (SELECT x.v AS a, y.v AS b, COUNT(*) AS i
-        |       FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v
-        |       GROUP BY x.v, y.v),
-        |nonadj AS (SELECT cn.a, cn.b, cn.i FROM cn
-        |           LEFT JOIN ed ON ed.u = cn.a AND ed.v = cn.b WHERE ed.u IS NULL),
-        |j AS (SELECT a, b, i, da.d + db.d - i AS un
-        |      FROM nonadj JOIN deg da ON da.u = a JOIN deg db ON db.u = b)
-        |SELECT a AS user_a, b AS user_b, CAST(i AS BIGINT) AS common_neighbors,
-        |  CAST((20000 * i + un) // (2 * un) AS BIGINT) AS cn_jaccard_x1e4
-        |FROM j ORDER BY cn_jaccard_x1e4 DESC, user_a, user_b LIMIT 20""".stripMargin),
+    // q389b_link_prediction_capped moved to pipeline/Ext.scala with q389
+    // (round 15 optimization, same `ed` materialization). Same statement,
+    // same DuckDB oracle (Ext.oracles).
 
     // ---- [EXT] label-corroboration audit: cross-tabulate the DECLARED
     // `lang` column against q44's content heuristic (the ' the ' marker) —

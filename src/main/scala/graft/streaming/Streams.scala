@@ -48,51 +48,94 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** State partitions for a stateful drain, DERIVED from the source file's
+    * size instead of the round-14 constant 8 (VERDICT r14 item 2: a literal
+    * is itself the bottleneck once state volume grows). Stateful-operator
+    * state is partitioned by the shuffle-partition count at the stream's
+    * FIRST run and pinned in the checkpoint; every state store instance
+    * costs a per-micro-batch open/commit/fsync, so the count should track
+    * data volume: ~4 MiB of source per state partition (a generous proxy
+    * for state rows — every drain here keys state on a subset of the
+    * source rows), floored at 2 (never serial), capped at the session
+    * shuffle setting (the CPUS/cluster-derived knob — beyond that the
+    * per-store overhead returns). At sf0.1 this derives 2; at a 100 TB
+    * source it saturates to the cluster setting. Results are
+    * partitioning-invariant per entry — the oracle gate re-proves it. */
+  private def statePartitions(spark: SparkSession, dir: String,
+      file: String = "events.parquet"): Int = {
+    val bytes = new java.io.File(dir, file).length()
+    val derived = math.ceil(bytes.toDouble / (4L << 20)).toInt
+    math.max(2, math.min(derived, graft.pipeline.Ops.sessionPartitions(spark)))
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` pinned to `n` (state
+    * sizing for the stateful stages started inside), restored after. */
+  private def withStateParts[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Runs `body` with no-data micro-batches disabled, restored after.
+    * AvailableNow appends one empty micro-batch after the data batches to
+    * advance the watermark and let stateful operators evict/emit; each one
+    * pays a full state-store commit across every store x partition
+    * (measured ~0.7 s per phase on q259 at sf0.1). ONLY used where the
+    * extra batch provably cannot change the sink: inner stream-stream
+    * joins (emission happens on data; anything an earlier eviction would
+    * have suppressed is watermark-late on the other side and dropped
+    * before the join either way) and watermark-TTL'd dedup (rows are
+    * emitted in their data batch; the no-data batch only evicts). NEVER
+    * for outer joins (null emission IS the no-data batch) or append-mode
+    * window aggs (finalized-window emission). Oracle-gated per entry. */
+  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Runs one real streaming drain of a prepared source: writeStream →
     * memory sink, complete or append mode, AvailableNow; returns the sink
     * table. The source-specific helpers below only differ in how they
-    * build the streaming DataFrame. */
+    * build the streaming DataFrame. `nStateParts` sizes the stateful
+    * stage's state partitioning (see [[statePartitions]]). */
   private def drain(spark: SparkSession, source: DataFrame, mode: String,
-      xform: DataFrame => DataFrame): DataFrame = {
+      nStateParts: Int, xform: DataFrame => DataFrame): DataFrame = {
     val name = s"graft_stream_sink_${runId.incrementAndGet()}"
-    // Stateful-aggregation state is partitioned by the shuffle-partition
-    // count at first run; at this fixture scale 32 partitions are pure
-    // state-store file-IO overhead per micro-batch (the q259/q264 sizing
-    // rationale, round 14: applied to every single-shot drain). Complete/
-    // append-mode results are partitioning-invariant — the oracle gate
-    // re-proves it per entry. Restored after the drain.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStateParts(spark, nStateParts) {
       val q = xform(source).writeStream
         .format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(name)
   }
 
-  /** Streaming drain over the DOCUMENTS file (no time column). */
+  /** Streaming drain over the DOCUMENTS file (no time column). The schema
+    * comes from the registered view (analysis-time metadata, no extra
+    * footer-read job per drain). */
   private def drainDocs(spark: SparkSession, dir: String, mode: String)(
       xform: DataFrame => DataFrame): DataFrame = {
     Tables.register(spark, dir)
-    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
-      .parquet(dir).schema
+    val schema = spark.table("documents").schema
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    drain(spark, docs, mode, xform)
+    drain(spark, docs, mode, statePartitions(spark, dir, "documents.parquet"), xform)
   }
 
   /** Streaming drain over the EMBEDDINGS file (no time column). */
   private def drainEmbeddings(spark: SparkSession, dir: String, mode: String)(
       xform: DataFrame => DataFrame): DataFrame = {
     Tables.register(spark, dir)
-    val schema = spark.read.option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir).schema
+    val schema = spark.table("embeddings").schema
     val emb = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-    drain(spark, emb, mode, xform)
+    drain(spark, emb, mode, statePartitions(spark, dir, "embeddings.parquet"), xform)
   }
 
   /** Streaming drain over the EVENTS file with the normalized ts column. */
@@ -105,26 +148,44 @@ object Streams {
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", Tables.tsAsTimestamp(schema("ts").dataType))
-    drain(spark, events, mode, xform)
+    drain(spark, events, mode, statePartitions(spark, dir), xform)
   }
 
-  /** Writes one half of events (split at `cutUs`, µs epoch; columns
-    * event_id/user_id/event_type/value/ts_us) as a single parquet FILE into
-    * `srcDir` — one arriving file per phase of a phased drain. Batch
-    * boundaries come from running a separate AvailableNow drain per phase
-    * over a shared checkpoint (deterministic by construction), not from
-    * rate-limit options. */
-  private def writeHalf(spark: SparkSession, dir: String, srcDir: String,
-      cutUs: Long, oldHalf: Boolean, name: String): Unit = {
+  /** Writes BOTH halves of events (split at `cutUs`, µs epoch; columns
+    * event_id/user_id/event_type/value/ts_us), each as a single parquet
+    * FILE — one arriving file per phase of a phased drain. Batch boundaries
+    * come from running a separate AvailableNow drain per phase over a
+    * shared checkpoint (deterministic by construction), not from rate-limit
+    * options. One scan instead of the two the per-half form paid (round 15
+    * guide §1/§6: the split is a single partitioned write): the phase-1
+    * half lands in `srcDir` as b1.parquet immediately; the phase-2 half is
+    * staged and only MOVED into `srcDir` by the returned thunk, so its
+    * "arrival" still happens between the drains. Also returns the data
+    * schema (from the plan, no footer re-read job). */
+  private def writeHalves(spark: SparkSession, dir: String, srcDir: String,
+      cutUs: Long, firstOld: Boolean): (org.apache.spark.sql.types.StructType, () => Unit) = {
     val ev = Tables.eventsTsUs(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
-    val half = if (oldHalf) ev.where(col("ts_us") < cutUs)
-               else ev.where(col("ts_us") >= cutUs)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp")
-    half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = tmp.toFile.listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get.toPath
-    java.nio.file.Files.move(part, java.nio.file.Paths.get(srcDir).resolve(name))
+    ev.withColumn("__old", col("ts_us") < cutUs)
+      .coalesce(1).write.mode("overwrite").partitionBy("__old").parquet(tmp.toString)
+    def move(old: Boolean, name: String): Unit = {
+      val d = tmp.resolve(s"__old=$old").toFile
+      val part = Option(d.listFiles()).toSeq.flatten
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      part match {
+        case Some(f) =>
+          java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(srcDir).resolve(name))
+        case None => // empty half (possible at tiny SFs): write a schema-only file
+          val e = java.nio.file.Files.createTempDirectory("graft_stream_empty")
+          ev.where(lit(false)).coalesce(1).write.mode("overwrite").parquet(e.toString)
+          val f = e.toFile.listFiles()
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(srcDir).resolve(name))
+      }
+    }
+    move(firstOld, "b1.parquet")
+    (ev.schema, () => move(!firstOld, "b2.parquet"))
   }
 
   /** Max event time in µs — one distributed aggregate returning a scalar
@@ -193,11 +254,16 @@ object Streams {
     // 400-day horizon exceeds the fixture's whole event-time span, so the
     // drained result is exactly the global distinct — q253's oracle —
     // while the query exercises the watermark-eviction code path.
+    // No-data batch disabled: dedup rows are emitted in their DATA batch;
+    // the trailing no-data batch only evicts TTL'd state (nothing at this
+    // horizon) at the cost of one more all-store commit.
     "q311_stream_dedup_within_watermark" -> ((s: SparkSession, d: String) =>
-      drainEvents(s, d, "append") { ev =>
-        ev.withWatermark("ts", "400 days")
-          .select(col("user_id"), col("event_type"), col("ts"))
-          .dropDuplicatesWithinWatermark("user_id", "event_type")
+      withoutNoDataBatches(s) {
+        drainEvents(s, d, "append") { ev =>
+          ev.withWatermark("ts", "400 days")
+            .select(col("user_id"), col("event_type"), col("ts"))
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+        }
       }.groupBy("event_type").agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")),
 
@@ -463,8 +529,7 @@ object Streams {
       val src = java.nio.file.Files.createTempDirectory("graft_wm_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_wm_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_wm_ckpt").toString
-      writeHalf(s, d, src, cut, oldHalf = false, "b1.parquet")
-      val schema = s.read.parquet(src).schema
+      val (schema, arriveB2) = writeHalves(s, d, src, cut, firstOld = false)
       def phase(): Unit = {
         val q = s.readStream.schema(schema).parquet(src)
           .withColumn("ts", expr("timestamp_micros(ts_us)"))
@@ -483,13 +548,13 @@ object Streams {
       }
       // Same state-partition sizing rationale as q259 (window-agg state at
       // fixture scale; finalized-window output is partitioning-invariant).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // No-data batches are REQUIRED here: the phase-1 no-data batch is
+      // what emits the watermark-finalized windows in append mode.
+      withStateParts(s, statePartitions(s, d)) {
         phase()
-        writeHalf(s, d, src, cut, oldHalf = true, "b2.parquet")
+        arriveB2()
         phase()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.schema("w_start timestamp, cnt bigint, sum_value double").parquet(out)
         .orderBy("w_start")
     }),
@@ -507,14 +572,13 @@ object Streams {
     "q257_stream_stateful_sessions" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       Tables.register(s, d)
-      val tmax = maxTsUs(s, d)
-      val minTs = Tables.eventsTsUs(s, d).agg(min("ts_us")).head.getLong(0)
-      val cut = (minTs + tmax) / 2
+      // one scan for both split bounds (was two single-agg jobs)
+      val bounds = Tables.eventsTsUs(s, d).agg(min("ts_us"), max("ts_us")).head
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
       val src = java.nio.file.Files.createTempDirectory("graft_fmg_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_fmg_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_fmg_ckpt").toString
-      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
-      val schema = s.read.parquet(src).schema
+      val (schema, arriveB2) = writeHalves(s, d, src, cut, firstOld = true)
       val gapUs = 1800000000L
       def phase(): Unit = {
         import s.implicits._
@@ -544,14 +608,13 @@ object Streams {
         q.awaitTermination()
       }
       // Same state-partition sizing rationale as q259 (per-user session
-      // state; update-mode totals are partitioning-invariant).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // state; update-mode totals are partitioning-invariant). No event
+      // time / no timeout → the engine schedules no no-data batches here.
+      withStateParts(s, statePartitions(s, d)) {
         phase()
-        writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+        arriveB2()
         phase()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.read.schema("user_id bigint, n_sessions bigint, n_events bigint").parquet(out)
         .groupBy("user_id")
         .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
@@ -580,18 +643,21 @@ object Streams {
           col("cus") >= col("vus") && col("cus") <= col("vus") + 1800000000L)
         .agg(max("cus")).head.getLong(0)
       // Stateful-join state is partitioned by the shuffle-partition count at
-      // FIRST run and pinned in the checkpoint; at this fixture scale 32
-      // partitions are pure state-store file-IO overhead (4 stores x 2
-      // phases x N partitions), so run the drains at 8. Restored after the
-      // drains; the final batch read-back uses the session default.
+      // FIRST run and pinned in the checkpoint (4 stores x 2 phases x N
+      // partitions of per-batch store commits), so run the drains at the
+      // derived state sizing. The final batch read-back uses the session
+      // default. No-data micro-batches are DISABLED for this inner join:
+      // they emit nothing (inner emission happens on data), and any pair an
+      // earlier eviction could have suppressed needs a watermark-late click
+      // that the ingest filter drops before the join either way — while each
+      // no-data batch costs a full commit across all 4 stores (~0.7 s per
+      // phase measured at sf0.1). The oracle re-proves equality to the batch
+      // join.
       val src = java.nio.file.Files.createTempDirectory("graft_ssj_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_ssj_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ckpt").toString
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
-      val schema = s.read.parquet(src).schema
+      withStateParts(s, statePartitions(s, d)) { withoutNoDataBatches(s) {
+      val (schema, arriveB2) = writeHalves(s, d, src, cut, firstOld = true)
       def side(tpe: String, idAs: String): DataFrame =
         s.readStream.schema(schema).parquet(src)
           .where(col("event_type") === tpe)
@@ -614,9 +680,9 @@ object Streams {
         q.awaitTermination()
       }
       phase()
-      writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+      arriveB2()
       phase()
-      } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      } }
       s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
         .orderBy("user_id", "view_id", "click_id")
     }),
@@ -642,12 +708,12 @@ object Streams {
       val src = java.nio.file.Files.createTempDirectory("graft_sso_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_sso_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_sso_ckpt").toString
-      // Same state-partition sizing rationale as q259.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
-      val schema = s.read.parquet(src).schema
+      // Same state-partition sizing rationale as q259. No-data batches stay
+      // ENABLED here: the outer join emits its null-padded rows exactly when
+      // the no-data batch's watermark advance evicts unmatched views —
+      // disabling them would change the result.
+      withStateParts(s, statePartitions(s, d)) {
+      val (schema, arriveB2) = writeHalves(s, d, src, cut, firstOld = true)
       def side(tpe: String, idAs: String): DataFrame =
         s.readStream.schema(schema).parquet(src)
           .where(col("event_type") === tpe)
@@ -671,9 +737,9 @@ object Streams {
         q.awaitTermination()
       }
       phase()
-      writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+      arriveB2()
       phase()
-      } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts) }
+      }
       s.read.schema("user_id bigint, view_id bigint, click_id bigint").parquet(out)
         .orderBy("user_id", "view_id", "click_id")
     }),
@@ -721,11 +787,17 @@ object Streams {
       val src = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
       val snap = java.nio.file.Files.createTempDirectory("graft_cdc_snap").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
-      Tables.eventsTsUs(s, d)
+      val ev = Tables.eventsTsUs(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
-        .repartition(4).write.mode("overwrite").parquet(src)
-      val schema = s.read.parquet(src).schema
+      ev.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = ev.schema
       val ver = new AtomicInteger(0)
+      // The per-batch merge (one window over state ∪ batch) runs as BATCH
+      // jobs inside foreachBatch — 4 merges at the session shuffle setting
+      // were pure small-task overhead at fixture scale; size them like the
+      // stateful drains (derived, not a constant). Result is a max-merge,
+      // partitioning-invariant.
+      withStateParts(s, statePartitions(s, d)) {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
         .select(col("user_id"), col("value"), col("ts_us").as("last_us"),
           col("event_id"), (col("event_type") === "error").as("is_delete"))
@@ -742,6 +814,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      }
       s.read.parquet(s"$snap/v${ver.get()}")
         .where(!col("is_delete"))
         .select(col("user_id"), round(col("value"), 4).as("value"), col("last_us"))
@@ -760,23 +833,23 @@ object Streams {
     "q285_stream_tws_totals" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       Tables.register(s, d)
-      val tmax = maxTsUs(s, d)
-      val minTs = Tables.eventsTsUs(s, d).agg(min("ts_us")).head.getLong(0)
-      val cut = (minTs + tmax) / 2
+      // one scan for both split bounds (was two single-agg jobs)
+      val bounds = Tables.eventsTsUs(s, d).agg(min("ts_us"), max("ts_us")).head
+      val cut = (bounds.getLong(0) + bounds.getLong(1)) / 2
       val src = java.nio.file.Files.createTempDirectory("graft_tws_src").toString
       val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
-      writeHalf(s, d, src, cut, oldHalf = true, "b1.parquet")
-      val schema = s.read.parquet(src).schema
+      val (schema, arriveB2) = writeHalves(s, d, src, cut, firstOld = true)
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val prevProvider = s.conf.getOption(providerKey)
       s.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Same state-partition sizing rationale as q259 (32 RocksDB instances
-      // per phase are pure store-open/commit overhead at fixture scale;
-      // update-mode totals are partitioning-invariant). Restored below.
+      // Same state-partition sizing rationale as q259 (one RocksDB instance
+      // per state partition per phase is pure store-open/commit overhead at
+      // fixture scale; update-mode totals are partitioning-invariant).
+      // Restored below.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions(s, d).toString)
       try {
         def phase(): Unit = {
           import s.implicits._
@@ -799,7 +872,7 @@ object Streams {
           q.awaitTermination()
         }
         phase()
-        writeHalf(s, d, src, cut, oldHalf = false, "b2.parquet")
+        arriveB2()
         phase()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
