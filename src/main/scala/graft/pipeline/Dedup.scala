@@ -67,7 +67,15 @@ object Dedup {
   }
 
   private[pipeline] def minhashNearDupOn(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val banded = bandsOf(sh)
+    // Materialize the shingle explode ONCE (round 15; the q46 discipline):
+    // `sh` feeds the signature aggregation, the size aggregation, and BOTH
+    // verify-join sides — four references shuffling on different keys, so
+    // ReuseExchange cannot dedupe them and the one-DataFrame form executed
+    // the scan + split + explode subtree four times. (Same localCheckpoint
+    // trade-off as everywhere in this file — see the decision record on
+    // [[nearDupComponents]].)
+    val shM = sh.localCheckpoint(true)
+    val banded = bandsOf(shM)
 
     // Candidates: equi-join on (band, band-hash); a_id < b_id de-dupes pairs.
     val candidates = banded.as("a")
@@ -78,10 +86,10 @@ object Dedup {
       .distinct()
 
     // Exact Jaccard on shingle sets, restricted to candidate pairs.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shM.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(sh.as("sa"), col("a_id") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
+      .join(shM.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(shM.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.g") === col("sb.g"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
@@ -119,6 +127,24 @@ object Dedup {
     // joins this output) re-analyzed the same tree. Checkpointing truncates
     // the plan each round; the algorithm (min-label propagation, diameter
     // rounds — the declared audit contract vs q332) is unchanged.
+    //
+    // DECISION RECORD — localCheckpoint vs reliable checkpoint (this is the
+    // canonical note for every localCheckpoint in this repo): localCheckpoint
+    // stores blocks on its executors, so on a real cluster an executor loss
+    // mid-pipeline loses blocks WITHOUT lineage to recompute them and fails
+    // the query — a reliable `checkpoint()` (HDFS/object store) survives it
+    // at the cost of a distributed write + read per materialization. We use
+    // localCheckpoint deliberately: (a) on local[*] the executor IS the
+    // driver, so the failure mode cannot occur where these numbers are
+    // measured; (b) these queries are single-shot drains, and a production
+    // deployment restarts the whole query on executor loss anyway (the
+    // re-run costs what the lineage recompute would have); (c) at 100 TB the
+    // production posture is to PERSIST the expensive intermediates (the
+    // signature/pair tables) as real tables next to the corpus, which
+    // replaces the checkpoint entirely. Switching to reliable checkpoints
+    // here is one setting (`spark.sparkContext.setCheckpointDir` +
+    // s/localCheckpoint/checkpoint/), kept out because it doubles local I/O
+    // for no local benefit.
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))

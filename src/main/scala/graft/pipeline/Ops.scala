@@ -278,13 +278,21 @@ object Ops {
   def zorderWriteN(df: DataFrame, path: String, dims: Seq[String],
       nFiles: Int): Unit = {
     require(dims.size >= 2 && dims.size <= 8, s"zorder needs 2-8 dims, got ${dims.size}")
-    // 64 rank buckets per dimension (round 14: was 256). File-level min/max
-    // skipping only resolves ~nFiles z-ranges, so a 64x64 tile grid already
-    // saturates pruning at any realistic file count here while quartering
-    // the boundary-literal expression the z-value evaluates per row —
-    // measured 2.3 -> 1.4 s on the q260 write pass. At 100 TB the bucket
-    // count scales with files-per-dimension, not a constant.
-    val probs = (1 until 64).map(_.toDouble / 64).toArray
+    // Rank buckets per dimension, DERIVED from the output file count
+    // (round 15; round 14 measured the constant 64 as the sweet spot at
+    // this fixture's nFiles=16 — the derivation reproduces exactly that
+    // point and scales past it). File-level min/max skipping resolves
+    // ~nFiles contiguous z-ranges, i.e. ~nFiles^(1/N) files per dimension;
+    // 16 grid tiles per file-per-dimension saturates pruning while keeping
+    // the per-row boundary binary search shallow (log2(buckets) compares —
+    // cutting 256 -> 64 measured 2.3 -> 1.4 s on the q260 write pass).
+    // Power of 2 in [16, 256]; 8 interleave bits/dim bound the ceiling.
+    val bucketsPerDim = {
+      val perDimFiles = math.pow(nFiles.toDouble, 1.0 / dims.size)
+      val raw = math.max(16, math.min(256, math.ceil(16.0 * perDimFiles).toInt))
+      if (Integer.bitCount(raw) == 1) raw else Integer.highestOneBit(raw) * 2
+    }
+    val probs = (1 until bucketsPerDim).map(_.toDouble / bucketsPerDim).toArray
     val qs = df.stat.approxQuantile(dims.toArray, probs, 0.001)
     val z = interleaveBits(
       dims.zip(qs).map { case (d, q) => bucketByQuantiles(col(d), q) }, bits = 8)
