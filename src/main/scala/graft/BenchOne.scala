@@ -524,6 +524,29 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "chargram_cliff") {
+      // The O(L²) cliff of positional substr char-grams vs the length-gated
+      // build (Ops.charGramArraySql): synthetic docs of growing length,
+      // count distinct bigrams per doc. Quadratic growth in the substr
+      // column and ~linear growth in the gated column is the point.
+      import spark.implicits._
+      for (len <- Seq(1 << 10, 1 << 13, 1 << 15, 1 << 17)) {
+        val doc = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+          .alphanumeric.take(len).mkString
+        val df = Seq((1L, doc)).toDF("id", "t").localCheckpoint(true)
+        for ((label, expr) <- Seq(
+            "substr" -> s"transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))",
+            "gated " -> pipeline.Ops.charGramArraySql("t", 2))) {
+          val base = df.selectExpr("id", "t",
+            s"${pipeline.Ops.charSplitGuardSql("t")} AS __ch")
+          val t0 = System.nanoTime()
+          val n = base.selectExpr("id", s"explode($expr) AS bg")
+            .select("bg").distinct().count()
+          println(f"len=$len%7d $label: ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n distinct)")
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "hof_cost") {
       // Round-14 §4 profiling: higher-order functions (transform/aggregate
       // with lambdas) are CodegenFallback — every per-element lambda step is

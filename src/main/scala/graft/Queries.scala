@@ -3112,12 +3112,15 @@ object Queries {
       // bigram counts once, model + scoring reuse the exchange.
       // REPARTITION(__NP__, doc_id): single-row-group scan = 1 task; the
       // bigram explode must run distributed (round-14 §2, 2.5 -> 0.4 s)
-      """WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+      // bigram build LENGTH-GATED on Ops.CharGramSplitThreshold (round 15,
+      // VERDICT r14 #6): O(L) split-once indexed path for heavy-tailed
+      // docs, identical grams — see Ops.charGramArraySql.
+      s"""WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
         |             lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
+        |tc AS (SELECT doc_id, t, ${pipeline.Ops.charSplitGuardSql("t")} AS __ch FROM t),
         |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
-        |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-        |                                i -> substr(t, i, 2))) AS bg FROM t)
+        |         SELECT doc_id, explode(${pipeline.Ops.charGramArraySql("t", 2)}) AS bg FROM tc)
         |       GROUP BY doc_id, bg),
         |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
         |tot AS (SELECT SUM(c) AS n FROM cnt),
@@ -3161,12 +3164,15 @@ object Queries {
       // the q265 rewrite (VERDICT r12 #7); the weighted mean equals the
       // per-instance AVG exactly, ULP absorbed by the same ROUND(,4).
       // REPARTITION(__NP__, doc_id): distribute the 1-task explode (r14 §2)
-      """WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
+      // bigram build LENGTH-GATED on Ops.CharGramSplitThreshold (round 15,
+      // VERDICT r14 #6): O(L) split-once indexed path for heavy-tailed
+      // docs, identical grams — see Ops.charGramArraySql.
+      s"""WITH t AS (SELECT /*+ REPARTITION(__NP__, doc_id) */ doc_id,
         |             lower(text) AS t FROM documents
         |           WHERE length(text) >= 2),
+        |tc AS (SELECT doc_id, t, ${pipeline.Ops.charSplitGuardSql("t")} AS __ch FROM t),
         |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
-        |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-        |                                i -> substr(t, i, 2))) AS bg FROM t)
+        |         SELECT doc_id, explode(${pipeline.Ops.charGramArraySql("t", 2)}) AS bg FROM tc)
         |       GROUP BY doc_id, bg),
         |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
         |tot AS (SELECT SUM(c) AS n FROM cnt),

@@ -594,9 +594,9 @@ object Ext {
       s.sql(s"""WITH t AS (SELECT /*+ REPARTITION($np, doc_id) */ doc_id,
               |             lower(text) AS t FROM documents
               |           WHERE length(text) >= 2),
+              |tc AS (SELECT doc_id, t, ${Ops.charSplitGuardSql("t")} AS __ch FROM t),
               |pb AS (SELECT doc_id, bg, COUNT(*) AS k FROM (
-              |         SELECT doc_id, explode(transform(sequence(1, length(t) - 1),
-              |                                i -> substr(t, i, 2))) AS bg FROM t)
+              |         SELECT doc_id, explode(${Ops.charGramArraySql("t", 2)}) AS bg FROM tc)
               |       GROUP BY doc_id, bg),
               |cnt AS (SELECT bg, SUM(k) AS c FROM pb GROUP BY bg),
               |tot AS (SELECT SUM(c) AS n FROM cnt)
@@ -800,11 +800,15 @@ object Ext {
       // start (O(i) per call), and the single-row-group scan would run the
       // whole O(L^2) trigram build in one task (round-14 §2). The hint must
       // sit BELOW the explode's block — a hint in the explode's own block
-      // repartitions that block's output, above the Generate.
+      // repartitions that block's output, above the Generate. Round 15
+      // (VERDICT r14 #6): the trigram build is LENGTH-GATED — above
+      // Ops.CharGramSplitThreshold it switches to O(L) indexed access over
+      // a split-once char array (identical grams), so a heavy-tailed doc
+      // is no longer an O(L²) single-row straggler.
       s.sql(
-        s"""SELECT doc_id, explode(array_distinct(transform(sequence(1, length(text) - 2),
-          |                                                i -> substr(text, i, 3)))) AS g
-          |FROM (SELECT /*+ REPARTITION(${Ops.sessionPartitions(s)}, doc_id) */ doc_id, text
+        s"""SELECT doc_id, explode(array_distinct(${Ops.charGramArraySql("text", 3)})) AS g
+          |FROM (SELECT /*+ REPARTITION(${Ops.sessionPartitions(s)}, doc_id) */ doc_id, text,
+          |             ${Ops.charSplitGuardSql("text")} AS __ch
           |      FROM documents WHERE length(text) >= 3) d""".stripMargin)
         .localCheckpoint(true).createOrReplaceTempView("ds_g46")
       s.sql(

@@ -22,6 +22,35 @@ object Ops {
     s.conf.getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
       .getOrElse(s.sparkContext.defaultParallelism)
 
+  /** Length threshold above which positional char-gram builds switch from
+    * `substr(t, i, k)` to indexed access over a per-row char array.
+    * `substr` locates character i by scanning from the string start (UTF-8
+    * has no O(1) char index), so the transform-over-positions build is
+    * O(L²) per document — invisible on short fixture docs, a single-row
+    * straggler no repartition fixes on a heavy-tailed corpus (a 1 MB doc is
+    * ~10⁶× the work of a 1 KB one). Above the threshold we pay one
+    * `split(t, '')` (O(L) chars, one array allocation) and build each gram
+    * by O(1) element access. Below it the substr path stays — the array
+    * allocation measured slower than substr's scans on short strings. */
+  val CharGramSplitThreshold = 4096
+
+  /** The guarded char array for [[charGramArraySql]]: NULL (no allocation)
+    * below the threshold, `split` above. Project this as `__ch` next to the
+    * string column. */
+  def charSplitGuardSql(t: String): String =
+    s"CASE WHEN length($t) <= $CharGramSplitThreshold THEN NULL ELSE split($t, '') END"
+
+  /** Positional char-k-gram ARRAY of `t` (the `transform(sequence(...),
+    * i -> substr(t, i, k))` idiom), gated on [[CharGramSplitThreshold]]:
+    * identical element order and values on both paths — gram i is chars
+    * i..i+k-1 — so any downstream explode/distinct/aggregate is unchanged.
+    * Requires `__ch` = [[charSplitGuardSql]] projected in scope. */
+  def charGramArraySql(t: String, k: Int): String = {
+    val cat = (0 until k).map(j => s"__ch[i-1+$j]").mkString("concat(", ", ", ")")
+    s"CASE WHEN __ch IS NULL THEN transform(sequence(1, length($t) - ${k - 1}), i -> substr($t, i, $k)) " +
+      s"ELSE transform(sequence(1, size(__ch) - ${k - 1}), i -> $cat) END"
+  }
+
   /** As-of join: for every left row, the single latest right row with
     * `right.timeCol <= left.timeCol`, matched on `keyCol`.
     *

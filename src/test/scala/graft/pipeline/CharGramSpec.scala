@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** The length-gated char-gram build (Ops.charGramArraySql) must produce the
+  * EXACT array the plain substr path produces — same values, same order —
+  * on both sides of the threshold. The fixture corpus never crosses the
+  * threshold, so this suite is the only coverage of the indexed (long-doc)
+  * branch. */
+class CharGramSpec extends SparkSpec {
+
+  private def plainSql(t: String, k: Int): String =
+    s"transform(sequence(1, length($t) - ${k - 1}), i -> substr($t, i, $k))"
+
+  private def compare(texts: Seq[String], k: Int): Unit = {
+    import graft.TestSpark.spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .where(s"length(t) >= $k")
+    val rows = df
+      .selectExpr("id", "t", s"${Ops.charSplitGuardSql("t")} AS __ch")
+      .selectExpr("id",
+        s"${Ops.charGramArraySql("t", k)} AS gated",
+        s"${plainSql("t", k)} AS plain")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"gated != plain for id=${r.getLong(0)} k=$k")
+    }
+  }
+
+  private val longAscii = ("the quick brown fox " * 300).trim          // ~6000 chars, above threshold
+  private val shortAscii = "hello world"
+  private val edgeAtThreshold = "a" * Ops.CharGramSplitThreshold        // == threshold: substr path
+  private val edgeOverThreshold = "ab" * (Ops.CharGramSplitThreshold / 2 + 1) // just above: split path
+  private val multiByte = ("héllo wörld ünïcode ✓ " * 250).trim        // multi-byte chars, above threshold
+
+  test("gated bigram build equals the substr path across the threshold") {
+    compare(Seq(shortAscii, longAscii, edgeAtThreshold, edgeOverThreshold, multiByte), k = 2)
+  }
+
+  test("gated trigram build equals the substr path across the threshold") {
+    compare(Seq(shortAscii, longAscii, edgeAtThreshold, edgeOverThreshold, multiByte), k = 3)
+  }
+
+  test("the long branch really is the split path (guard fires above threshold)") {
+    import graft.TestSpark.spark.implicits._
+    val df = Seq(edgeAtThreshold, edgeOverThreshold).toDF("t")
+      .selectExpr(s"${Ops.charSplitGuardSql("t")} AS __ch")
+      .collect()
+    assert(df(0).isNullAt(0), "at-threshold string must stay on the substr path")
+    assert(!df(1).isNullAt(0), "over-threshold string must take the split path")
+  }
+}
