@@ -6776,17 +6776,25 @@ object Queries {
     // minimum clockwise delta beats the old 30-vnode minimum); one scan,
     // one conditional-aggregation fold, all-integer one-row output. ----
     q2("q384_shard_rebalance",
-      """WITH h AS (SELECT CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h
-        |           FROM documents),
+      // ring positions hoisted out of the per-row fold (round 15, the q274
+      // pattern: the 33 md5s depend only on the lambda variable, never the
+      // row) into a one-row constant subquery the join broadcasts; the
+      // per-row work drops to the 33 modular deltas. Same arithmetic, same
+      // array order, same array_min.
+      """WITH ring AS (SELECT
+        |    transform(sequence(0, 29),
+        |      k -> CAST(conv(substr(md5(concat('node', CAST(k % 10 AS STRING), '#',
+        |             CAST(k DIV 10 AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS olds,
+        |    transform(sequence(0, 2),
+        |      r -> CAST(conv(substr(md5(concat('node10#', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)) AS news),
+        |h AS (SELECT CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS h
+        |      FROM documents),
         |d AS (SELECT h, h % 10 AS s10, h % 11 AS s11,
-        |        array_min(transform(sequence(0, 29),
-        |          k -> (CAST(conv(substr(md5(concat('node', CAST(k % 10 AS STRING), '#',
-        |                 CAST(k DIV 10 AS STRING))), 1, 12), 16, 10) AS BIGINT)
-        |               - h + 281474976710656) % 281474976710656)) AS d_old,
-        |        array_min(transform(sequence(0, 2),
-        |          r -> (CAST(conv(substr(md5(concat('node10#', CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)
-        |               - h + 281474976710656) % 281474976710656)) AS d_new
-        |      FROM h)
+        |        array_min(transform(olds,
+        |          p -> (p - h + 281474976710656) % 281474976710656)) AS d_old,
+        |        array_min(transform(news,
+        |          p -> (p - h + 281474976710656) % 281474976710656)) AS d_new
+        |      FROM h CROSS JOIN ring)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
         |  CAST(SUM(CASE WHEN s10 <> s11 THEN 1 ELSE 0 END) * 10000 DIV COUNT(*) AS BIGINT)
