@@ -277,6 +277,7 @@ class PlanSpec extends SparkSpec {
       "q374_salt_planner",          // CROSS JOIN with the 1-row plan-summary aggregate
       "q375_lsh_br_tradeoff",       // 3-row (b,r) config spine + 1-row n_pos aggregate broadcasts
       "q377_maxsim_late_interaction", // 20 broadcast probe token vectors x corpus (q51c shape)
+      "q384_shard_rebalance",         // 1-row constant md5 vnode-ring broadcast (the q274 shape)
       "q394_dsir_selection",          // CROSS JOINs with the 1-row raw/target token-total aggregates
       "q395_coreset_fps")             // 8 FPS rounds: 1-row newly-selected-vector broadcast each
     val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
