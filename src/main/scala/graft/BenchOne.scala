@@ -487,6 +487,47 @@ object BenchOne {
       }
       spark.stop(); return
     }
+    if (name == "q380_stages") {
+      // VERDICT r14 #5: attribute q380's cost — the simhash detector pass vs
+      // the exact-ground-truth stages (gram explodes, candidate join, verify
+      // intersection). Same CTE-prefix discipline as funnel_stage_profile.
+      val np = pipeline.Ops.sessionPartitions(spark)
+      for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val sim = pipeline.Dedup.simhashNearDup(spark, sfDir)
+        val nsim = sim.count()
+        println(f"run$i simhashNearDup: ${(System.nanoTime() - t0) / 1e9}%7.3f s ($nsim pairs)")
+        val prefix =
+          s"""WITH w AS (SELECT /*+ REPARTITION($np, doc_id) */ doc_id,
+            |             split(lower(text), ' ') AS w FROM documents),
+            |g8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 7),
+            |         i -> concat_ws(' ', slice(w, i, 8))))) AS g FROM w WHERE size(w) >= 8),
+            |gc AS (SELECT g FROM g8 GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 32),
+            |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            |         FROM g8 a JOIN gc USING (g) JOIN g8 b USING (g) WHERE a.doc_id < b.doc_id),
+            |s3 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w) - 2),
+            |         i -> concat_ws(' ', w[i-1], w[i], w[i+1])))) AS g FROM w WHERE size(w) >= 3),
+            |sz AS (SELECT doc_id, COUNT(*) AS n FROM s3 GROUP BY doc_id),
+            |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i
+            |          FROM cand c JOIN s3 sa ON sa.doc_id = c.a_id
+            |          JOIN s3 sb ON sb.doc_id = c.b_id AND sa.g = sb.g
+            |          GROUP BY c.a_id, c.b_id),
+            |exact AS (SELECT a_id, b_id FROM inter
+            |          JOIN sz na ON na.doc_id = a_id JOIN sz nb ON nb.doc_id = b_id
+            |          WHERE (20000 * i + (na.n + nb.n - i)) DIV (2 * (na.n + nb.n - i)) >= 9000)
+            |""".stripMargin
+        for (stage <- Seq("g8", "gc", "cand", "s3", "inter", "exact")) {
+          t0 = System.nanoTime()
+          val n = spark.sql(prefix + s"SELECT COUNT(*) AS n FROM $stage").collect()(0).getLong(0)
+          println(f"run$i $stage%-6s rows=$n%9d  ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        }
+        t0 = System.nanoTime()
+        SparkEntry.queries("q380_detector_agreement")(spark, sfDir)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"run$i full q380: ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      spark.stop(); return
+    }
     if (name == "zorder_profile") {
       // q260 stage split: quantile sketch vs bucket+shuffle+write vs readback.
       import org.apache.spark.sql.functions._

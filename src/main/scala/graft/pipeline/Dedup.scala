@@ -346,7 +346,14 @@ object Dedup {
       // output, and every band/probe duplicate of an over-radius candidate
       // pruned here never pays the distinct's shuffle
       .where(col("hamming") <= maxHamming)
-      .distinct()
+      // dedup by GROUPING ON THE PAIR KEY, not distinct over all three
+      // columns: hamming is functionally determined by (a_id, b_id) — both
+      // docs' simhashes are fixed — so max() over duplicates returns the one
+      // value and the rows are identical to distinct(). The payoff is the
+      // exchange key: downstream equi-joins on (a_id, b_id) (q380's detector
+      // agreement) reuse this aggregation's partitioning instead of paying a
+      // second full shuffle of the ~1M-pair set (round 15, guide §2.4).
+      .groupBy("a_id", "b_id").agg(max("hamming").as("hamming"))
       .orderBy("a_id", "b_id")
   }
 
