@@ -346,14 +346,19 @@ object Dedup {
       // output, and every band/probe duplicate of an over-radius candidate
       // pruned here never pays the distinct's shuffle
       .where(col("hamming") <= maxHamming)
-      // dedup by GROUPING ON THE PAIR KEY, not distinct over all three
-      // columns: hamming is functionally determined by (a_id, b_id) — both
-      // docs' simhashes are fixed — so max() over duplicates returns the one
-      // value and the rows are identical to distinct(). The payoff is the
-      // exchange key: downstream equi-joins on (a_id, b_id) (q380's detector
-      // agreement) reuse this aggregation's partitioning instead of paying a
-      // second full shuffle of the ~1M-pair set (round 15, guide §2.4).
-      .groupBy("a_id", "b_id").agg(max("hamming").as("hamming"))
+      // distinct() on all three columns, NOT groupBy(a_id, b_id) +
+      // max(hamming): the grouped form emits identical rows (hamming is
+      // functionally determined by the pair) and its exchange would be
+      // reusable by downstream pair-key joins (q380 drops one ~1M-row
+      // Exchange), but it was MEASURED to regress memory robustness — with
+      // the exchange gone, the 52M-row final dedup aggregate and the
+      // full-outer SMJ's external sorter run fused in ONE stage per task,
+      // and q380's 32x BenchScale pass OOMed the 8g bench JVM
+      // (UNABLE_TO_ACQUIRE_MEMORY in hashAgg spill, reproduced twice in
+      // round 15; the r14 distinct() form passes both reps). The extra
+      // exchange is the stage boundary that keeps peak per-task memory
+      // bounded.
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
